@@ -7,9 +7,11 @@ object SparkEntry {
     queries("q_agg_group")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Aggregations.queries
+    ops.Scans.queries ++ ops.Relational.queries ++ ops.Joins.queries ++
+      ops.Aggregations.queries ++ ops.SetOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Aggregations.oracle
+    ops.Scans.oracle ++ ops.Relational.oracle ++ ops.Joins.oracle ++
+      ops.Aggregations.oracle ++ ops.SetOps.oracle
 }

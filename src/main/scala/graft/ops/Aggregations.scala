@@ -75,11 +75,143 @@ object Aggregations {
       |  MAX(strftime(l_shipdate, '%Y-%m-%d')) AS max_ship
       |FROM lineitem""".stripMargin
 
+  /** Distinct count per group — the PV/UV classic. Catalyst expands the
+    * distinct into a two-phase aggregate (Expand + partial/final). */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("uv"), count(lit(1)).as("pv"))
+      .orderBy($"event_type")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Several distincts + a plain agg in one pass. */
+  def aggMultiDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("uv"),
+        countDistinct(epochDay($"ts")).as("active_days"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val aggMultiDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS uv,
+      |  COUNT(DISTINCT CAST(FLOOR(epoch(ts)/86400) AS BIGINT)) AS active_days,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Hierarchical subtotals region → nation (ROLLUP). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    region(s, dir).join(nation(s, dir), $"r_regionkey" === $"n_regionkey")
+      .join(customer(s, dir), $"n_nationkey" === $"c_nationkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), sumMoney($"c_acctbal").as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  val aggRollupSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** CUBE over event_type × epoch-weekday (epoch-day mod 7 avoids the
+    * Spark/DuckDB dayofweek-origin mismatch, R3). */
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("wd", pmod(epochDay($"ts"), lit(7)).cast("long"))
+      .cube($"event_type", $"wd")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("wd"))
+  }
+
+  val aggCubeSql: String =
+    """SELECT event_type, wd, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, CAST(FLOOR(epoch(ts)/86400) AS BIGINT) % 7 AS wd, value FROM events)
+      |GROUP BY CUBE (event_type, wd)
+      |ORDER BY event_type NULLS FIRST, wd NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS + grouping() markers. */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nation(s, dir).join(customer(s, dir), $"n_nationkey" === $"c_nationkey")
+      .groupingSets(
+        Seq(Seq($"n_name"), Seq($"c_mktsegment"), Seq()),
+        $"n_name", $"c_mktsegment")
+      .agg(
+        grouping($"n_name").cast("int").as("g_nation"),
+        grouping($"c_mktsegment").cast("int").as("g_segment"),
+        count(lit(1)).as("n_cust"),
+        sumMoney($"c_acctbal").as("sum_bal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT n_name, c_mktsegment,
+      |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+      |  CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_segment,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM nation JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Post-aggregation filter (HAVING). */
+  def aggHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sum_price"))
+      .where($"n_orders" >= 10)
+      .orderBy($"o_custkey")
+  }
+
+  val aggHavingSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_custkey
+      |HAVING COUNT(*) >= 10
+      |ORDER BY o_custkey""".stripMargin
+
+  /** HLL approximate distinct — no oracle (sketches differ across engines);
+    * the exact count rides along so the rows-only dump is self-describing
+    * and the unit test can assert the ±5% envelope. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_uv"),
+        countDistinct($"user_id").as("exact_uv"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_group"  -> (aggGroup _),
-    "q_agg_global" -> (aggGlobal _))
+    "q_agg_group"           -> (aggGroup _),
+    "q_agg_global"          -> (aggGlobal _),
+    "q_agg_distinct"        -> (aggDistinct _),
+    "q_agg_multi_distinct"  -> (aggMultiDistinct _),
+    "q_agg_rollup"          -> (aggRollup _),
+    "q_agg_cube"            -> (aggCube _),
+    "q_agg_grouping_sets"   -> (aggGroupingSets _),
+    "q_agg_having"          -> (aggHaving _),
+    "q_agg_approx_distinct" -> (aggApproxDistinct _))
 
   def oracle: Map[String, String] = Map(
-    "q_agg_group"  -> aggGroupSql,
-    "q_agg_global" -> aggGlobalSql)
+    "q_agg_group"          -> aggGroupSql,
+    "q_agg_global"         -> aggGlobalSql,
+    "q_agg_distinct"       -> aggDistinctSql,
+    "q_agg_multi_distinct" -> aggMultiDistinctSql,
+    "q_agg_rollup"         -> aggRollupSql,
+    "q_agg_cube"           -> aggCubeSql,
+    "q_agg_grouping_sets"  -> aggGroupingSetsSql,
+    "q_agg_having"         -> aggHavingSql)
 }

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import Util._
+
+/** SURVEY.md §2.3 — join family.
+  *
+  * Scale posture: fact⋈fact joins shuffle on the equi-key (sort-merge or
+  * shuffled-hash, Catalyst + AQE choose); dimension joins broadcast the small
+  * side (explicit hint in [[joinBroadcast]], size-based elsewhere). The
+  * interval join keys on user_id first so the range predicate is evaluated
+  * inside each hash-join group, never as a cartesian product.
+  */
+object Joins {
+
+  /** Equi inner join fact ⋈ dim (orders ⋈ customer). */
+  def joinInner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir).join(customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+      .limit(500)
+  }
+
+  val joinInnerSql: String =
+    """SELECT o_orderkey, c_custkey, c_name, o_totalprice, o_orderstatus
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey
+      |LIMIT 500""".stripMargin
+
+  /** Left outer: keep customers with no orders (count 0, sum 0). */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir).join(orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("n_orders"),
+        coalesce(sum(dec2($"o_totalprice")).cast("double"), lit(0.0)).as("sum_price"))
+      .orderBy($"c_custkey")
+  }
+
+  val joinLeftSql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS sum_price
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Full outer nation ⟗ supplier — nulls on either side survive; sort is
+    * nulls-first on both engines (Spark's asc default, explicit in DuckDB). */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nation(s, dir).join(supplier(s, dir), $"n_nationkey" === $"s_nationkey", "full")
+      .select($"n_nationkey", $"n_name", $"s_suppkey", $"s_name")
+      .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("s_suppkey"))
+  }
+
+  val joinFullSql: String =
+    """SELECT n_nationkey, n_name, s_suppkey, s_name
+      |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+      |ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin
+
+  /** Left-semi: customers having ≥1 order (EXISTS). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir).join(orders(s, dir), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti: customers with no orders (NOT EXISTS). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir).join(orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Explicit broadcast of the 25-row nation dim: at 100 TB the fact side
+    * never shuffles for this join — each task probes an in-memory hash map.
+    * Result is identical to a plain join, which is what the oracle runs. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir).join(customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), sumMoney($"o_totalprice").as("sum_price"))
+      .orderBy($"n_name")
+  }
+
+  val joinBroadcastSql: String =
+    """SELECT n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Cross join of the two tiny dims (5 × 25). */
+  def joinCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    region(s, dir).crossJoin(nation(s, dir))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinCrossSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Interval join (Flink intervalJoin analog): signup followed by a purchase
+    * from the same user within 10 minutes. Epoch-floor arithmetic (R3) keeps
+    * the boundary identical across ns/µs timestamp precisions. */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val a = e.where($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), epochS($"ts").as("t1"))
+    val b = e.where($"event_type" === "purchase")
+      .select($"user_id".as("u2"), $"event_id".as("purchase_id"), epochS($"ts").as("t2"))
+    a.join(b, $"user_id" === $"u2" && $"t2" >= $"t1" && $"t2" <= $"t1" + 600L)
+      .select($"user_id", $"signup_id", $"purchase_id", ($"t2" - $"t1").as("delta_s"))
+      .orderBy($"user_id", $"signup_id", $"purchase_id")
+  }
+
+  val joinIntervalSql: String =
+    """SELECT e1.user_id AS user_id, e1.event_id AS signup_id,
+      |  e2.event_id AS purchase_id,
+      |  CAST(FLOOR(epoch(e2.ts)) - FLOOR(epoch(e1.ts)) AS BIGINT) AS delta_s
+      |FROM events e1
+      |JOIN events e2 ON e1.user_id = e2.user_id
+      |  AND e1.event_type = 'signup' AND e2.event_type = 'purchase'
+      |  AND FLOOR(epoch(e2.ts)) >= FLOOR(epoch(e1.ts))
+      |  AND FLOOR(epoch(e2.ts)) <= FLOOR(epoch(e1.ts)) + 600
+      |ORDER BY user_id, signup_id, purchase_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner"     -> (joinInner _),
+    "q_join_left"      -> (joinLeft _),
+    "q_join_full"      -> (joinFull _),
+    "q_join_semi"      -> (joinSemi _),
+    "q_join_anti"      -> (joinAnti _),
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_cross"     -> (joinCross _),
+    "q_join_interval"  -> (joinInterval _))
+
+  def oracle: Map[String, String] = Map(
+    "q_join_inner"     -> joinInnerSql,
+    "q_join_left"      -> joinLeftSql,
+    "q_join_full"      -> joinFullSql,
+    "q_join_semi"      -> joinSemiSql,
+    "q_join_anti"      -> joinAntiSql,
+    "q_join_broadcast" -> joinBroadcastSql,
+    "q_join_cross"     -> joinCrossSql,
+    "q_join_interval"  -> joinIntervalSql)
+}

@@ -25,7 +25,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
+    * outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long, then rebuild a
+    * proper TimestampType via integer ns→µs division — integer `div`, not
+    * `/`, because ~1.7e18 ns exceeds double's 53-bit mantissa and float
+    * division would corrupt sub-second precision. All engine code downstream
+    * sees a plain µs timestamp column (floor-truncated, matching how DuckDB
+    * compares at ≥1s granularity under rule R3). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
