@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Scans.queries ++ ops.Relational.queries ++ ops.Joins.queries ++
-      ops.Aggregations.queries ++ ops.SetOps.queries
+      ops.Aggregations.queries ++ ops.SetOps.queries ++ ops.Windows.queries ++
+      ops.Scalars.queries ++ ops.TimeWindows.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Scans.oracle ++ ops.Relational.oracle ++ ops.Joins.oracle ++
-      ops.Aggregations.oracle ++ ops.SetOps.oracle
+      ops.Aggregations.oracle ++ ops.SetOps.oracle ++ ops.Windows.oracle ++
+      ops.Scalars.oracle ++ ops.TimeWindows.oracle
 }

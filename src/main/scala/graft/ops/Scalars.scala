@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.tables.Tables._
+import Util._
+
+/** SURVEY.md §2.7 — scalar function surface (string / date / math / json /
+  * array / conditional). All built-ins, so every expression stays inside
+  * whole-stage codegen; no UDFs in the hot path.
+  *
+  * Cross-engine notes baked in:
+  *   - weekday via epoch-day mod 7, NOT dayofweek (Spark 1=Sun, DuckDB 0=Sun);
+  *   - integer outputs normalized to BIGINT on both sides (Spark year() is
+  *     int, DuckDB's is bigint — schema compare would trip);
+  *   - rounding only on exact decimal products, never raw double (R2).
+  */
+object Scalars {
+
+  /** upper/lower/length/substring/concat/trim/replace/LIKE over customer. */
+  def strFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .where($"c_name".like("%1%"))
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("name_upper"),
+        lower($"c_mktsegment").as("seg_lower"),
+        length($"c_name").cast(LongType).as("name_len"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        concat_ws("|", $"c_mktsegment", $"c_name").as("seg_name"),
+        trim(lit("  x  ")).as("trimmed"),
+        regexp_replace($"c_name", "0", "#").as("name_masked"))
+      .orderBy($"c_custkey")
+  }
+
+  val strFuncsSql: String =
+    """SELECT c_custkey,
+      |  UPPER(c_name) AS name_upper,
+      |  LOWER(c_mktsegment) AS seg_lower,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+      |  SUBSTRING(c_name, 1, 8) AS name_prefix,
+      |  CONCAT_WS('|', c_mktsegment, c_name) AS seg_name,
+      |  TRIM('  x  ') AS trimmed,
+      |  REPLACE(c_name, '0', '#') AS name_masked
+      |FROM customer
+      |WHERE c_name LIKE '%1%'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Temporal extraction + truncation + day-diff (order-latency style). */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast(LongType).as("y"),
+        month($"o_orderdate").cast(LongType).as("m"),
+        dayofmonth($"o_orderdate").cast(LongType).as("d"),
+        pmod(epochDay($"o_orderdate"), lit(7)).cast(LongType).as("wd"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+        (epochDay(lit("2020-01-01").cast("timestamp")) - epochDay($"o_orderdate"))
+          .cast(LongType).as("days_to_2020"))
+      .orderBy($"o_orderkey")
+      .limit(2000)
+  }
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+      |  CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT) % 7 AS wd,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  CAST(FLOOR(epoch(TIMESTAMP '2020-01-01')/86400) AS BIGINT)
+      |    - CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT) AS days_to_2020
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 2000""".stripMargin
+
+  /** round/abs/ceil/floor/mod/power — rounding applied to the exact decimal
+    * discount product so HALF_UP vs HALF_EVEN tie behavior can't diverge. */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        round(dec2($"l_extendedprice") * rate2($"l_discount"), 1)
+          .cast("double").as("disc_amt"),
+        abs(lit(-1) * $"l_quantity").as("abs_qty"),
+        ceil($"l_quantity" / 8).cast(LongType).as("ceil_q8"),
+        floor($"l_quantity" / 8).cast(LongType).as("floor_q8"),
+        pmod($"l_orderkey", lit(7)).cast(LongType).as("mod7"),
+        pow($"l_quantity", 2).as("qty_sq"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .limit(2000)
+  }
+
+  val mathFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)), 1) AS DOUBLE) AS disc_amt,
+      |  ABS(-1 * l_quantity) AS abs_qty,
+      |  CAST(CEIL(l_quantity / 8) AS BIGINT) AS ceil_q8,
+      |  CAST(FLOOR(l_quantity / 8) AS BIGINT) AS floor_q8,
+      |  l_orderkey % 7 AS mod7,
+      |  POWER(l_quantity, 2) AS qty_sq
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |LIMIT 2000""".stripMargin
+
+  /** JSON field extraction from the string payload (events.props = {"k": N}). */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast(LongType).as("k"))
+      .withColumn("k_bucket", ($"k" - pmod($"k", lit(10L))).cast(LongType))
+      .orderBy($"event_id")
+  }
+
+  val jsonFuncsSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |    - CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Array basics over the embedding column: length + element access.
+    * float→double widening is exact, so no rounding is needed (R4 applies
+    * only to folds). */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select(
+        $"vec_id",
+        size($"embedding").cast(LongType).as("dim"),
+        element_at($"embedding", 1).cast("double").as("first"),
+        element_at($"embedding", 64).cast("double").as("last"),
+        slice($"embedding", 1, 2).cast("array<double>").as("head2"))
+      .orderBy($"vec_id")
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first,
+      |  CAST(embedding[64] AS DOUBLE) AS last,
+      |  CAST(embedding[1:2] AS DOUBLE[]) AS head2
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** CASE WHEN + COALESCE + IS NULL over the null-generating left join. */
+  def caseCoalesce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir).join(orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+      .select(
+        $"c_custkey", $"o_orderkey",
+        when($"o_orderkey".isNull, lit("none"))
+          .when($"o_totalprice" > 200000.0, lit("big"))
+          .otherwise(lit("small")).as("order_class"),
+        coalesce($"o_totalprice", lit(0.0)).as("price_or_zero"),
+        $"o_orderkey".isNull.as("is_orderless"))
+      .orderBy($"c_custkey", asc_nulls_first("o_orderkey"))
+  }
+
+  val caseCoalesceSql: String =
+    """SELECT c_custkey, o_orderkey,
+      |  CASE WHEN o_orderkey IS NULL THEN 'none'
+      |       WHEN o_totalprice > 200000.0 THEN 'big'
+      |       ELSE 'small' END AS order_class,
+      |  COALESCE(o_totalprice, 0.0) AS price_or_zero,
+      |  o_orderkey IS NULL AS is_orderless
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs"     -> (strFuncs _),
+    "q_date_funcs"    -> (dateFuncs _),
+    "q_math_funcs"    -> (mathFuncs _),
+    "q_json_funcs"    -> (jsonFuncs _),
+    "q_array_funcs"   -> (arrayFuncs _),
+    "q_case_coalesce" -> (caseCoalesce _))
+
+  def oracle: Map[String, String] = Map(
+    "q_str_funcs"     -> strFuncsSql,
+    "q_date_funcs"    -> dateFuncsSql,
+    "q_math_funcs"    -> mathFuncsSql,
+    "q_json_funcs"    -> jsonFuncsSql,
+    "q_array_funcs"   -> arrayFuncsSql,
+    "q_case_coalesce" -> caseCoalesceSql)
+}

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.tables.Tables._
+import Util._
+
+/** SURVEY.md §2.8 — event-time windowing, batch-equivalent form.
+  *
+  * The Dataflow equivalence: a windowed aggregation over a replayed finite
+  * stream equals a batch group-by over window buckets, so each operator is
+  * oracle-checked here in batch form and exercised as a real Structured
+  * Streaming query in the streaming test suites (graft.streaming).
+  *
+  * All bucketing is epoch-second arithmetic (rule R3): the parquet source is
+  * ns-precision, Spark holds µs, DuckDB holds ns — ≥1s buckets make every
+  * engine agree. Spark's own `window()`/`session_window()` operators are used
+  * (not hand-rolled buckets) so the physical plan is the same one a streaming
+  * query gets.
+  */
+object TimeWindows {
+
+  /** Tumbling 1-hour event-time window: events per (hour, type). */
+  def tumbleWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+      .select(unix_timestamp($"window.start").as("win_start"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val tumbleWindowSql: String =
+    """SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) * 3600 AS win_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** Sliding (hopping) window, 1h size / 30m slide — every event lands in
+    * exactly two windows. The oracle enumerates that assignment explicitly
+    * as a UNION ALL of the two shifted 30-minute buckets. */
+  def hopWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+      .select(unix_timestamp($"window.start").as("win_start"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val hopWindowSql: String =
+    """SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT CAST(FLOOR(epoch(ts)/1800) AS BIGINT) * 1800 AS win_start, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT (CAST(FLOOR(epoch(ts)/1800) AS BIGINT) - 1) * 1800 AS win_start, event_type, value FROM events)
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** Session windows per user, 30-minute inactivity gap, via Spark's native
+    * session_window. Timestamps are floored to whole seconds FIRST so the
+    * gap comparison is identical to the oracle's integer arithmetic (an
+    * exactly-1800.xxx-second gap would otherwise split differently).
+    * Oracle = gaps-and-islands: lag + cumulative new-session flag. */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val secs = events(s, dir)
+      .select($"user_id", timestamp_seconds(epochS($"ts")).as("tsec"), $"value")
+    secs
+      .groupBy(session_window($"tsec", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
+      .select(unix_timestamp($"session_window.start").as("sess_start"),
+        $"user_id", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"sess_start")
+  }
+
+  val sessionWindowSql: String =
+    """WITH t AS (
+      |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value,
+      |    LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+      |      (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS prev_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, sec, value,
+      |    CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_sess
+      |  FROM t),
+      |numbered AS (
+      |  SELECT user_id, sec, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged)
+      |SELECT MIN(sec) AS sess_start, user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM numbered
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
+  /** Keyed dedup, keep-first by event time: the ValueState "seen" pattern.
+    * Batch form: row_number over (user, type) ordered by (ts, event_id). */
+  def dedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", epochS($"ts").as("t"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val dedupKeepFirstSql: String =
+    """SELECT user_id, event_type, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumble_window"     -> (tumbleWindow _),
+    "q_hop_window"        -> (hopWindow _),
+    "q_session_window"    -> (sessionWindow _),
+    "q_dedup_keep_first"  -> (dedupKeepFirst _))
+
+  def oracle: Map[String, String] = Map(
+    "q_tumble_window"    -> tumbleWindowSql,
+    "q_hop_window"       -> hopWindowSql,
+    "q_session_window"   -> sessionWindowSql,
+    "q_dedup_keep_first" -> dedupKeepFirstSql)
+}
