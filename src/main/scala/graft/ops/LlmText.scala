@@ -1,0 +1,332 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.tables.Tables._
+import Util._
+
+/** SURVEY.md §2.9 + training-data-pipeline text ops: wordcount, corpus
+  * stats, keyword search, token counting, quality scoring, language-ID,
+  * fingerprinting, and the dedup family (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard).
+  *
+  * Scale posture (100 TB corpus):
+  *   - everything is explode → hash-aggregate / hash-join; no driver loops;
+  *   - the pairwise ops never enumerate all O(n²) pairs: MinHash/SimHash
+  *     candidates come from banded signature equality (groupBy band), and
+  *     the Jaccard join goes through a shingle inverted index, so work is
+  *     bounded by Σ f(shingle)² over co-occurring shingles, not n²;
+  *   - signatures are built with the codegen'd xxhash64 expression — no UDFs.
+  */
+object LlmText {
+
+  private def toks(c: Column): Column = split(trim(c), " ")
+
+  // ---------------------------------------------------------------- wordcount
+  /** Tokenize + count + top-20: THE hello-world (shared impl w/ flatmap row). */
+  def textWordcount(s: SparkSession, dir: String): DataFrame =
+    Relational.flatmapExplode(s, dir)
+
+  // ---------------------------------------------------------------- stats
+  /** Per-language corpus stats. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir).groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  val textStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- search
+  /** Keyword search + per-source hit counts. */
+  def textSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .where($"text".contains("spark"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("hits"))
+      .orderBy($"source")
+  }
+
+  val textSearchSql: String =
+    """SELECT source, COUNT(*) AS hits FROM documents
+      |WHERE text LIKE '%spark%'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (runs-of-letters | runs-of-digits | single other char). */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(
+        $"doc_id",
+        size(toks($"text")).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(trim($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"),
+        length(trim($"text")).cast(LongType).as("n_chars_trim"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(trim(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(LENGTH(trim(text)) AS BIGINT) AS n_chars_trim
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring: token count, mean token length, stopword ratio, and a
+    * deterministic composite score (pure ±×÷ on identical operands — exact
+    * in both engines; no transcendental functions, R2-adjacent). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val n = size(t).cast(LongType)
+    val stop = size(filter(t, x => x === "the" || x === "a")).cast(LongType)
+    documents(s, dir)
+      .select(
+        $"doc_id", $"lang",
+        n.as("n_tokens"),
+        ((length(trim($"text")) - (n - lit(1))).cast("double") / n).as("avg_token_len"),
+        (stop.cast("double") / n).as("stopword_ratio"),
+        ((lit(1.0) - stop.cast("double") / n) * n).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    string_split(trim(text), ' ') AS tk,
+      |    LENGTH(trim(text)) AS len_trim
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(tk, x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop,
+      |    len_trim
+      |  FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(len_trim - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * n_tokens AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- lang-id
+  /** Language-ID heuristic (rows-only; no cross-engine oracle). Votes by
+    * stopword hit-lists per language; falls back to 'und' when no evidence —
+    * which is the honest answer on this synthetic corpus, whose vocabulary
+    * is language-free. Deterministic, so the Verify dump is stable. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    def hits(words: Seq[String]): Column =
+      size(filter(t, x => words.map(w => x === w).reduce(_ || _))).cast(LongType)
+    val en = hits(Seq("the", "a", "of", "and", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val es = hits(Seq("el", "la", "de", "y", "es"))
+    val fr = hits(Seq("le", "la", "et", "les", "est"))
+    documents(s, dir)
+      .select($"doc_id", $"lang".as("lang_actual"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
+      .withColumn("lang_pred",
+        when(greatest($"en_hits", $"de_hits", $"es_hits", $"fr_hits") === 0, lit("und"))
+          .when($"en_hits" >= greatest($"de_hits", $"es_hits", $"fr_hits"), lit("en"))
+          .when($"de_hits" >= greatest($"es_hits", $"fr_hits"), lit("de"))
+          .when($"es_hits" >= $"fr_hits", lit("es"))
+          .otherwise(lit("fr")))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprint: Rabin-Karp polynomial rolling hash over the
+    * token stream, mod 2³¹−1 (modular form — Spark 4's ANSI mode forbids
+    * wrapping long multiplication). Rows-only: xxhash64's exact bit pattern
+    * is Spark-specific. Content-identical docs get equal fingerprints;
+    * that invariant is property-tested. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = 2147483647L // 2^31 - 1; keeps h*31 + tokenHash far below 2^63
+    documents(s, dir)
+      .select($"doc_id",
+        aggregate(
+          transform(toks($"text"), t => pmod(xxhash64(t), lit(p))),
+          lit(0L),
+          (acc, v) => pmod(acc * lit(31L) + v, lit(p))).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- dedup: exact
+  /** Exact dedup by content hash; per-source doc vs survivor counts. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"h").orderBy($"doc_id")
+    documents(s, dir)
+      .withColumn("h", md5($"text".cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).cast(LongType).as("n_survivors"))
+      .orderBy($"source")
+  }
+
+  val dedupExactSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |r AS (
+      |  SELECT source, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM h)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- shingles
+  /** Distinct 3-token shingles per doc — the shared substrate for MinHash
+    * and Jaccard. Guarded so <3-token docs yield no shingles (sequence()
+    * would count backwards on a negative span). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", toks($"text").as("tk"))
+      .withColumn("sh",
+        when(size($"tk") >= 3,
+          array_distinct(transform(
+            sequence(lit(1), size($"tk") - 2),
+            i => concat_ws(" ", slice($"tk", i, lit(3))))))
+          .otherwise(array().cast("array<string>")))
+      .select($"doc_id", explode($"sh").as("shingle"))
+  }
+
+  // ---------------------------------------------------------------- dedup: minhash
+  /** MinHash-LSH near-dup candidates (rows-only; hash family is engine-
+    * specific). Signature: 16 permutations h_i(x) = xxhash64(shingle, i);
+    * banding 4×4 → a pair is a candidate iff all 4 perms of some band agree.
+    * At 100 TB this is THE scalable dedup: candidates come from
+    * groupBy(band, band-signature), never from pairwise comparison. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nPerm = 16
+    val sh = shingles(s, dir)
+    val perms = (0 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"m$i"))
+    val sig = sh.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
+    // 4 bands × 4 rows: band signature = xxhash64 of its 4 minhashes.
+    val bands = (0 until 4).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_sig"))
+    }.reduce(_ unionByName _)
+    val a = bands.select($"doc_id".as("doc_a"), $"band", $"band_sig")
+    val b = bands.select($"doc_id".as("doc_b"), $"band", $"band_sig")
+    a.join(b, Seq("band", "band_sig")).where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------- dedup: simhash
+  /** 64-bit SimHash per doc + banded near-dup candidates with Hamming ≤ 8
+    * (rows-only). Bit i of the signature is the sign of Σ_tokens ±1 driven
+    * by bit i of each token's hash; candidates via 4×16-bit band equality. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokenHash = documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"b$i"))
+    val bitSums = tokenHash.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = bitSums.select($"doc_id", simhash.as("simhash"))
+    val banded = (0 until 4).map { k =>
+      sigs.select($"doc_id", $"simhash", lit(k).as("band"),
+        shiftright($"simhash", k * 16).bitwiseAND(lit(0xFFFFL)).as("band_bits"))
+    }.reduce(_ unionByName _)
+    val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"band_bits")
+    val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"band_bits")
+    a.join(b, Seq("band", "band_bits")).where($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"sim_a".bitwiseXOR($"sim_b")).cast(LongType).as("hamming"))
+      .distinct()
+      .where($"hamming" <= 8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------- dedup: jaccard
+  /** n-gram Jaccard near-dups through a shingle inverted index (oracle-able:
+    * pure integer set arithmetic + one final division). Pairs must share
+    * ≥1 shingle — the index join bounds work by shingle co-occurrence, the
+    * scalable formulation (vs O(n²) pairwise). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
+    val shared = a.join(b, Seq("shingle")).where($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
+      .where($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"n_shared", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(t) >= 3
+      |        THEN list_transform(generate_series(1, len(t) - 2),
+      |               i -> array_to_string(t[i:i+2], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tk)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_wordcount"      -> (textWordcount _),
+    "q_text_stats"          -> (textStats _),
+    "q_text_search"         -> (textSearch _),
+    "q_text_tokens"         -> (textTokens _),
+    "q_text_quality"        -> (textQuality _),
+    "q_text_langid"         -> (textLangid _),
+    "q_text_fingerprint"    -> (textFingerprint _),
+    "q_dedup_exact"         -> (dedupExact _),
+    "q_dedup_minhash"       -> (dedupMinhash _),
+    "q_dedup_simhash"       -> (dedupSimhash _),
+    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  def oracle: Map[String, String] = Map(
+    "q_text_wordcount"      -> Relational.flatmapExplodeSql,
+    "q_text_stats"          -> textStatsSql,
+    "q_text_search"         -> textSearchSql,
+    "q_text_tokens"         -> textTokensSql,
+    "q_text_quality"        -> textQualitySql,
+    "q_dedup_exact"         -> dedupExactSql,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.tables.Tables._
+
+/** Decoded-media metadata produced by the STUB decoder in
+  * [[LlmVector.mmDecodeStub]]. A real pipeline would fill width/height/format
+  * from the actual codec; the schema and partition-wise batch flow are real. */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, format: String)
+
+/** SURVEY.md §2.9 + training-data-pipeline vector/multimodal ops: similarity
+  * search (brute-force + IVF + LSH), embedding norms, embedding near-dup,
+  * doc⋈vector joins, and binary-column plumbing with a stubbed decoder.
+  *
+  * Determinism (rule R4): every per-vector reduction is a left-to-right
+  * `aggregate()` fold in double; DuckDB's `list_cosine_similarity`/
+  * `list_inner_product` over DOUBLE[] match that fold bit-for-bit (verified
+  * empirically on this data), with round(…,4) at the output boundary.
+  *
+  * Scale posture (100 TB / billions of vectors):
+  *   - probes are broadcast (5 rows) — the corpus never shuffles for scoring;
+  *   - per-probe top-k is a window rank inside each probe partition, not a
+  *     global sort;
+  *   - brute-force scoring is the verifiable baseline; q_ann_ivf shows the
+  *     bucketed path (coarse quantizer → nprobe buckets), which drops scored
+  *     candidates ~linearly with the centroid count;
+  *   - q_sim_lsh_bucket is the hyperplane-hash path whose bucket ids become
+  *     the shuffle key for banded near-dup joins.
+  */
+object LlmVector {
+
+  /** Left-fold cosine similarity between two float-array columns, in double. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  // ---------------------------------------------------------------- top-k
+  /** Brute-force cosine top-5 neighbors for 5 probe vectors. */
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val probes = e.where($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val scored = e.crossJoin(broadcast(probes))
+      .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 5)
+      .select($"probe_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val simCosineTopkSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT probe_id, vec_id, list_cosine_similarity(pv, v) AS cos FROM p, c),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT probe_id, rk, vec_id, ROUND(cos, 4) AS cos
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- norms
+  /** Per-vector L2 norm → exact-decimal per-label stats (R2+R4). */
+  def embedNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nrm = sqrt(aggregate(
+      transform($"embedding", x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    embeddings(s, dir)
+      .select($"label", round(nrm, 4).cast(DecimalType(10, 4)).as("nrm"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (sum($"nrm").cast("double") / count(lit(1))).as("avg_norm"),
+        min($"nrm").cast("double").as("min_norm"),
+        max($"nrm").cast("double").as("max_norm"))
+      .orderBy($"label")
+  }
+
+  val embedNormSql: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))), 4) AS DECIMAL(10,4)) AS nrm
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(nrm) AS DOUBLE) / COUNT(*) AS avg_norm,
+      |  CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+      |  CAST(MAX(nrm) AS DOUBLE) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------- join
+  /** Multimodal join: text docs ⋈ embedding vectors (doc_id = vec_id), the
+    * array column carried through the join. */
+  def multimodalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .join(embeddings(s, dir), $"doc_id" === $"vec_id")
+      .where($"label" < 5 && $"lang" === "en")
+      .select($"doc_id", $"lang", $"source", $"label".cast(LongType).as("label"),
+        $"n_chars", size($"embedding").cast(LongType).as("dim"))
+      .orderBy($"doc_id")
+  }
+
+  val multimodalJoinSql: String =
+    """SELECT doc_id, lang, source, CAST(label AS BIGINT) AS label, n_chars,
+      |  CAST(len(embedding) AS BIGINT) AS dim
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |WHERE label < 5 AND lang = 'en'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- near-dup
+  /** Embedding near-dup pairs by cosine ≥ 0.45 (brute-force a<b; the
+    * verifiable baseline — the banded/bucketed path is q_sim_lsh_bucket). */
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.crossJoin(b).where($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
+      .where($"cos" >= 0.45)
+      .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val dedupEmbedCosineSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- IVF ANN
+  /** IVF-style approximate nearest neighbor (rows-only; cross-checked
+    * against the brute-force top-k in unit tests). Coarse quantizer: the 16
+    * lowest-vec_id vectors stand in for k-means centroids (deterministic
+    * offline; a production build would run ml.clustering.KMeans). Probes
+    * search nprobe=4 nearest centroid buckets only. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val cent = e.where($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    // invlist assignment: every vector → nearest centroid (1 broadcast join)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+    val assigned = e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"embedding", $"cent_id", cosine($"embedding", $"cv").as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .where($"arn" === 1)
+      .select($"vec_id", $"embedding", $"cent_id")
+    // probes pick their nprobe=4 closest centroids
+    val probes = e.where($"vec_id" < 5).select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"cent_id")
+    val probeBuckets = probes.crossJoin(broadcast(cent))
+      .select($"probe_id", $"pe", $"cent_id", cosine($"pe", $"cv").as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .where($"prn" <= 4)
+      .select($"probe_id", $"pe", $"cent_id")
+    // score only candidates in the selected buckets
+    val wTop = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    probeBuckets.join(assigned, Seq("cent_id"))
+      .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where($"rk" <= 5)
+      .select($"probe_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rk")
+  }
+
+  // ---------------------------------------------------------------- LSH buckets
+  /** Random-hyperplane LSH bucketing (rows-only): 16 fixed Gaussian planes
+    * (seeded, deterministic) → 16-bit signature per vector. The bucket id is
+    * the shuffle key a banded near-dup join would use at scale. */
+  def simLshBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with($"embedding", typedlit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBucket = embeddings(s, dir).select($"vec_id", bucket.as("bucket"))
+    val wSize = Window.partitionBy($"bucket")
+    withBucket
+      .withColumn("bucket_size", count(lit(1)).over(wSize))
+      .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------- binary
+  /** Binary-column metadata: treat text bytes as an opaque payload (stand-in
+    * for image/audio blobs) — length + content hash, both oracle-able. */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id",
+        octet_length($"text".cast("binary")).cast(LongType).as("n_bytes"),
+        md5($"text".cast("binary")).as("content_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val mmBinaryMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Partition-wise media decode plumbing (rows-only). The decoder here is a
+    * clearly-marked DETERMINISTIC STUB (no image/audio libs offline): it
+    * derives fake dimensions from the byte stream. The Spark shape is the
+    * real one — binary column in, per-partition batch iteration, typed
+    * metadata out — exactly where a codec/model batch call would slot in. */
+  def mmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // STUB decode: a real implementation opens a codec once per
+        // partition (the RichFunction.open analog) and decodes each blob.
+        it.map { case (id, bytes) =>
+          val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+          val bn = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+          MediaMeta(id, bytes.length, 64 + b0 % 64, 64 + bn % 64, "stub/raw")
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_cosine_topk"    -> (simCosineTopk _),
+    "q_embed_norm"         -> (embedNorm _),
+    "q_multimodal_join"    -> (multimodalJoin _),
+    "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "q_ann_ivf"            -> (annIvf _),
+    "q_sim_lsh_bucket"     -> (simLshBucket _),
+    "q_mm_binary_meta"     -> (mmBinaryMeta _),
+    "q_mm_decode_stub"     -> (mmDecodeStub _))
+
+  def oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk"    -> simCosineTopkSql,
+    "q_embed_norm"         -> embedNormSql,
+    "q_multimodal_join"    -> multimodalJoinSql,
+    "q_dedup_embed_cosine" -> dedupEmbedCosineSql,
+    "q_mm_binary_meta"     -> mmBinaryMetaSql)
+}
