@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming._
+
+/** SURVEY.md §2.8 — transformWithState StatefulProcessors: the 1:1 Spark 4
+  * analog of Flink's KeyedProcessFunction + keyed state + timers. Each
+  * processor below is a classic from the Flink-training canon, re-expressed
+  * on Spark's arbitrary-state API.
+  *
+  * Scale posture: state lives in the per-partition StateStore keyed by the
+  * group key; nothing here buffers unboundedly — count windows flush at n,
+  * CEP lists prune to their time horizon, timer state clears on fire.
+  */
+
+/** Count-based window (Flink countWindow(n)): buffer per key, flush an
+  * aggregate every n records. Emits (key, windowIndex, count, sum). */
+case class CountWindowResult(user_id: Long, window_idx: Long, n: Long, sum_value: Double)
+
+class CountWindowProcessor(n: Int)
+    extends StatefulProcessor[Long, Event, CountWindowResult] {
+  @transient private var buf: ListState[Double] = _
+  @transient private var windows: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[Double]("buf", Encoders.scalaDouble, TTLConfig.NONE)
+    windows = getHandle.getValueState[Long]("windows", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[CountWindowResult] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CountWindowResult]
+    rows.foreach { e =>
+      buf.appendValue(e.value)
+      val vals = buf.get().toArray
+      if (vals.length >= n) {
+        val idx = if (windows.exists()) windows.get() else 0L
+        out += CountWindowResult(key, idx, vals.length.toLong, vals.sum)
+        windows.update(idx + 1)
+        buf.clear()
+      }
+    }
+    out.iterator
+  }
+}
+
+/** Temperature-rise alert (the canonical KeyedProcessFunction + timer
+  * example): if a key's value rises and keeps rising for `horizonMs` of
+  * event time, emit an alert when the event-time timer fires. A falling
+  * value cancels the pending timer. */
+case class RisingAlert(user_id: Long, since_ms: Long, last_value: Double)
+
+class TimerAlertProcessor(horizonMs: Long)
+    extends StatefulProcessor[Long, Event, RisingAlert] {
+  @transient private var lastValue: ValueState[Double] = _
+  @transient private var timerTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    lastValue = getHandle.getValueState[Double]("last", Encoders.scalaDouble, TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[RisingAlert] = {
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val prev = if (lastValue.exists()) Some(lastValue.get()) else None
+      lastValue.update(e.value)
+      prev match {
+        case Some(p) if e.value > p && !timerTs.exists() =>
+          val fireAt = e.ts.getTime + horizonMs
+          getHandle.registerTimer(fireAt)
+          timerTs.update(fireAt)
+        case Some(p) if e.value <= p && timerTs.exists() =>
+          getHandle.deleteTimer(timerTs.get())
+          timerTs.clear()
+        case _ => ()
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[RisingAlert] = {
+    timerTs.clear()
+    Iterator.single(RisingAlert(key,
+      expired.getExpiryTimeInMs() - horizonMs,
+      if (lastValue.exists()) lastValue.get() else Double.NaN))
+  }
+}
+
+/** Login-fail CEP (flink-cep Pattern.begin("fail").times(3).within(10 min)):
+  * ≥3 failures for a key within the sliding horizon emit an alert keyed by
+  * the completing event. List state prunes to the horizon as events arrive. */
+case class LoginEvent(user_id: Long, ts: java.sql.Timestamp, success: Boolean)
+case class FailBurst(user_id: Long, n_fails: Long, first_ms: Long, last_ms: Long)
+
+class LoginFailProcessor(horizonMs: Long, threshold: Int)
+    extends StatefulProcessor[Long, LoginEvent, FailBurst] {
+  @transient private var fails: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    fails = getHandle.getListState[Long]("fails", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[LoginEvent],
+      timers: TimerValues): Iterator[FailBurst] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FailBurst]
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      if (e.success) {
+        fails.clear() // a success resets the pattern (Flink `next` strictness)
+      } else {
+        val t = e.ts.getTime
+        val recent = (fails.get().toArray :+ t).filter(_ > t - horizonMs).sorted
+        fails.put(recent.map(Long.box))
+        if (recent.length >= threshold)
+          out += FailBurst(key, recent.length.toLong, recent.head, recent.last)
+      }
+    }
+    out.iterator
+  }
+}
+
+/** Order-timeout CEP (created but not paid within the horizon): store the
+  * pending order, arm an event-time timer; payment cancels it; the timer
+  * firing means the watermark passed created+horizon with no payment. */
+case class OrderEvent(order_id: Long, ts: java.sql.Timestamp, status: String)
+case class OrderTimeout(order_id: Long, created_ms: Long)
+
+class OrderTimeoutProcessor(horizonMs: Long)
+    extends StatefulProcessor[Long, OrderEvent, OrderTimeout] {
+  @transient private var createdMs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    createdMs = getHandle.getValueState[Long]("created", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[OrderEvent],
+      timers: TimerValues): Iterator[OrderTimeout] = {
+    rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      e.status match {
+        case "created" =>
+          createdMs.update(e.ts.getTime)
+          getHandle.registerTimer(e.ts.getTime + horizonMs)
+        case "paid" if createdMs.exists() =>
+          getHandle.deleteTimer(createdMs.get() + horizonMs)
+          createdMs.clear()
+        case _ => ()
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[OrderTimeout] = {
+    if (createdMs.exists()) {
+      val created = createdMs.get()
+      createdMs.clear()
+      Iterator.single(OrderTimeout(key, created))
+    } else Iterator.empty
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A replayable event-time record (mirrors the events table's shape). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** SURVEY.md §2.8/§2.1 — the Structured Streaming surface of the engine.
+  *
+  * Each builder takes an unbounded DataFrame/Dataset and returns the
+  * transformed *streaming* frame; sinks/triggers belong to the caller (and
+  * the test suites, which drive these with MemoryStream). The same builders
+  * compose over bounded frames, which is how the batch-equivalent oracle
+  * queries in ops.TimeWindows were derived.
+  *
+  * Scale posture: all stateful operators key by user/window — state is
+  * hash-partitioned across executors by the streaming shuffle exactly like
+  * a batch groupBy; watermarks bound state size (no unbounded buffers).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts with a bounded-out-of-orderness
+    * watermark; append mode emits each window exactly once, when the
+    * watermark passes window end (late rows beyond the delay are dropped —
+    * Flink's allowedLateness=0 behavior). */
+  def tumblingCounts(events: DataFrame, delay: String = "10 minutes",
+                     size: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Sliding (hopping) window sums. */
+  def hoppingSums(events: DataFrame, delay: String = "10 minutes",
+                  size: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (30-minute inactivity gap). */
+  def sessionCounts(events: DataFrame, delay: String = "10 minutes",
+                    gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
+
+  /** Keyed dedup keep-first with bounded state: duplicates of (user, type)
+    * arriving within the watermark are dropped; state evicts after it. */
+  def dedupFirst(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Stream-stream interval join: signup followed by a purchase from the
+    * same user within 10 minutes (Flink intervalJoin ≈ watermarked range
+    * join; both sides' state is cleaned once the range falls behind the
+    * watermark). */
+  def signupPurchaseJoin(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    signupPurchaseJoin2(
+      events.where(col("event_type") === "signup"),
+      events.where(col("event_type") === "purchase"), delay)
+
+  /** Two-stream form of the interval join (separate physical sources). */
+  def signupPurchaseJoin2(signupEvents: DataFrame, purchaseEvents: DataFrame,
+                          delay: String): DataFrame = {
+    val signups = signupEvents
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", delay)
+    val purchases = purchaseEvents
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
+  /** Stream-static enrichment: the broadcast-state pattern — a slow-changing
+    * dimension joined to every micro-batch (static side broadcast, stream
+    * side never shuffles). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, streamKey: String,
+                    dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Side-output fan-out (OutputTag analog): one pass over each micro-batch,
+    * routed to per-predicate handlers via foreachBatch. The batch is
+    * persisted so N output routes don't recompute the source. */
+  def sideOutputFanout(events: DataFrame)(
+      routes: (String, DataFrame => Unit)*): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      batch.persist()
+      try routes.foreach { case (typ, handler) =>
+        handler(batch.where(col("event_type") === typ))
+      } finally { batch.unpersist(); () }
+    }
+
+  /** Generated load source (Flink custom SourceFunction analog). */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  /** Socket text source — the classic wordcount input. */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString).load()
+
+  /** Streaming wordcount over a line stream (THE hello-world, streaming form). */
+  def streamingWordcount(lines: DataFrame): DataFrame =
+    lines.select(explode(split(trim(col("value")), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Kafka consumer source — API surface only: no broker and no Kafka
+    * connector jar ship in this offline environment, so this merely
+    * declares the reader; building `.load()` is the caller's (gated)
+    * responsibility in a connected deployment. */
+  def kafkaSourceReader(spark: SparkSession, servers: String,
+                        topic: String): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+}

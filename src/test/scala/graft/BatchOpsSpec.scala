@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Partitionwise
+
+/** SURVEY.md §2.2/2.3/2.4/2.7 unit-only rows: partition lifecycle, cogroup,
+  * connect/co-map, typed UDAF, scalar UDF, map-type functions, collection
+  * source — semantics pinned on tiny literal datasets. */
+class BatchOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("s_source_collection: in-memory bounded source") {
+    val ds = spark.createDataset(Seq(1, 2, 3))
+    assert(ds.collect().sorted.toSeq === Seq(1, 2, 3))
+    assert(spark.range(5).count() === 5)
+  }
+
+  test("s_richmap_lifecycle: open/close run once per partition") {
+    val acc = spark.sparkContext.longAccumulator("opens")
+    val closeAcc = spark.sparkContext.longAccumulator("closes")
+    val ds = spark.range(0, 100).repartition(4).as[Long]
+    val out = Partitionwise.richMap(ds) { () => { acc.add(1); new StringBuilder("res") } } {
+      (r, x) => x * 2
+    } { r => closeAcc.add(1) }
+    assert(out.collect().sorted.toSeq === (0L until 100L).map(_ * 2))
+    assert(acc.value === 4L, "open once per partition")
+    assert(closeAcc.value === 4L, "close once per partition")
+  }
+
+  test("s_cogroup: both sides' iterables per key") {
+    val a = Seq((1, "x"), (1, "y"), (2, "z")).toDS()
+    val b = Seq((1, 10.0), (3, 30.0)).toDS()
+    val out = Partitionwise.cogroupStats(a, b)(_._1, _._1).collect().toSet
+    assert(out === Set((1, 2L, 1L), (2, 1L, 0L), (3, 0L, 1L)))
+  }
+
+  test("s_connect_comap: two typed inputs → one output type") {
+    val words = Seq("a", "bb").toDS()
+    val nums = Seq(3, 4).toDS()
+    val out = Partitionwise.connectComap(words, nums)(w => s"w:${w.length}")(n => s"n:$n")
+    assert(out.collect().toSet === Set("w:1", "w:2", "n:3", "n:4"))
+  }
+
+  test("s_udaf_typed: Aggregator as typed agg and as registered udaf") {
+    val agg = new Partitionwise.AvgAggregator
+    val typed = Seq(1.0, 2.0, 3.0).toDS().select(agg.toColumn).head()
+    assert(typed === 2.0)
+    spark.udf.register("g_avg", org.apache.spark.sql.functions.udaf(agg))
+    val viaSql = Seq(2.0, 4.0).toDF("v").selectExpr("g_avg(v)").head().getDouble(0)
+    assert(viaSql === 3.0)
+  }
+
+  test("s_udf_scalar: registered scalar UDF (ScalarFunction analog)") {
+    val hash4 = udf((s: String) => s.hashCode % 10000)
+    val out = Seq("flink", "spark").toDF("s")
+      .select(hash4($"s").as("h")).collect().map(_.getInt(0))
+    assert(out.toSeq === Seq("flink".hashCode % 10000, "spark".hashCode % 10000))
+  }
+
+  test("s_map_funcs: map type create/access") {
+    val df = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "name", "v")
+      .select($"k", map_from_arrays(array(lit("name"), lit("v")),
+        array($"name", $"v".cast("string"))).as("m"))
+    val rows = df.select($"k", element_at($"m", "name"), element_at($"m", "v"))
+      .as[(Int, String, String)].collect().toSet
+    assert(rows === Set((1, "a", "10"), (2, "b", "20")))
+  }
+
+  test("s_sink_foreach: ForeachWriter receives every row") {
+    val seen = SparkTestBase.foreachSink
+    seen.clear()
+    Seq(1L, 2L, 3L).toDS().foreach { v: Long => SparkTestBase.foreachSink.add(v); () }
+    assert(seen.size() === 3)
+  }
+}

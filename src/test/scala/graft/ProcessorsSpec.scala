@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import graft.streaming._
+
+/** SURVEY.md §2.8 s_count_window / s_process_timer_alert / s_cep_login_fail /
+  * s_cep_order_timeout — transformWithState processors under MemoryStream,
+  * event-time timers driven by the watermark. */
+class ProcessorsSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"proc_snk_$sinkId" }
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+  private def ev(id: Long, min: Int, user: Long = 1L, v: Double = 1.0): Event =
+    Event(id, ts(min), user, "m", v)
+
+  test("s_count_window: flush an aggregate every n records per key") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new CountWindowProcessor(3),
+        TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, v = 1), ev(2, 2, v = 2))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0) // only 2 buffered, no flush
+      in.addData(ev(3, 3, v = 3), ev(4, 4, v = 4))
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[CountWindowResult].collect()
+      assert(rows.toSeq === Seq(CountWindowResult(1L, 0L, 3L, 6.0)))
+      in.addData(ev(5, 5, v = 5), ev(6, 6, v = 6))
+      q.processAllAvailable()
+      val rows2 = spark.table(sink).as[CountWindowResult].collect().sortBy(_.window_idx)
+      assert(rows2.toSeq === Seq(
+        CountWindowResult(1L, 0L, 3L, 6.0), CountWindowResult(1L, 1L, 3L, 15.0)))
+    } finally q.stop()
+  }
+
+  test("s_process_timer_alert: sustained rise fires an event-time timer; a drop cancels it") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "0 seconds")
+      .as[Event].groupByKey(_.user_id)
+      .transformWithState(new TimerAlertProcessor(horizonMs = 10 * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // user 1: rises at t=2 and never drops → timer armed for t=12
+      // user 2: rises at t=2 but drops at t=5 → timer cancelled
+      in.addData(ev(1, 1, user = 1, v = 1), ev(2, 2, user = 1, v = 5),
+        ev(3, 1, user = 2, v = 1), ev(4, 2, user = 2, v = 5), ev(5, 5, user = 2, v = 2))
+      q.processAllAvailable()
+      in.addData(ev(9, 30, user = 3, v = 0)) // watermark → 30min: fires user 1's timer
+      q.processAllAvailable()
+      val alerts = spark.table(sink).as[RisingAlert].collect()
+      assert(alerts.map(_.user_id).toSet === Set(1L))
+      assert(alerts.head.since_ms === ts(2).getTime)
+    } finally q.stop()
+  }
+
+  test("s_cep_login_fail: >=3 failures within 10 minutes raises a burst") {
+    val in = MemoryStream[LoginEvent]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new LoginFailProcessor(horizonMs = 10 * 60000L, threshold = 3),
+        TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(
+        LoginEvent(1, ts(1), success = false), LoginEvent(1, ts(3), success = false),
+        LoginEvent(1, ts(5), success = false),                       // burst!
+        LoginEvent(2, ts(1), success = false), LoginEvent(2, ts(2), success = true),
+        LoginEvent(2, ts(3), success = false), LoginEvent(2, ts(4), success = false),
+        // user 3: 3 fails but spread past the horizon
+        LoginEvent(3, ts(0), success = false), LoginEvent(3, ts(20), success = false),
+        LoginEvent(3, ts(40), success = false))
+      q.processAllAvailable()
+      val bursts = spark.table(sink).as[FailBurst].collect()
+      assert(bursts.map(_.user_id).toSet === Set(1L))
+      assert(bursts.head.n_fails === 3L)
+    } finally q.stop()
+  }
+
+  test("s_cep_order_timeout: created-not-paid fires at created+horizon") {
+    val in = MemoryStream[OrderEvent]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "0 seconds")
+      .as[OrderEvent].groupByKey(_.order_id)
+      .transformWithState(new OrderTimeoutProcessor(horizonMs = 15 * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // NB: event times sit above epoch 0 — a row at the initial watermark
+      // (t=0) is discarded as late before it reaches the processor.
+      in.addData(
+        OrderEvent(100, ts(60), "created"), OrderEvent(100, ts(65), "paid"), // paid in time
+        OrderEvent(200, ts(60), "created"))                                  // never paid
+      q.processAllAvailable()
+      in.addData(OrderEvent(999, ts(180), "created")) // watermark → 180min
+      q.processAllAvailable()
+      // the timer fires on the first batch planned with the advanced
+      // watermark — drive one more batch and poll briefly
+      in.addData(OrderEvent(998, ts(181), "created"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.table(sink).isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      val timeouts = spark.table(sink).as[OrderTimeout].collect()
+      assert(timeouts.map(_.order_id).toSet === Set(200L))
+      assert(timeouts.head.created_ms === ts(60).getTime)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5.3 — property layer. Window-assignment invariants are checked
+  * against pure reference models of the semantics the engine relies on
+  * (epoch bucketing, hop enumeration, session merging); engine-side
+  * invariants (minhash collisions, cosine identity, dedup idempotence on
+  * real Spark) live in MiniOpsSpec. Raw scalacheck generators driven by a
+  * deterministic seed (scalatestplus isn't in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAllN[T](gen: Gen[T], n: Int = 300)(check: T => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(check)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private val tsGen = Gen.chooseNum(0L, 4102444800L) // 1970..2100, seconds
+
+  test("tumbling windows: every event in exactly one bucket, which contains it") {
+    forAllN(Gen.zip(tsGen, Gen.chooseNum(1L, 86400L))) { case (t, w) =>
+      val start = math.floorDiv(t, w) * w
+      assert(start <= t && t < start + w)
+      assert(t >= start && t < start + w && !(start + w <= t))
+    }
+  }
+
+  test("hopping windows (size=2*slide): every event in exactly two windows") {
+    forAllN(Gen.zip(tsGen, Gen.chooseNum(1L, 43200L))) { case (t, slide) =>
+      val size = slide * 2
+      val k = math.floorDiv(t, slide)
+      val starts = Seq((k - 1) * slide, k * slide)
+      starts.foreach(s => assert(s <= t && t < s + size))
+      assert(!((k - 2) * slide <= t && t < (k - 2) * slide + size))
+      assert(!((k + 1) * slide <= t))
+    }
+  }
+
+  test("session windows: gap<G chains merge, gaps>=G split (reference model)") {
+    def sessions(sorted: Seq[Long], gap: Long): Seq[Seq[Long]] =
+      sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+        if (acc.nonEmpty && t - acc.last.last < gap) acc.init :+ (acc.last :+ t)
+        else acc :+ Vector(t)
+      }
+    val gen = Gen.zip(Gen.listOfN(30, Gen.chooseNum(0L, 100000L)), Gen.chooseNum(1L, 5000L))
+    forAllN(gen, 150) { case (ts, gap) =>
+      val sorted = ts.sorted
+      val ss = sessions(sorted, gap)
+      assert(ss.flatten === sorted)
+      ss.foreach(sess => sess.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a < gap)
+        case _ => ()
+      })
+      ss.sliding(2).foreach {
+        case Seq(s1, s2) => assert(s2.head - s1.last >= gap)
+        case _ => ()
+      }
+    }
+  }
+
+  test("dedup keep-first is idempotent and keeps the minimum-(ts,id) row (model)") {
+    case class E(k: Int, t: Long, id: Long)
+    def dedup(xs: Seq[E]): Seq[E] =
+      xs.groupBy(_.k).view.mapValues(_.minBy(e => (e.t, e.id))).values.toSeq
+    val eGen = for {
+      k <- Gen.chooseNum(0, 5); t <- Gen.chooseNum(0L, 100L); id <- Gen.chooseNum(0L, 1000L)
+    } yield E(k, t, id)
+    forAllN(Gen.listOfN(40, eGen), 150) { xs =>
+      val once = dedup(xs)
+      assert(dedup(once).toSet === once.toSet)
+      once.foreach { e =>
+        val grp = xs.filter(_.k == e.k)
+        assert(grp.forall(g => implicitly[Ordering[(Long, Long)]].lteq((e.t, e.id), (g.t, g.id))))
+      }
+    }
+  }
+
+  test("rabin-karp fingerprint: deterministic, order-sensitive") {
+    val p = 2147483647L
+    def fp(tokens: Seq[String]): Long =
+      tokens.foldLeft(0L)((h, t) => math.floorMod(h * 31 + math.floorMod(t.hashCode.toLong, p), p))
+    forAllN(Gen.listOfN(20, Gen.alphaStr), 150) { ts =>
+      assert(fp(ts) === fp(ts))
+      if (ts.toSet.size > 1 && ts != ts.reverse) assert(fp(ts) !== fp(ts.reverse))
+    }
+  }
+
+  test("set-op algebra matches Scala Set semantics (model for intersect/except/union)") {
+    val g = Gen.zip(Gen.listOf(Gen.chooseNum(0, 20)), Gen.listOf(Gen.chooseNum(0, 20)))
+    forAllN(g, 150) { case (a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      assert((sa intersect sb) === (sa & sb))
+      assert((sa diff sb).forall(x => sa(x) && !sb(x)))
+      assert((sa union sb) === (a ++ b).toSet)
+    }
+  }
+}

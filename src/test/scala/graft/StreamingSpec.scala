@@ -1,0 +1,228 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming._
+
+/** SURVEY.md §2.8/§2.1 s_* rows: watermark semantics, streaming windows,
+  * dedup, stream-stream/stream-static joins, output modes, side outputs,
+  * sources/sinks, and checkpoint recovery — all driven via MemoryStream. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"snk_$sinkId" }
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def ev(id: Long, min: Int, user: Long = 1L, typ: String = "view",
+                 v: Double = 1.0): Event = Event(id, ts(min), user, typ, v)
+
+  test("s_watermark_late_drop: append window emits once; late rows are dropped") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.tumblingCounts(in.toDF(), delay = "10 minutes", size = "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(ev(1, 5), ev(2, 20))         // window [0:00, 1:00)
+      q.processAllAvailable()
+      // watermark still low: nothing finalized yet
+      assert(spark.table(sink).count() === 0)
+      in.addData(ev(3, 90))                   // watermark → 80min: closes [0,60)
+      q.processAllAvailable()
+      val closed = spark.table(sink).as[(Timestamp, String, Long)].collect()
+      assert(closed.map(r => (r._1.getTime / 60000, r._3)).toSet === Set((0L, 2L)))
+      in.addData(ev(4, 30))                   // LATE: behind watermark & window closed
+      in.addData(ev(5, 200))                  // advance watermark further
+      q.processAllAvailable()
+      val after = spark.table(sink).as[(Timestamp, String, Long)].collect()
+      // the [0,60) window still counts 2 — the late row was dropped
+      assert(after.filter(_._1.getTime == 0L).map(_._3).toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
+  test("s_agg_rolling: update-mode keyed aggregation emits per-trigger revisions") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDF().groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      in.addData(ev(1, 1, user = 7), ev(2, 2, user = 7))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, user = 7))
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[(Long, Long)].collect().toSeq
+      // rolling revisions: n=2 after batch 1, n=3 after batch 2
+      assert(rows.sortBy(_._2) === Seq((7L, 2L), (7L, 3L)))
+    } finally q.stop()
+  }
+
+  test("s_output_modes: complete mode re-emits the full result each trigger") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDF().groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      in.addData(ev(1, 1, typ = "a"), ev(2, 2, typ = "b"))
+      q.processAllAvailable()
+      in.addData(ev(3, 3, typ = "a"))
+      q.processAllAvailable()
+      // complete mode: sink holds the latest full table
+      val rows = spark.table(sink).as[(String, Long)].collect().toMap
+      assert(rows === Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("s_dedup_within_watermark drops duplicate (user,type) pairs") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.dedupFirst(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, user = 1, typ = "click"), ev(2, 2, user = 1, typ = "click"),
+        ev(3, 3, user = 2, typ = "click"))
+      q.processAllAvailable()
+      val users = spark.table(sink).as[Event].collect().map(e => (e.user_id, e.event_type))
+      assert(users.toSet === Set((1L, "click"), (2L, "click")))
+      assert(users.length === 2)
+    } finally q.stop()
+  }
+
+  test("s_join_stream_stream: signup→purchase within 10 minutes") {
+    val signups = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.signupPurchaseJoin2(signups.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // NB: keep event times well above epoch 0 — a row whose event time
+      // equals the initial watermark (0) is discarded as late.
+      signups.addData(
+        ev(10, 60, user = 1, typ = "signup"),
+        ev(20, 60, user = 2, typ = "signup"))    // user 2: no purchase → no match
+      purchases.addData(
+        ev(11, 65, user = 1, typ = "purchase"),  // within 10 min → match
+        ev(12, 100, user = 1, typ = "purchase")) // too late → no match
+      q.processAllAvailable()
+      // push both watermarks so state cleanup paths also execute
+      signups.addData(ev(98, 240, user = 9, typ = "signup"))
+      purchases.addData(ev(99, 240, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[(Long, Long, Long)].collect().toSet
+      assert(rows.filter(_._1 != 9L) === Set((1L, 10L, 11L)))
+    } finally q.stop()
+  }
+
+  test("s_join_broadcast_dim: stream-static enrichment joins every batch") {
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val sink = nextSink()
+    val q = StreamOps.enrichWithDim(in.toDF(), dim, "user_id", "uid")
+      .select($"event_id", $"tier")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(ev(1, 1, user = 1), ev(2, 2, user = 3))
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[(Long, Option[String])].collect().toMap
+      assert(rows === Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
+  test("s_side_output: foreachBatch fan-out routes one batch to N sinks") {
+    val in = MemoryStream[Event]
+    val clicks = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    val errors = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+    val q = StreamOps.sideOutputFanout(in.toDF())(
+      "click" -> (df => df.collect().foreach(r => clicks.add(r.getAs[Long]("event_id")))),
+      "error" -> (df => df.collect().foreach(r => errors.add(r.getAs[Long]("event_id")))))
+      .start()
+    try {
+      in.addData(ev(1, 1, typ = "click"), ev(2, 2, typ = "error"), ev(3, 3, typ = "view"))
+      q.processAllAvailable()
+      assert(clicks.size() === 1 && clicks.get(0) === 1L)
+      assert(errors.size() === 1 && errors.get(0) === 2L)
+    } finally q.stop()
+  }
+
+  test("s_source_rate: generated source produces rows") {
+    val sink = nextSink()
+    val q = StreamOps.rateSource(spark, rowsPerSecond = 50)
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table(sink).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(spark.table(sink).count() > 0)
+    } finally q.stop()
+  }
+
+  test("s_source_socket: local socket server feeds streaming wordcount") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("hello world hello")
+      out.flush()
+      Thread.sleep(4000)
+      out.close(); sock.close()
+    })
+    writer.setDaemon(true); writer.start()
+    val sink = nextSink()
+    val q = StreamOps.streamingWordcount(StreamOps.socketSource(spark, "localhost", port))
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      var done = false
+      while (!done && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        val m = spark.table(sink).as[(String, Long)].collect().toMap
+        done = m.get("hello").contains(2L) && m.get("world").contains(1L)
+        if (!done) Thread.sleep(200)
+      }
+      val m = spark.table(sink).as[(String, Long)].collect().toMap
+      assert(m.get("hello").contains(2L) && m.get("world").contains(1L))
+    } finally { q.stop(); server.close() }
+  }
+
+  test("s_checkpoint_recovery: stateful counts survive stop/restart exactly-once") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in = MemoryStream[Event]
+    val agg = in.toDF().groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val sink1 = nextSink()
+    val q1 = agg.writeStream.format("memory").queryName(sink1)
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    in.addData(ev(1, 1, user = 5), ev(2, 2, user = 5))
+    q1.processAllAvailable()
+    assert(spark.table(sink1).as[(Long, Long)].collect().toMap === Map(5L -> 2L))
+    q1.stop()
+    // restart from the same checkpoint: MemoryStream replays committed data
+    // via the checkpoint; new data continues the state (no loss, no dupes)
+    in.addData(ev(3, 3, user = 5))
+    val sink2 = nextSink()
+    val q2 = agg.writeStream.format("memory").queryName(sink2)
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(sink2).as[(Long, Long)].collect().toMap === Map(5L -> 3L))
+    } finally q2.stop()
+  }
+
+  test("s_sink_parquet: streaming file sink writes exactly the input rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ckpt").toString
+    val in = MemoryStream[Event]
+    val q = in.toDS().writeStream.format("parquet")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 1), ev(2, 2), ev(3, 3))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).count() === 3)
+    } finally q.stop()
+  }
+}
