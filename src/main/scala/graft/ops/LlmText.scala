@@ -219,10 +219,15 @@ object LlmText {
     val perms = (0 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"m$i"))
     val sig = sh.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
     // 4 bands × 4 rows: band signature = xxhash64 of its 4 minhashes.
-    val bands = (0 until 4).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
+    // Explode-banding emits all 4 band rows in ONE pass over the signature
+    // aggregate (a unionByName of per-band selects would recompute the
+    // whole shingle+signature pipeline per band — 4× the work).
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
         xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_sig"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val bands = sig.select($"doc_id", explode(bandStructs).as("bs"))
+      .select($"doc_id", $"bs.band".as("band"), $"bs.band_sig".as("band_sig"))
     val a = bands.select($"doc_id".as("doc_a"), $"band", $"band_sig")
     val b = bands.select($"doc_id".as("doc_b"), $"band", $"band_sig")
     a.join(b, Seq("band", "band_sig")).where($"doc_a" < $"doc_b")
@@ -247,10 +252,13 @@ object LlmText {
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     val sigs = bitSums.select($"doc_id", simhash.as("simhash"))
-    val banded = (0 until 4).map { k =>
-      sigs.select($"doc_id", $"simhash", lit(k).as("band"),
+    // single-pass explode banding (see minhash note above)
+    val bandStructs = array((0 until 4).map { k =>
+      struct(lit(k).as("band"),
         shiftright($"simhash", k * 16).bitwiseAND(lit(0xFFFFL)).as("band_bits"))
-    }.reduce(_ unionByName _)
+    }: _*)
+    val banded = sigs.select($"doc_id", $"simhash", explode(bandStructs).as("bs"))
+      .select($"doc_id", $"simhash", $"bs.band".as("band"), $"bs.band_bits".as("band_bits"))
     val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"band_bits")
     val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"band_bits")
     a.join(b, Seq("band", "band_bits")).where($"doc_a" < $"doc_b")

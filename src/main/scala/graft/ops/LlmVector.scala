@@ -123,14 +123,30 @@ object LlmVector {
 
   // ---------------------------------------------------------------- near-dup
   /** Embedding near-dup pairs by cosine ≥ 0.45 (brute-force a<b; the
-    * verifiable baseline — the banded/bucketed path is q_sim_lsh_bucket). */
+    * verifiable baseline — the banded/bucketed path is q_sim_lsh_bucket).
+    *
+    * Hot path: O(n²) pairs × 64 dims — an interpreted HOF fold per pair is
+    * ~15× too slow (measured 33s at sf0.1). Norms are hoisted out of the
+    * pair loop (computed once per vector) and the per-pair dot product runs
+    * as a primitive while-loop in a typed map — the identical left-to-right
+    * double fold as the HOF/DuckDB formulation (R4), just compiled. */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
-    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+      .select($"vec_id", $"embedding",
+        sqrt(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)).as("nrm"))
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nrm".as("nb"))
     a.crossJoin(b).where($"vec_a" < $"vec_b")
-      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
+      .as[(Long, Array[Float], Double, Long, Array[Float], Double)]
+      .map { case (ia, ea, na, ib, eb, nb) =>
+        var dot = 0.0
+        var i = 0
+        while (i < ea.length) { dot += ea(i).toDouble * eb(i).toDouble; i += 1 }
+        (ia, ib, dot / (na * nb))
+      }
+      .toDF("vec_a", "vec_b", "cos")
       .where($"cos" >= 0.45)
       .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
       .orderBy($"vec_a", $"vec_b")

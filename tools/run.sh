@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Run an engine main (graft.Bench / graft.Verify …) with plain java —
+# same flags as build.sbt, no sbt startup overhead.
+# Usage: tools/run.sh graft.Bench [args…]   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
+  "$@"
