@@ -276,15 +276,16 @@ object LlmText {
     * scalable formulation (vs O(n²) pairwise). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-doc shingle count rides along as a window count — avoids a
+    // separate sizes aggregate plus two post-join lookups (each of which
+    // would recompute the explode pipeline)
     val sh = shingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
-    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
-    val shared = a.join(b, Seq("shingle")).where($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("n_a"))
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("n_b"))
+    a.join(b, Seq("shingle")).where($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .agg(count(lit(1)).as("n_shared"))
       .withColumn("jaccard",
         $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
       .where($"jaccard" >= 0.5)

@@ -32,13 +32,13 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, format
   */
 object LlmVector {
 
-  /** Left-fold cosine similarity between two float-array columns, in double. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Left-fold cosine similarity between two float-array columns, in double.
+    * Backed by the engine's codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — bit-identical to the
+    * `aggregate()` HOF formulation it replaced, ~15× faster in pairwise
+    * scans because the fused loop participates in whole-stage codegen. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   // ---------------------------------------------------------------- top-k
   /** Brute-force cosine top-5 neighbors for 5 probe vectors. */
@@ -126,27 +126,18 @@ object LlmVector {
     * verifiable baseline — the banded/bucketed path is q_sim_lsh_bucket).
     *
     * Hot path: O(n²) pairs × 64 dims — an interpreted HOF fold per pair is
-    * ~15× too slow (measured 33s at sf0.1). Norms are hoisted out of the
-    * pair loop (computed once per vector) and the per-pair dot product runs
-    * as a primitive while-loop in a typed map — the identical left-to-right
-    * double fold as the HOF/DuckDB formulation (R4), just compiled. */
+    * ~15× too slow (measured 33s at sf0.1). The codegen'd
+    * [[graft.functions.CosineSimilarity]] expression keeps the whole plan
+    * relational (column pruning, whole-stage codegen) with a fused
+    * primitive loop per pair — the identical left-to-right double folds as
+    * the HOF/DuckDB formulation (R4), just compiled. */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-      .select($"vec_id", $"embedding",
-        sqrt(aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v)).as("nrm"))
-    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"nrm".as("na"))
-    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
     a.crossJoin(b).where($"vec_a" < $"vec_b")
-      .as[(Long, Array[Float], Double, Long, Array[Float], Double)]
-      .map { case (ia, ea, na, ib, eb, nb) =>
-        var dot = 0.0
-        var i = 0
-        while (i < ea.length) { dot += ea(i).toDouble * eb(i).toDouble; i += 1 }
-        (ia, ib, dot / (na * nb))
-      }
-      .toDF("vec_a", "vec_b", "cos")
+      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
       .where($"cos" >= 0.45)
       .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
       .orderBy($"vec_a", $"vec_b")

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` surface: the supported way for an extension
+  * library to wrap a custom Catalyst [[Expression]] as a user-facing
+  * [[Column]] on Spark 4 (Column is ColumnNode-backed there; the classic
+  * converter lives behind package-private access). Nothing else from the
+  * private surface is touched. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
