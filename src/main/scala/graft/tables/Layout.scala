@@ -1,0 +1,65 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout utilities for the 100 TB deployment posture.
+  *
+  * The driver's test parquet is a single unpartitioned file per table; at
+  * real scale the same engine would run over partitioned + bucketed tables
+  * so that repeated fact⋈fact joins and keyed aggregations co-locate
+  * without a shuffle. This module is that path: write once bucketed by the
+  * join key, then every subsequent join/aggregation on that key is
+  * shuffle-free on the bucketed side(s) (verified by plan inspection in
+  * LayoutSpec — no Exchange over the bucketed scans).
+  *
+  * Spark specifics encoded here:
+  *   - bucketing requires `saveAsTable` (a catalog entry carries the bucket
+  *     spec; plain `parquet(path)` write drops it);
+  *   - `sortBy` on the bucket key gives in-bucket order, letting joins run
+  *     sort-merge without a sort step;
+  *   - bucket counts must match on both sides of a co-located join (or be
+  *     multiples, with `spark.sql.bucketing.coalesceBucketsInJoin.enabled`).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table. Idempotent across
+    * JVMs: the in-memory catalog forgets tables on restart but their
+    * warehouse directories survive, so the stale location is purged before
+    * the overwrite (otherwise LOCATION_ALREADY_EXISTS). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
+  /** Bucket-aligned equi-join: both sides pre-bucketed on their join key →
+    * no Exchange in the physical plan (the join reads co-located buckets). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      org.apache.spark.sql.functions.col(leftKey) ===
+        org.apache.spark.sql.functions.col(rightKey))
+
+  /** Salted high-skew aggregation: two-phase groupBy with a random-free,
+    * deterministic salt (key-hash mod `salts`) — the standard fix when one
+    * hot key would otherwise pin a single reducer at scale. Produces the
+    * same result as a direct groupBy+sum. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+                salts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("_salt", pmod(xxhash64(col(keyCol), monotonically_increasing_id()), lit(salts.toLong)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+  }
+}

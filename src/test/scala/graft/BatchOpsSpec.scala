@@ -66,10 +66,20 @@ class BatchOpsSpec extends SparkTestBase {
     assert(rows === Set((1, "a", "10"), (2, "b", "20")))
   }
 
-  test("s_sink_foreach: ForeachWriter receives every row") {
+  test("s_sink_foreach (batch form): Dataset.foreach receives every row") {
     val seen = SparkTestBase.foreachSink
     seen.clear()
     Seq(1L, 2L, 3L).toDS().foreach { v: Long => SparkTestBase.foreachSink.add(v); () }
     assert(seen.size() === 3)
+  }
+
+  test("s_udtf_lateral: LATERAL VIEW explode (TableFunction analog) in SQL") {
+    Seq((1, "a b"), (2, "c")).toDF("id", "text").createOrReplaceTempView("g_lat")
+    val rows = spark.sql(
+      """SELECT id, w FROM g_lat
+        |LATERAL VIEW explode(split(text, ' ')) t AS w
+        |ORDER BY id, w""".stripMargin)
+      .as[(Int, String)].collect().toSeq
+    assert(rows === Seq((1, "a"), (1, "b"), (2, "c")))
   }
 }

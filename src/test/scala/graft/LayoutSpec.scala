@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tables.{Layout, Tables}
+
+/** 100 TB layout posture: bucketed tables join without a shuffle, salted
+  * aggregation matches the direct result. Plan-level assertions — this is
+  * the "would it hold at 1000×" evidence, not a row-count check. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed co-located join plans with no shuffle Exchange") {
+    val dir = sf("sf0.001")
+    Layout.writeBucketed(Tables.lineitem(spark, dir), "g_lineitem_b", "l_orderkey", 8)
+    Layout.writeBucketed(Tables.orders(spark, dir), "g_orders_b", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.bucketedJoin(spark, "g_orders_b", "g_lineitem_b",
+        "o_orderkey", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan was:\n$plan")
+      // and it still computes the right thing
+      val direct = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
+        $"o_orderkey" === $"l_orderkey").count()
+      assert(joined.count() === direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("unbucketed version of the same join DOES shuffle (control)") {
+    val dir = sf("sf0.001")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Tables.orders(spark, dir).join(Tables.lineitem(spark, dir),
+        $"o_orderkey" === $"l_orderkey").queryExecution.executedPlan.toString()
+      assert(plan.contains("Exchange"), "control: plain join should shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation equals direct aggregation (exact types)") {
+    // skewed frame: one hot key with 10k rows, long values (exact sums)
+    val hot = spark.range(0, 10000).select(lit("hot").as("k"), $"id".as("v"))
+    val cold = spark.range(0, 100).select(concat(lit("c"), $"id").as("k"), $"id".as("v"))
+    val df = hot.unionByName(cold)
+    val salted = Layout.saltedSum(df, "k", "v", salts = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = df.groupBy($"k").agg(sum($"v").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+    assert(salted("hot") === (0L until 10000L).sum)
+  }
+}

@@ -19,6 +19,7 @@ object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

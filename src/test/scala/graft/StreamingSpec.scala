@@ -212,6 +212,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("s_sink_foreach: ForeachWriter open/process/close per partition-epoch") {
+    val in = MemoryStream[Event]
+    SparkTestBase.foreachSink.clear()
+    val q = in.toDS().writeStream
+      .foreach(new org.apache.spark.sql.ForeachWriter[Event] {
+        def open(partitionId: Long, epochId: Long): Boolean = true
+        def process(e: Event): Unit = { SparkTestBase.foreachSink.add(e.event_id); () }
+        def close(errorOrNull: Throwable): Unit = ()
+      })
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 61), ev(2, 62), ev(3, 63))
+      q.processAllAvailable()
+      assert(SparkTestBase.foreachSink.size() === 3)
+    } finally q.stop()
+  }
+
+  test("s_source_kafka: reader surface constructs offline (no broker to load)") {
+    // API-only per SURVEY §2.1: the connector jar and a broker don't exist
+    // in this environment, so only the gated reader construction is covered.
+    val reader = StreamOps.kafkaSourceReader(spark, "broker:9092", "events")
+    assert(reader != null)
+  }
+
   test("s_sink_parquet: streaming file sink writes exactly the input rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ckpt").toString
