@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.tables.Tables._
+import Util._
+
+/** Advanced relational operators beyond the core inventory: as-of join,
+  * pivot, exact statistical moments, and exact median — each with a DuckDB
+  * oracle twin.
+  */
+object Advanced {
+
+  /** Backward as-of join: each purchase matched to the user's latest signup
+    * at-or-before it (DuckDB: native ASOF JOIN; Spark lacks the operator —
+    * composed per SURVEY §4.2 preference (a): range join + keep-latest
+    * window. At 100 TB the composition shuffles once on user_id and ranks
+    * within the partition; the classic union-merge mapPartitions variant
+    * is the fallback if the range-match blowup ever dominates (it is
+    * bounded by signups-per-user here). */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), epochS($"ts").as("p_t"))
+    val signups = e.where($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"event_id".as("signup_id"), epochS($"ts").as("s_t"))
+    val w = Window.partitionBy($"purchase_id").orderBy($"s_t".desc, $"signup_id".desc)
+    purchases
+      .join(signups, $"user_id" === $"s_user" && $"s_t" <= $"p_t")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"purchase_id", $"p_t", $"signup_id", $"s_t",
+        ($"p_t" - $"s_t").as("lag_s"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val joinAsofSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_t
+      |  FROM events WHERE event_type = 'purchase'),
+      |sg AS (
+      |  SELECT user_id AS s_user, event_id AS signup_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS s_t
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT user_id, purchase_id, p_t, signup_id, s_t, p_t - s_t AS lag_s
+      |FROM (
+      |  SELECT p.user_id, p.purchase_id, p.p_t, sg.signup_id, sg.s_t,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |                       ORDER BY sg.s_t DESC, sg.signup_id DESC) AS rn
+      |  FROM p JOIN sg ON p.user_id = sg.s_user AND sg.s_t <= p.p_t)
+      |WHERE rn = 1
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  /** Pivot: event counts per user-activity weekday × type matrix. Column
+    * names come from the pivoted values on both sides. */
+  def pivotTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("wd", pmod(epochDay($"ts"), lit(7)).cast(LongType))
+      .groupBy($"wd")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"wd")
+  }
+
+  val pivotTypesSql: String =
+    """SELECT CAST(FLOOR(epoch(ts)/86400) AS BIGINT) % 7 AS wd,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY wd""".stripMargin
+
+  /** Statistical moments computed from EXACT decimal sums (Σx, Σx² stay in
+    * decimal — 2dp inputs square to exact 4dp), so mean/variance/stddev are
+    * derived by the same double formula in both engines instead of relying
+    * on engine-internal (Welford vs two-pass) accumulation order. */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = dec2($"value")
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"))
+      .select(
+        $"event_type", $"n",
+        ($"s1" / $"n").as("mean"),
+        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("variance"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - lit(1))).as("stddev"))
+      .orderBy($"event_type")
+  }
+
+  val statsMomentsSql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  s1 / n AS mean,
+      |  (s2 - s1 * s1 / n) / (n - 1) AS variance,
+      |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** Exact median (lower discrete): the middle element by explicit window
+    * position — engine-agnostic by construction, unlike percentile
+    * built-ins whose edge conventions differ. */
+  def medianValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .where($"rn" === (($"n" + lit(1)) / lit(2)).cast(LongType))
+      .select($"event_type", $"n", $"value".as("median_lower"))
+      .orderBy($"event_type")
+  }
+
+  val medianValueSql: String =
+    """SELECT event_type, n, value AS median_lower
+      |FROM (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof"     -> (joinAsof _),
+    "q_pivot"         -> (pivotTypes _),
+    "q_stats_moments" -> (statsMoments _),
+    "q_median"        -> (medianValue _))
+
+  def oracle: Map[String, String] = Map(
+    "q_join_asof"     -> joinAsofSql,
+    "q_pivot"         -> pivotTypesSql,
+    "q_stats_moments" -> statsMomentsSql,
+    "q_median"        -> medianValueSql)
+}
