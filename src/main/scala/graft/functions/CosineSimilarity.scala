@@ -88,7 +88,8 @@ object GraftFunctions {
 
 /** SparkSessionExtensions hook (the plug-in path a deployment would use:
   * `spark.sql.extensions=graft.functions.GraftExtensions`). Injects the
-  * native function into every session built with the extension. */
+  * native function and the as-of-join planner strategy into every session
+  * built with the extension. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -97,5 +98,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
