@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink breadth beyond parquet (Flink readTextFile / CSV / JSON
+  * connector analogs) + the metrics surface (observe + streaming listener,
+  * SURVEY §2.10's Spark mapping for Flink's metrics system). */
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("s_source_text: line-oriented text source drives wordcount") {
+    val dir = Files.createTempDirectory("graft_text")
+    Files.writeString(dir.resolve("a.txt"), "hello world\nhello graft\n")
+    val counts = spark.read.text(dir.toString)
+      .select(explode(split($"value", " ")).as("w"))
+      .groupBy($"w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("hello" -> 2L, "world" -> 1L, "graft" -> 1L))
+  }
+
+  test("csv sink/source round-trip with header and schema inference") {
+    val dir = Files.createTempDirectory("graft_csv").toString + "/out"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    df.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.orderBy($"id").collect().map(_.toSeq).toSeq ===
+      df.orderBy($"id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("json sink/source round-trip preserves nested structure") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/out"
+    val df = Seq((1L, Seq(1, 2), Map("k" -> 9L))).toDF("id", "arr", "m")
+    df.write.json(dir)
+    val back = spark.read.json(dir).orderBy($"id")
+    assert(back.select($"id", $"arr", $"m.k").collect().head.toSeq === Seq(1L, Seq(1, 2), 9L))
+  }
+
+  test("observe(): named metrics come back on the listener-free path") {
+    val observed = graft.tables.Tables.lineitem(spark, sf("sf0.001"))
+      .observe("li_metrics", count(lit(1)).as("rows"), sum($"l_quantity").as("qty"))
+    observed.collect()
+    val m = observed.queryExecution.observedMetrics("li_metrics")
+    assert(m.getAs[Long]("rows") === 6000L)
+    assert(m.getAs[Double]("qty") > 0)
+  }
+
+  test("StreamingQueryListener receives progress events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = { seen.incrementAndGet(); () }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[Int]
+      val q = in.toDS().writeStream.format("memory").queryName("obs_snk")
+        .outputMode("append").start()
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.get() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.get() > 0, "listener should observe at least one progress event")
+    } finally spark.streams.removeListener(listener)
+  }
+}
