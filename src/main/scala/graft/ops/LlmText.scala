@@ -317,7 +317,62 @@ object LlmText {
       |WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- pipeline
+  /** End-to-end curation pipeline — the stages a training-data run chains,
+    * composed as ONE declarative plan so Catalyst fuses the filters into
+    * the scan: quality gate (token count + stopword ratio) → exact dedup
+    * keep-first → multimodal join to embeddings → per-(lang, label) corpus
+    * stats. Every stage is SQL-expressible, so the whole pipeline is
+    * oracle-checked, not just its pieces. */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = toks($"text")
+    val n = size(t).cast(LongType)
+    val stop = size(filter(t, x => x === "the" || x === "a")).cast(LongType)
+    val scored = documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"text",
+        n.as("n_tokens"), (stop.cast("double") / n).as("stop_ratio"))
+      .where($"n_tokens" >= 20 && $"stop_ratio" <= 0.12)
+    val w = Window.partitionBy($"h").orderBy($"doc_id")
+    val deduped = scored
+      .withColumn("h", md5($"text".cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+    deduped
+      .join(embeddings(s, dir), $"doc_id" === $"vec_id")
+      .groupBy($"lang", $"label")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"),
+        (sum($"stop_ratio".cast("decimal(10,8)")).cast("double") / count(lit(1)))
+          .as("avg_stop_ratio"))
+      .orderBy($"lang", $"label")
+  }
+
+  val pipelineCurateSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, source, text,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(trim(text), ' '),
+      |      x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |      / len(string_split(trim(text), ' ')) AS stop_ratio
+      |  FROM documents),
+      |gated AS (
+      |  SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio <= 0.12),
+      |deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM gated)
+      |  WHERE rn = 1)
+      |SELECT lang, label, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CAST(stop_ratio AS DECIMAL(10,8))) AS DOUBLE) / COUNT(*) AS avg_stop_ratio
+      |FROM deduped JOIN embeddings ON doc_id = vec_id
+      |GROUP BY lang, label
+      |ORDER BY lang, label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate"     -> (pipelineCurate _),
     "q_text_wordcount"      -> (textWordcount _),
     "q_text_stats"          -> (textStats _),
     "q_text_search"         -> (textSearch _),
@@ -331,6 +386,7 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   def oracle: Map[String, String] = Map(
+    "q_pipeline_curate"     -> pipelineCurateSql,
     "q_text_wordcount"      -> Relational.flatmapExplodeSql,
     "q_text_stats"          -> textStatsSql,
     "q_text_search"         -> textSearchSql,
