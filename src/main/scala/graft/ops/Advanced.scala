@@ -136,15 +136,85 @@ object Advanced {
       |WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** Correlated scalar subquery: orders priced above their customer's own
+    * average (Catalyst decorrelates into an aggregate + join —
+    * RewriteCorrelatedScalarSubquery; no per-row re-execution). */
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir)
+    o.createOrReplaceTempView("g_adv_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM g_adv_orders a
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM g_adv_orders b WHERE b.o_custkey = a.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val subqueryScalarSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders a
+      |WHERE o_totalprice > 2 * (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders b WHERE b.o_custkey = a.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** first_value / last_value over an explicit full-partition frame. */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, dir)
+      .select($"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(w).as("first_order"),
+        last($"o_orderkey").over(w).as("last_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val winFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER w AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Array aggregation: per-nation sorted list of supplier keys (sorted so
+    * the array value is shuffle-order independent — determinism by
+    * construction, not by engine accident). */
+  def arrayAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    supplier(s, dir)
+      .groupBy($"s_nationkey")
+      .agg(array_sort(collect_list($"s_suppkey")).as("supp_keys"),
+        count(lit(1)).as("n"))
+      .orderBy($"s_nationkey")
+  }
+
+  val arrayAggSql: String =
+    """SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys, COUNT(*) AS n
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_join_asof"     -> (joinAsof _),
-    "q_pivot"         -> (pivotTypes _),
-    "q_stats_moments" -> (statsMoments _),
-    "q_median"        -> (medianValue _))
+    "q_join_asof"       -> (joinAsof _),
+    "q_pivot"           -> (pivotTypes _),
+    "q_stats_moments"   -> (statsMoments _),
+    "q_median"          -> (medianValue _),
+    "q_subquery_scalar" -> (subqueryScalar _),
+    "q_win_first_last"  -> (winFirstLast _),
+    "q_array_agg"       -> (arrayAgg _))
 
   def oracle: Map[String, String] = Map(
-    "q_join_asof"     -> joinAsofSql,
-    "q_pivot"         -> pivotTypesSql,
-    "q_stats_moments" -> statsMomentsSql,
-    "q_median"        -> medianValueSql)
+    "q_join_asof"       -> joinAsofSql,
+    "q_pivot"           -> pivotTypesSql,
+    "q_stats_moments"   -> statsMomentsSql,
+    "q_median"          -> medianValueSql,
+    "q_subquery_scalar" -> subqueryScalarSql,
+    "q_win_first_last"  -> winFirstLastSql,
+    "q_array_agg"       -> arrayAggSql)
 }

@@ -189,6 +189,37 @@ class StreamingSpec extends SparkTestBase {
     } finally { q.stop(); server.close() }
   }
 
+  test("dataflow equivalence: streaming tumble over replayed events == batch q_tumble_window") {
+    // The premise behind every §2.8 oracle: a windowed aggregation over a
+    // replayed finite stream equals the batch group-by over the same
+    // buckets. Replay real sf0.001 events through MemoryStream in complete
+    // mode and compare against the batch contract query.
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.tumbleWindow(spark, dir)
+      .select($"win_start", $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val rows = graft.tables.Tables.events(spark, dir)
+      .select($"ts", $"event_type").collect()
+    val in = MemoryStream[(Timestamp, String)]
+    val sink = nextSink()
+    val q = in.toDF().toDF("ts", "event_type")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("win_start"), $"event_type", $"n")
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      // replay in two micro-batches to exercise incremental state merging
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      in.addData(h1.map(r => (r.getTimestamp(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      in.addData(h2.map(r => (r.getTimestamp(0), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("s_checkpoint_recovery: stateful counts survive stop/restart exactly-once") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val in = MemoryStream[Event]
