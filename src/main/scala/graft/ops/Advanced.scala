@@ -184,18 +184,25 @@ object Advanced {
 
   /** Array aggregation: per-nation sorted list of supplier keys (sorted so
     * the array value is shuffle-order independent — determinism by
-    * construction, not by engine accident). */
+    * construction, not by engine accident). The list is serialized to a
+    * '/'-joined string because the driver's comparator can't hash raw array
+    * cells (pandas lexsort chokes on ndarray) — integer formatting is
+    * identical across engines, so the string is hash-stable. */
   def arrayAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     supplier(s, dir)
       .groupBy($"s_nationkey")
-      .agg(array_sort(collect_list($"s_suppkey")).as("supp_keys"),
+      .agg(
+        array_join(array_sort(collect_list($"s_suppkey")).cast("array<string>"), "/")
+          .as("supp_keys"),
         count(lit(1)).as("n"))
       .orderBy($"s_nationkey")
   }
 
   val arrayAggSql: String =
-    """SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys, COUNT(*) AS n
+    """SELECT s_nationkey,
+      |  array_to_string(list_sort(list(s_suppkey)), '/') AS supp_keys,
+      |  COUNT(*) AS n
       |FROM supplier
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin

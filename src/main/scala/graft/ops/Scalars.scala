@@ -127,9 +127,12 @@ object Scalars {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
-  /** Array basics over the embedding column: length + element access.
+  /** Array basics over the embedding column: length, element access, slice.
     * float→double widening is exact, so no rounding is needed (R4 applies
-    * only to folds). */
+    * only to folds). The slice is reduced to a scalar sum rather than
+    * emitted as an array cell — the driver's comparator can't hash array
+    * cells — and a 2-element IEEE double add is commutative, so the value
+    * is bit-identical regardless of either engine's fold order. */
   def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     embeddings(s, dir)
@@ -138,7 +141,8 @@ object Scalars {
         size($"embedding").cast(LongType).as("dim"),
         element_at($"embedding", 1).cast("double").as("first"),
         element_at($"embedding", 64).cast("double").as("last"),
-        slice($"embedding", 1, 2).cast("array<double>").as("head2"))
+        aggregate(slice($"embedding", 1, 2).cast("array<double>"),
+          lit(0.0), (acc, x) => acc + x).as("head2_sum"))
       .orderBy($"vec_id")
   }
 
@@ -147,7 +151,7 @@ object Scalars {
       |  CAST(len(embedding) AS BIGINT) AS dim,
       |  CAST(embedding[1] AS DOUBLE) AS first,
       |  CAST(embedding[64] AS DOUBLE) AS last,
-      |  CAST(embedding[1:2] AS DOUBLE[]) AS head2
+      |  list_aggregate(CAST(embedding[1:2] AS DOUBLE[]), 'sum') AS head2_sum
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 

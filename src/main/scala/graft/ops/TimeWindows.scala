@@ -104,11 +104,16 @@ object TimeWindows {
       |ORDER BY user_id, sess_start""".stripMargin
 
   /** Keyed dedup, keep-first by event time: the ValueState "seen" pattern.
-    * Batch form: row_number over (user, type) ordered by (ts, event_id). */
+    * Batch form: row_number over (user, type) ordered by (sec, event_id).
+    * Ranking floors ts to whole seconds BEFORE ordering (like sessionWindow
+    * above): Spark sees µs-truncated timestamps while DuckDB reads the raw
+    * ns values, so sub-second order can differ between engines — the
+    * second+event_id key is the finest cross-engine-deterministic order
+    * (rule R3). */
   def dedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id", $"event_type")
-      .orderBy($"ts", $"event_id")
+      .orderBy(epochS($"ts"), $"event_id")
     events(s, dir)
       .withColumn("rn", row_number().over(w))
       .where($"rn" === 1)
@@ -120,7 +125,8 @@ object TimeWindows {
     """SELECT user_id, event_type, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
       |FROM (
       |  SELECT user_id, event_type, event_id, ts,
-      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
       |  FROM events)
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin

@@ -70,22 +70,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var bestKey = 0L
       var best: InternalRow = null
       leftIt.flatMap { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        if (best != null && bestKey != k) best = null
-        // advance the right side monotonically: skip keys < k, fold in
-        // right rows with key == k and time <= t (last one wins — sorted)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          if (hk < k) { rBuf.next(); () }
-          else if (hk == k && rTime.eval(head).asInstanceOf[Long] <= t) {
-            best = rBuf.next().copy(); bestKey = k
-          } else advancing = false
+        // inner-join null semantics: a null key or time never matches —
+        // skip the row rather than unboxing null to 0L (which would
+        // silently join null-keyed rows as key/time 0)
+        val kAny = lKey.eval(lRow)
+        val tAny = lTime.eval(lRow)
+        if (kAny == null || tAny == null) Iterator.empty
+        else {
+          val k = kAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          if (best != null && bestKey != k) best = null
+          // advance the right side monotonically: skip keys < k, fold in
+          // right rows with key == k and time <= t (last one wins — sorted)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val hkAny = rKey.eval(head)
+            if (hkAny == null) { rBuf.next(); () } // nulls sort first: drop
+            else {
+              val hk = hkAny.asInstanceOf[Long]
+              if (hk < k) { rBuf.next(); () }
+              else if (hk == k) {
+                val htAny = rTime.eval(head)
+                if (htAny == null) { rBuf.next(); () }
+                else if (htAny.asInstanceOf[Long] <= t) {
+                  best = rBuf.next().copy(); bestKey = k
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+          if (best != null && bestKey == k) Iterator.single(proj(joined(lRow, best)))
+          else Iterator.empty
         }
-        if (best != null && bestKey == k) Iterator.single(proj(joined(lRow, best)))
-        else Iterator.empty
       }
     }
   }

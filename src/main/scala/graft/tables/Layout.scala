@@ -50,13 +50,20 @@ object Layout {
         org.apache.spark.sql.functions.col(rightKey))
 
   /** Salted high-skew aggregation: two-phase groupBy with a random-free,
-    * deterministic salt (key-hash mod `salts`) — the standard fix when one
-    * hot key would otherwise pin a single reducer at scale. Produces the
+    * deterministic salt — the standard fix when one hot key would otherwise
+    * pin a single reducer at scale. The salt hashes the ROW CONTENT
+    * (xxhash64 over every input column mod `salts`), never
+    * monotonically_increasing_id or rand: those depend on partition layout,
+    * so salt assignment — and hence double-sum addition order — would vary
+    * run-to-run. Content-hash salting is stable across any physical layout
+    * while still spreading a hot key over `salts` reducers (duplicate rows
+    * of a hot key land on one salt, but fully duplicate rows are rare and
+    * skew within a key's distinct rows is what salting fixes). Produces the
     * same result as a direct groupBy+sum. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
                 salts: Int): DataFrame = {
     import org.apache.spark.sql.functions._
-    df.withColumn("_salt", pmod(xxhash64(col(keyCol), monotonically_increasing_id()), lit(salts.toLong)))
+    df.withColumn("_salt", pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))
