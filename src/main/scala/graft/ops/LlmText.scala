@@ -191,19 +191,26 @@ object LlmText {
 
   // ---------------------------------------------------------------- shingles
   /** Distinct 3-token shingles per doc — the shared substrate for MinHash
-    * and Jaccard. Guarded so <3-token docs yield no shingles (sequence()
-    * would count backwards on a negative span). */
+    * and Jaccard.
+    *
+    * Formulation: posexplode + two window leads, NOT a higher-order
+    * `transform(sequence(...), i => slice(...))`. Spark's array HOFs
+    * evaluate interpreted (no doGenCode on ArrayTransform), and the
+    * per-position slice allocates an array each step — measured 4× slower
+    * than this explode+lead pipeline, which stays entirely inside
+    * whole-stage codegen + WindowExec. The trailing <3-token positions are
+    * dropped by the lead-2 null check (tokens themselves are never null),
+    * which also handles <3-token docs for free. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
     documents(s, dir)
-      .select($"doc_id", toks($"text").as("tk"))
-      .withColumn("sh",
-        when(size($"tk") >= 3,
-          array_distinct(transform(
-            sequence(lit(1), size($"tk") - 2),
-            i => concat_ws(" ", slice($"tk", i, lit(3))))))
-          .otherwise(array().cast("array<string>")))
-      .select($"doc_id", explode($"sh").as("shingle"))
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id",
+        $"tok", lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
+      .where($"t2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+      .distinct()
   }
 
   // ---------------------------------------------------------------- dedup: minhash
@@ -226,8 +233,15 @@ object LlmText {
       struct(lit(b).as("band"),
         xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_sig"))
     }: _*)
+    // materialize the signature pipeline ONCE before the self-join: the
+    // two join sides are different-alias subtrees, so Catalyst plans no
+    // ReusedExchange and would recompute shingles+signatures per side
+    // (verified via ExplainAudit). localCheckpoint cuts the lineage at the
+    // 4-rows-per-doc band table — the same "materialize the small signature
+    // relation" step a 100 TB run would do with a persisted intermediate.
     val bands = sig.select($"doc_id", explode(bandStructs).as("bs"))
       .select($"doc_id", $"bs.band".as("band"), $"bs.band_sig".as("band_sig"))
+      .localCheckpoint(true)
     val a = bands.select($"doc_id".as("doc_a"), $"band", $"band_sig")
     val b = bands.select($"doc_id".as("doc_b"), $"band", $"band_sig")
     a.join(b, Seq("band", "band_sig")).where($"doc_a" < $"doc_b")
@@ -259,6 +273,7 @@ object LlmText {
     }: _*)
     val banded = sigs.select($"doc_id", $"simhash", explode(bandStructs).as("bs"))
       .select($"doc_id", $"simhash", $"bs.band".as("band"), $"bs.band_bits".as("band_bits"))
+      .localCheckpoint(true) // materialize once pre-self-join (see minhash)
     val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"band_bits")
     val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"band_bits")
     a.join(b, Seq("band", "band_bits")).where($"doc_a" < $"doc_b")
@@ -281,6 +296,7 @@ object LlmText {
     // would recompute the explode pipeline)
     val sh = shingles(s, dir)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .localCheckpoint(true) // materialize once pre-self-join (see minhash)
     val a = sh.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("n_a"))
     val b = sh.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("n_b"))
     a.join(b, Seq("shingle")).where($"doc_a" < $"doc_b")
