@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.tables.Tables._
+import Util._
+
+/** Training-data-curation operator extensions (round 2): PII masking,
+  * deterministic sampling, skew-salted aggregation, distribution window
+  * functions, exact closed-form correlation, n-gram frequency analysis,
+  * and a bounded top-k aggregate. Each row is declared in SURVEY.md §2.9's
+  * extension table with the same key/oracle mechanics as round 1.
+  *
+  * Scale posture: everything here is a single declarative plan (scan →
+  * narrow transforms → hash agg / window), no driver collects; the salted
+  * aggregate and the top-k Aggregator exist precisely because their naive
+  * forms (hot-key groupBy, window-rank full sort) are the two classic
+  * 100 TB bottlenecks.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- pii mask
+  /** PII-style redaction: digit runs (≥3) in customer names → '<ID>'.
+    * Regex replacement is global in both engines (Spark by default, DuckDB
+    * via the 'g' flag — the oracle must say so explicitly). */
+  def piiMask(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .select(
+        $"c_custkey",
+        regexp_replace($"c_name", "[0-9]{3,}", "<ID>").as("name_masked"),
+        length($"c_name").cast(LongType).as("len_orig"),
+        length(regexp_replace($"c_name", "[0-9]{3,}", "<ID>")).cast(LongType)
+          .as("len_masked"))
+      .orderBy($"c_custkey")
+  }
+
+  val piiMaskSql: String =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g') AS name_masked,
+      |  CAST(LENGTH(c_name) AS BIGINT) AS len_orig,
+      |  CAST(LENGTH(regexp_replace(c_name, '[0-9]{3,}', '<ID>', 'g')) AS BIGINT) AS len_masked
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- sampling
+  /** Deterministic 1/16 corpus sample: keep docs whose content-md5 starts
+    * with hex '0'. Content-hash sampling (vs rand()) is reproducible across
+    * runs, engines, and partitionings — the only sampling a training-data
+    * pipeline should use for held-out splits. md5 is bit-identical in both
+    * engines, so this is fully oracle-checkable. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .where(substring(md5($"text".cast("binary")), 1, 1) === "0")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val sampleHashSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE substring(md5(text), 1, 1) = '0'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- salted agg
+  /** Skew-safe aggregation as a contract query: two-phase salted sum over
+    * lineitem (the hot-key pattern from tables.Layout) must equal the
+    * direct GROUP BY — exactly, because the value is summed as DECIMAL
+    * (addition-order-free), so the salt layout cannot perturb the result. */
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lineitem(s, dir).select(
+      $"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+      dec2($"l_extendedprice").as("v"))
+    graft.tables.Layout.saltedSum(base, "l_returnflag", "v", salts = 8)
+      .select($"l_returnflag", $"sum_v".cast("double").as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggSaltedSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- cume dist
+  /** Distribution window functions: percent_rank + cume_dist of each order
+    * within its customer, ordered by (totalprice, orderkey). Both are
+    * small-integer ratios ((rank−1)/(n−1), rank/n) — IEEE division of
+    * identical integers is bit-identical across engines. */
+  def winCumeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderkey")
+  }
+
+  val winCumeDistSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- corr
+  /** Exact Pearson correlation of (quantity, discount) per returnflag via
+    * the closed form over exact DECIMAL power sums — NOT the built-in
+    * corr() (whose streaming covariance accumulates doubles in shuffle
+    * order, unstable across engines/partitionings). All five sums are
+    * exact decimals small enough to cast to double losslessly (< 2⁵³ as
+    * scaled ints), so the final double formula sees bit-identical operands
+    * on both sides. */
+  def statsCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = dec2($"l_quantity")
+    val y = rate2($"l_discount")
+    val agg = lineitem(s, dir).groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * y).cast("double").as("sxy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"))
+    agg.select($"l_returnflag", $"n",
+      round(
+        ($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")),
+        6).as("corr_qd"))
+      .orderBy($"l_returnflag")
+  }
+
+  val statsCorrSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  ROUND((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qd
+      |FROM a
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- ngram freq
+  /** Top-5 token bigrams per language — corpus n-gram frequency analysis.
+    * Bigrams via the codegen'd posexplode + lead pipeline (same rationale
+    * as LlmText.shingles); rank ties broken by bigram text for an R1 total
+    * order. */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wLead = Window.partitionBy($"doc_id").orderBy($"pos")
+    val bigrams = documents(s, dir)
+      .select($"doc_id", $"lang", posexplode(split(trim($"text"), " ")).as(Seq("pos", "tok")))
+      .select($"lang", $"tok", lead($"tok", 1).over(wLead).as("t1"))
+      .where($"t1".isNotNull)
+      .select($"lang", concat_ws(" ", $"tok", $"t1").as("bigram"))
+    val counts = bigrams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    counts.withColumn("rk", row_number().over(wRank))
+      .where($"rk" <= 5)
+      .select($"lang", $"rk".cast(LongType).as("rk"), $"bigram", $"n")
+      .orderBy($"lang", $"rk")
+  }
+
+  val ngramFreqSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT lang,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1])) AS bigram
+      |  FROM tk),
+      |c AS (
+      |  SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+      |r AS (
+      |  SELECT lang, bigram, n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+      |  FROM c)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, bigram, n
+      |FROM r WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------- topk agg
+  /** Exact per-customer top-3 orders via the bounded TopKKeys Aggregator
+    * (O(k) state per group; see graft.functions.TopKAgg for why this beats
+    * window-rank at scale). Oracle = DuckDB's ordered list aggregate,
+    * sliced to 3. */
+  def topkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top3 = udaf(new graft.functions.TopKKeys(3))
+    orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(top3($"o_totalprice", $"o_orderkey").as("top_orders"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
+  val topkAggSql: String =
+    """SELECT o_custkey,
+      |  array_to_string(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:3], '/') AS top_orders,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pii_mask"  -> (piiMask _),
+    "q_sample_hash"    -> (sampleHash _),
+    "q_agg_salted"     -> (aggSalted _),
+    "q_win_cume_dist"  -> (winCumeDist _),
+    "q_stats_corr"     -> (statsCorr _),
+    "q_ngram_freq"     -> (ngramFreq _),
+    "q_topk_agg"       -> (topkAgg _))
+
+  def oracle: Map[String, String] = Map(
+    "q_text_pii_mask"  -> piiMaskSql,
+    "q_sample_hash"    -> sampleHashSql,
+    "q_agg_salted"     -> aggSaltedSql,
+    "q_win_cume_dist"  -> winCumeDistSql,
+    "q_stats_corr"     -> statsCorrSql,
+    "q_ngram_freq"     -> ngramFreqSql,
+    "q_topk_agg"       -> topkAggSql)
+}

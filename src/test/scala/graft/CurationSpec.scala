@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopKKeys
+import graft.ops.Curation
+
+/** Round-2 curation extensions: PII masking, hash sampling, salted agg
+  * equivalence, distribution windows, closed-form correlation, n-gram
+  * frequency, bounded top-k aggregate. Semantics pinned on tiny literal
+  * data plus sf0.001 cross-checks. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("TopKKeys: exact top-k, score desc, id tiebreak, partition-invariant") {
+    val top2 = udaf(new TopKKeys(2))
+    val df = Seq(
+      ("g1", 5.0, 10L), ("g1", 9.0, 11L), ("g1", 9.0, 3L), ("g1", 1.0, 99L),
+      ("g2", 2.0, 7L)).toDF("g", "v", "id")
+    val out = df.groupBy($"g").agg(top2($"v", $"id").as("top")).orderBy($"g")
+      .as[(String, String)].collect().toSeq
+    // g1: two 9.0s tie → smaller id (3) first, then 11
+    assert(out === Seq(("g1", "3/11"), ("g2", "7")))
+    // partition-layout invariance (merge path exercised)
+    val out8 = df.repartition(8).groupBy($"g").agg(top2($"v", $"id").as("top"))
+      .orderBy($"g").as[(String, String)].collect().toSeq
+    assert(out8 === out)
+  }
+
+  test("q_agg_salted equals direct groupBy sum (decimal-exact)") {
+    val dir = sf("sf0.001")
+    val salted = Curation.aggSalted(spark, dir)
+      .as[(String, Double)].collect().toMap
+    val direct = graft.tables.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_extendedprice".cast("decimal(12,2)")).cast("double").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(salted === direct)
+  }
+
+  test("q_sample_hash: deterministic, repeatable, subset of corpus") {
+    val dir = sf("sf0.001")
+    val a = Curation.sampleHash(spark, dir).select($"doc_id").as[Long].collect().toSeq
+    val b = Curation.sampleHash(spark, dir).select($"doc_id").as[Long].collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.length < 500, "1/16-ish of 500 docs")
+  }
+
+  test("q_text_pii_mask: digit runs masked, lengths consistent") {
+    val dir = sf("sf0.001")
+    val rows = Curation.piiMask(spark, dir).collect()
+    assert(rows.forall(r => !r.getAs[String]("name_masked").matches(".*[0-9]{3,}.*")))
+    assert(rows.forall(r => r.getAs[Long]("len_masked") <= r.getAs[Long]("len_orig")))
+  }
+
+  test("q_win_cume_dist: pr in [0,1], cd in (0,1], max order has pr=cd=1") {
+    val dir = sf("sf0.001")
+    val rows = Curation.winCumeDist(spark, dir).collect()
+    assert(rows.forall { r =>
+      val pr = r.getAs[Double]("pr"); val cd = r.getAs[Double]("cd")
+      pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0
+    })
+  }
+
+  test("q_stats_corr matches direct double corr to 1e-6") {
+    val dir = sf("sf0.001")
+    val ours = Curation.statsCorr(spark, dir)
+      .select($"l_returnflag", $"corr_qd").as[(String, Double)].collect().toMap
+    val ref = graft.tables.Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag").agg(corr($"l_quantity", $"l_discount").as("c"))
+      .as[(String, Double)].collect().toMap
+    ours.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6, s"flag $k") }
+  }
+
+  test("q_ngram_freq: 5 ranked bigrams per lang, counts non-increasing") {
+    val dir = sf("sf0.001")
+    val rows = Curation.ngramFreq(spark, dir)
+      .as[(String, Long, String, Long)].collect().toSeq
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet === Set("de", "en", "es", "fr", "zh"))
+    byLang.values.foreach { rs =>
+      assert(rs.map(_._2) === (1L to rs.length))
+      val counts = rs.sortBy(_._2).map(_._4)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_topk_agg matches window-rank formulation") {
+    val dir = sf("sf0.001")
+    val ours = Curation.topkAgg(spark, dir)
+      .select($"o_custkey", $"top_orders").as[(Long, String)].collect().toMap
+    // reference computed in plain Scala (collect_list order after a window
+    // is not a guaranteed contract — don't build the expected on it)
+    val ref = graft.tables.Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_totalprice", $"o_orderkey")
+      .as[(Long, Double, Long)].collect().toSeq
+      .groupBy(_._1)
+      .map { case (c, rs) =>
+        c -> rs.sortBy { case (_, p, k) => (-p, k) }.take(3).map(_._3).mkString("/")
+      }
+    assert(ours === ref)
+  }
+}
