@@ -123,10 +123,10 @@ object LlmText {
       |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- lang-id
-  /** Language-ID heuristic (rows-only; no cross-engine oracle). Votes by
-    * stopword hit-lists per language; falls back to 'und' when no evidence —
-    * which is the honest answer on this synthetic corpus, whose vocabulary
-    * is language-free. Deterministic, so the Verify dump is stable. */
+  /** Language-ID heuristic: votes by stopword hit-lists per language;
+    * falls back to 'und' when no evidence. Pure integer counting + CASE,
+    * so it is fully SQL-expressible and DuckDB-oracle-checked (upgraded
+    * from rows-only in round 2). */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = toks($"text")
@@ -147,6 +147,22 @@ object LlmText {
           .otherwise(lit("fr")))
       .orderBy($"doc_id")
   }
+
+  val textLangidSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang AS lang_actual,
+      |    CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+      |    CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+      |    CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS es_hits,
+      |    CAST(len(list_filter(string_split(trim(text),' '), x -> x IN ('le','la','et','les','est'))) AS BIGINT) AS fr_hits
+      |  FROM documents)
+      |SELECT doc_id, lang_actual, en_hits, de_hits, es_hits, fr_hits,
+      |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+      |       WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) THEN 'en'
+      |       WHEN de_hits >= greatest(es_hits, fr_hits) THEN 'de'
+      |       WHEN es_hits >= fr_hits THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- fingerprint
   /** Document fingerprint: Rabin-Karp polynomial rolling hash over the
@@ -408,6 +424,7 @@ object LlmText {
     "q_text_search"         -> textSearchSql,
     "q_text_tokens"         -> textTokensSql,
     "q_text_quality"        -> textQualitySql,
+    "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }
