@@ -131,15 +131,47 @@ object TimeWindows {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Hot-items top-N: the canonical Flink-training example — per tumbling
+    * 1-hour window, the 3 most frequent event types, ranked (count desc,
+    * type asc). Batch-equivalent of streaming.HotItemsProcessor (same
+    * window, same ranking — asserted equivalent in StreamingSpec). */
+  def hotItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("win_start"), $"event_type", $"n")
+    val w = Window.partitionBy($"win_start").orderBy($"n".desc, $"event_type")
+    counts.withColumn("rank", row_number().over(w).cast(LongType))
+      .where($"rank" <= 3)
+      .select($"win_start", $"rank", $"event_type", $"n")
+      .orderBy($"win_start", $"rank")
+  }
+
+  val hotItemsSql: String =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(epoch(ts)/3600) AS BIGINT) * 3600 AS win_start,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT win_start, event_type, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT win_start, rank, event_type, n
+      |FROM r WHERE rank <= 3
+      |ORDER BY win_start, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumble_window"     -> (tumbleWindow _),
     "q_hop_window"        -> (hopWindow _),
     "q_session_window"    -> (sessionWindow _),
-    "q_dedup_keep_first"  -> (dedupKeepFirst _))
+    "q_dedup_keep_first"  -> (dedupKeepFirst _),
+    "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
     "q_tumble_window"    -> tumbleWindowSql,
     "q_hop_window"       -> hopWindowSql,
     "q_session_window"   -> sessionWindowSql,
-    "q_dedup_keep_first" -> dedupKeepFirstSql)
+    "q_dedup_keep_first" -> dedupKeepFirstSql,
+    "q_hot_items"        -> hotItemsSql)
 }

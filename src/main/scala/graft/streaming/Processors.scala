@@ -119,6 +119,52 @@ class LoginFailProcessor(horizonMs: Long, threshold: Int)
   }
 }
 
+/** Hot-items top-N (THE canonical Flink-training example: windowed count →
+  * per-window TopN via ProcessWindowFunction + state + timer). Keyed by the
+  * tumbling-window start; a MapState holds item→count for the open window;
+  * the event-time timer at window end fires once the watermark passes it,
+  * emitting the N hottest items ranked by (count desc, item asc) and
+  * clearing the window's state — O(distinct items) state per open window,
+  * nothing unbounded. */
+case class HotItem(window_start_ms: Long, rank: Long, item: String, n: Long)
+
+class HotItemsProcessor(topN: Int, windowSizeMs: Long)
+    extends StatefulProcessor[Long, Event, HotItem] {
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var armed: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Boolean]("armed",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[HotItem] = {
+    rows.foreach { e =>
+      val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, prev + 1L)
+    }
+    if (!armed.exists()) { // one timer per window key, at window end
+      getHandle.registerTimer(key + windowSizeMs)
+      armed.update(true)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[HotItem] = {
+    val ranked = counts.iterator().toSeq
+      .sortBy { case (item, n) => (-n, item) }
+      .take(topN).zipWithIndex
+      .map { case ((item, n), i) => HotItem(key, i + 1L, item, n) }
+    counts.clear()
+    armed.clear()
+    ranked.iterator
+  }
+}
+
 /** Order-timeout CEP (created but not paid within the horizon): store the
   * pending order, arm an event-time timer; payment cancels it; the timer
   * firing means the watermark passed created+horizon with no payment. */

@@ -116,4 +116,74 @@ class ProcessorsSpec extends SparkTestBase {
       assert(timeouts.head.created_ms === ts(60).getTime)
     } finally q.stop()
   }
+
+  test("s_hot_items: per-window top-N emitted when the watermark closes the window") {
+    val winMs = 60 * 60000L // 1 hour tumble
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(e => e.ts.getTime - (e.ts.getTime % winMs))
+      .transformWithState(new HotItemsProcessor(topN = 2, windowSizeMs = winMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // window [60,120): view ×3, click ×2, error ×1 → top2 = view, click
+      def e(id: Long, min: Int, typ: String) = Event(id, ts(min), 1L, typ, 1.0)
+      in.addData(
+        e(1, 61, "view"), e(2, 62, "view"), e(3, 90, "view"),
+        e(4, 70, "click"), e(5, 95, "click"), e(6, 99, "error"))
+      q.processAllAvailable()
+      assert(spark.table(sink).count() === 0, "window still open")
+      in.addData(e(7, 200, "view")) // watermark past 120min → closes the window
+      q.processAllAvailable()
+      in.addData(e(8, 201, "view")) // drive a batch so the fired timer output lands
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (spark.table(sink).isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      val hot = spark.table(sink).as[HotItem].collect().sortBy(_.rank)
+      assert(hot.toSeq === Seq(
+        HotItem(ts(60).getTime, 1L, "view", 3L),
+        HotItem(ts(60).getTime, 2L, "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("dataflow equivalence: streaming hot-items over replayed events == batch q_hot_items") {
+    val dir = sf("sf0.001")
+    val winMs = 60 * 60000L
+    val batch = graft.ops.TimeWindows.hotItems(spark, dir)
+      .collect().map(r => (r.getLong(0) * 1000L, r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val maxMs = evs.map(_.ts.getTime).max
+    // sentinel far past the last real window so the watermark closes them all;
+    // its own (otherwise-open) window is excluded from the comparison
+    val sentinel = Event(-1L, new Timestamp(maxMs + 3 * winMs), 0L, "sentinel", 0.0)
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(e => e.ts.getTime - (e.ts.getTime % winMs))
+      .transformWithState(new HotItemsProcessor(topN = 3, windowSizeMs = winMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      in.addData(sentinel); q.processAllAvailable()
+      in.addData(sentinel.copy(event_id = -2L)); q.processAllAvailable() // land timer output
+      val deadline = System.currentTimeMillis() + 10000
+      def streamed() = spark.table(sink).as[HotItem].collect()
+        .filter(_.item != "sentinel")
+        .map(h => (h.window_start_ms, h.rank, h.item, h.n)).toSet
+      while (streamed().size < batch.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(streamed() === batch)
+    } finally q.stop()
+  }
 }
