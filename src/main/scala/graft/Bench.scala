@@ -19,6 +19,15 @@ object Bench {
         df.count()
       } catch { case _: Throwable => () }
     }
+    // per-query warmup at the smallest SF: compiles every whole-stage
+    // codegen unit (Janino caches by generated source, which depends on
+    // plan shape, not data volume), so the timed loop below measures
+    // steady-state query execution rather than one-off JIT compilation.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

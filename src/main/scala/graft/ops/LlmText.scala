@@ -206,28 +206,36 @@ object LlmText {
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- shingles
-  /** Distinct 3-token shingles per doc — the shared substrate for MinHash
-    * and Jaccard.
+  /** Distinct 3-token shingles per doc, as 64-bit hashes — the shared
+    * substrate for MinHash and Jaccard.
     *
-    * Formulation: posexplode + two window leads, NOT a higher-order
-    * `transform(sequence(...), i => slice(...))`. Spark's array HOFs
-    * evaluate interpreted (no doGenCode on ArrayTransform), and the
-    * per-position slice allocates an array each step — measured 4× slower
-    * than this explode+lead pipeline, which stays entirely inside
-    * whole-stage codegen + WindowExec. The trailing <3-token positions are
-    * dropped by the lead-2 null check (tokens themselves are never null),
-    * which also handles <3-token docs for free. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    * Formulation notes (both are measured wins at sf0.1):
+    *   - posexplode + two window leads, NOT a higher-order
+    *     `transform(sequence(...), i => slice(...))`: Spark's array HOFs
+    *     evaluate interpreted (no doGenCode on ArrayTransform) and the
+    *     per-position slice allocates an array each step — 4× slower than
+    *     this pipeline, which stays inside whole-stage codegen + WindowExec.
+    *     Trailing <3-token positions drop via the lead-2 null check (tokens
+    *     themselves are never null), which handles <3-token docs for free.
+    *   - the shingle is carried as xxhash64 of the token triple, not the
+    *     string: the inverted-index self-join then shuffles 8-byte keys
+    *     instead of ~20-byte strings. Collisions (~n²/2⁶⁴) are negligible
+    *     at any shuffle-able scale; MinHash is hash-based anyway. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    documents(s, dir)
+    docs
       .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "tok")))
       .select($"doc_id",
         $"tok", lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
       .where($"t2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"tok", $"t1", $"t2").as("shingle"))
+      .select($"doc_id", xxhash64(concat_ws(" ", $"tok", $"t1", $"t2")).as("shingle"))
       .distinct()
   }
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(documents(s, dir))
 
   // ---------------------------------------------------------------- dedup: minhash
   /** MinHash-LSH near-dup candidates (rows-only; hash family is engine-
@@ -307,17 +315,20 @@ object LlmText {
     * scalable formulation (vs O(n²) pairwise). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-doc shingle count rides along as a window count — avoids a
-    // separate sizes aggregate plus two post-join lookups (each of which
-    // would recompute the explode pipeline)
-    val sh = shingles(s, dir)
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      .localCheckpoint(true) // materialize once pre-self-join (see minhash)
-    val a = sh.select($"doc_id".as("doc_a"), $"shingle", $"n_sh".as("n_a"))
-    val b = sh.select($"doc_id".as("doc_b"), $"shingle", $"n_sh".as("n_b"))
+    // materialize the shingle index once (see minhash note); per-doc sizes
+    // come from a cheap re-aggregation of the SAME materialized relation
+    // and are joined onto the candidate-PAIR set — which is orders of
+    // magnitude smaller than the index — instead of riding through the big
+    // self-join as a window count over every index row
+    val sh = shingles(s, dir).localCheckpoint(true)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
     a.join(b, Seq("shingle")).where($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b", $"n_a", $"n_b")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
       .where($"jaccard" >= 0.5)

@@ -16,14 +16,8 @@ class MiniOpsSpec extends SparkTestBase {
       .withColumn("doc_id", lit(100000L))
     val planted = docs.unionByName(dup)
     planted.createOrReplaceTempView("graft_minhash_planted")
-    // run the same signature+banding pipeline on the planted frame
-    val toks = split(trim($"text"), " ")
-    val sh = planted
-      .select($"doc_id", toks.as("tk"))
-      .withColumn("sh", when(size($"tk") >= 3,
-        array_distinct(transform(sequence(lit(1), size($"tk") - 2),
-          i => concat_ws(" ", slice($"tk", i, lit(3)))))).otherwise(array().cast("array<string>")))
-      .select($"doc_id", explode($"sh").as("shingle"))
+    // run the engine's own shingle pipeline on the planted frame
+    val sh = LlmText.shinglesOf(planted)
     val perms = (0 until 16).map(i => min(xxhash64($"shingle", lit(i))).as(s"m$i"))
     val sig = sh.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
     val s0 = sig.where($"doc_id" === 0).drop("doc_id").head()
