@@ -214,6 +214,95 @@ object Curation {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- range frame
+  /** Trailing-7-day windowed sum per customer over pre-aggregated daily
+    * totals — a RANGE frame (value-based: includes ALL rows within the
+    * day-distance, regardless of row count), which is semantically distinct
+    * from the ROWS frames in q_win_ntile_frame. Day is an epoch-day long
+    * (rule R3), the total an exact decimal (R2). */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = orders(s, dir)
+      .groupBy($"o_custkey", epochDay($"o_orderdate").as("day"))
+      .agg(sum(dec2($"o_totalprice")).as("tot"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"day").rangeBetween(-6, 0)
+    daily
+      .select($"o_custkey", $"day",
+        sum($"tot").over(w).cast("double").as("trail7"))
+      .orderBy($"o_custkey", $"day")
+  }
+
+  val winRangeFrameSql: String =
+    """WITH d AS (
+      |  SELECT o_custkey, CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS tot
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, day,
+      |  CAST(SUM(tot) OVER (PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7
+      |FROM d
+      |ORDER BY o_custkey, day""".stripMargin
+
+  // ---------------------------------------------------------------- unpivot
+  /** Unpivot (melt): wide → long, the inverse of q_pivot. Both numeric
+    * columns are pre-cast to a common double type (unpivot requires it;
+    * the values are exact small ints / 2dp, so the cast is lossless). */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"event_id", $"value".cast("double").as("value"),
+        $"user_id".cast("double").as("user_d"))
+      .unpivot(Array($"event_id"), Array($"value", $"user_d"), "metric", "val")
+      .orderBy($"event_id", $"metric")
+  }
+
+  val unpivotMetricsSql: String =
+    """SELECT event_id, metric, val FROM (
+      |  SELECT event_id, CAST(value AS DOUBLE) AS value,
+      |    CAST(user_id AS DOUBLE) AS user_d
+      |  FROM events
+      |) UNPIVOT (val FOR metric IN (value, user_d))
+      |ORDER BY event_id, metric""".stripMargin
+
+  // ---------------------------------------------------------------- quantize
+  /** Int8-style embedding quantization — per-vector min/max affine scale to
+    * [0,255], the storage-compression step of an embedding pipeline. Bucket
+    * assignment uses floor (tie-free, unlike round-half conventions that
+    * differ per engine); min/max are order-independent reductions, and the
+    * checksum is an integer sum (exact in any order). The full quantized
+    * vector is checksummed rather than emitted (array cells break the
+    * driver comparator). */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = $"embedding".cast("array<double>")
+    val mn = array_min(e)
+    val mx = array_max(e)
+    val scale = (mx - mn) / lit(255.0)
+    embeddings(s, dir)
+      .select(
+        $"vec_id",
+        round(mn, 6).as("mn"),
+        round(mx, 6).as("mx"),
+        when(mx > mn,
+          aggregate(
+            transform(e, x => least(floor((x - mn) / scale), lit(255.0)).cast(LongType)),
+            lit(0L), (acc, q) => acc + q))
+          .otherwise(lit(0L)).as("qsum"))
+      .orderBy($"vec_id")
+  }
+
+  val embedQuantizeSql: String =
+    """SELECT vec_id,
+      |  ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS mn,
+      |  ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS mx,
+      |  CASE WHEN list_max(CAST(embedding AS DOUBLE[])) > list_min(CAST(embedding AS DOUBLE[]))
+      |    THEN list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(LEAST(floor((x - list_min(CAST(embedding AS DOUBLE[]))) /
+      |        ((list_max(CAST(embedding AS DOUBLE[])) - list_min(CAST(embedding AS DOUBLE[]))) / 255.0)), 255) AS BIGINT)), 'sum')
+      |    ELSE 0 END AS qsum
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
@@ -221,7 +310,10 @@ object Curation {
     "q_win_cume_dist"  -> (winCumeDist _),
     "q_stats_corr"     -> (statsCorr _),
     "q_ngram_freq"     -> (ngramFreq _),
-    "q_topk_agg"       -> (topkAgg _))
+    "q_topk_agg"       -> (topkAgg _),
+    "q_win_range_frame" -> (winRangeFrame _),
+    "q_unpivot"        -> (unpivotMetrics _),
+    "q_embed_quantize" -> (embedQuantize _))
 
   def oracle: Map[String, String] = Map(
     "q_text_pii_mask"  -> piiMaskSql,
@@ -230,5 +322,8 @@ object Curation {
     "q_win_cume_dist"  -> winCumeDistSql,
     "q_stats_corr"     -> statsCorrSql,
     "q_ngram_freq"     -> ngramFreqSql,
-    "q_topk_agg"       -> topkAggSql)
+    "q_topk_agg"       -> topkAggSql,
+    "q_win_range_frame" -> winRangeFrameSql,
+    "q_unpivot"        -> unpivotMetricsSql,
+    "q_embed_quantize" -> embedQuantizeSql)
 }

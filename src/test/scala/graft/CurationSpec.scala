@@ -84,6 +84,35 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_win_range_frame: RANGE includes value-distance rows, not row-count") {
+    // days 1,2,9 for one key: trailing-7 at day 9 covers only days 3..9 → just day 9
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 9L, 40.0)).toDF("k", "day", "tot")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"day").rangeBetween(-6, 0)
+    val out = df.select($"day", sum($"tot").over(w).as("t"))
+      .orderBy($"day").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 10.0), (2L, 30.0), (9L, 40.0)))
+  }
+
+  test("q_unpivot: inverse of pivot — long form has 2 rows per event") {
+    val dir = sf("sf0.001")
+    val out = Curation.unpivotMetrics(spark, dir)
+    val n = graft.tables.Tables.events(spark, dir).count()
+    assert(out.count() === 2 * n)
+    assert(out.select($"metric").distinct().as[String].collect().toSet ===
+      Set("value", "user_d"))
+  }
+
+  test("q_embed_quantize: buckets within [0,255], constant vector guarded") {
+    val dir = sf("sf0.001")
+    val rows = Curation.embedQuantize(spark, dir).collect()
+    rows.foreach { r =>
+      val qsum = r.getAs[Long]("qsum")
+      assert(qsum >= 0L && qsum <= 255L * 64, s"vec ${r.getAs[Long]("vec_id")}")
+      assert(r.getAs[Double]("mn") <= r.getAs[Double]("mx"))
+    }
+  }
+
   test("q_topk_agg matches window-rank formulation") {
     val dir = sf("sf0.001")
     val ours = Curation.topkAgg(spark, dir)
