@@ -152,16 +152,58 @@ object LlmVector {
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- IVF ANN
-  /** IVF-style approximate nearest neighbor (rows-only; cross-checked
-    * against the brute-force top-k in unit tests). Coarse quantizer: the 16
-    * lowest-vec_id vectors stand in for k-means centroids (deterministic
-    * offline; a production build would run ml.clustering.KMeans). Probes
+  /** Deterministic Lloyd-iteration k-means coarse quantizer for the IVF
+    * index. Init = the k lowest-vec_id vectors; each iteration assigns all
+    * vectors to their nearest centroid (broadcast join + codegen'd cosine)
+    * and recomputes per-dimension means.
+    *
+    * Two properties matter:
+    *   - driver state is k×d doubles only (the same contract as
+    *     ml.clustering.KMeans's aggregate step) — the assignment pass is
+    *     fully distributed, so this trains on a corpus of any size;
+    *   - the mean is an exact DECIMAL sum divided by the count, so centroid
+    *     bits do not depend on shuffle/partition order — the whole
+    *     quantizer (and the rows-only q_ann_ivf dump) is run-to-run
+    *     reproducible (rule R4 discipline applied to training, not just
+    *     serving).
+    */
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    var cent = e.where($"vec_id" < k)
+      .select($"vec_id".cast("int").as("cent_id"),
+        $"embedding".cast("array<float>").as("cv"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
+      val assigned = e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"embedding", $"cent_id",
+          cosine($"embedding", $"cv").as("ccos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .where($"arn" === 1)
+        .select($"cent_id", posexplode($"embedding").as(Seq("pos", "x")))
+      // exact decimal mean per (centroid, dimension): order-independent
+      val means = assigned
+        .groupBy($"cent_id", $"pos")
+        .agg((sum($"x".cast(DecimalType(27, 10))).cast("double") / count(lit(1)))
+          .as("m"))
+        .groupBy($"cent_id")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cent_id",
+          transform($"pm", p => p.getField("m").cast("float")).as("cv"))
+      // k×d floats to the driver, re-broadcast next round (k-means contract)
+      cent = broadcast(means.localCheckpoint(true))
+    }
+    cent
+  }
+
+  /** IVF approximate nearest neighbor (rows-only; recall cross-checked
+    * against the brute-force top-k in unit tests). Coarse quantizer: 16
+    * k-means centroids (2 deterministic Lloyd iterations, above). Probes
     * search nprobe=4 nearest centroid buckets only. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-    val cent = e.where($"vec_id" < 16)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cv"))
+    val cent = kmeansCentroids(e, k = 16, iters = 2)
     // invlist assignment: every vector → nearest centroid (1 broadcast join)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
     val assigned = e.crossJoin(broadcast(cent))

@@ -36,13 +36,15 @@ class MiniOpsSpec extends SparkTestBase {
     }
   }
 
-  test("ann ivf: recall@5 >= 0.4 vs brute force (nprobe=4 of 16 centroids)") {
+  test("ann ivf: recall@5 >= 0.8 vs brute force (trained quantizer, nprobe=4 of 16)") {
     val exact = LlmVector.simCosineTopk(spark, dir).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
     val approx = LlmVector.annIvf(spark, dir).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    // 0.92 measured with the 2-iteration Lloyd quantizer (was 0.44 with
+    // the untrained first-k-vectors stand-in)
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
     // and the probe itself (cos=1) is always found: its bucket is its nearest centroid's
     val self = exact.filter { case (p, v) => p == v }
     assert(self.subsetOf(approx))
