@@ -44,6 +44,31 @@ object Partitionwise {
       fa: A => U)(fb: B => U): Dataset[U] =
     a.map(fa).union(b.map(fb))
 
+  /** Async I/O enrichment (Flink AsyncDataStream.orderedWait analog): each
+    * partition keeps up to `concurrency` lookups in flight and emits
+    * results in INPUT ORDER — the ordered-wait contract. The sliding
+    * future-queue shape means a slow lookup backpressures only its own
+    * partition, and per-element latency overlaps instead of serializing
+    * (the whole point of Flink's async operator). No driver involvement;
+    * the capacity bound caps per-task memory exactly like Flink's operator
+    * capacity. `unorderedWait` would emit on completion order — not offered
+    * here because deterministic tests (and most enrich-join uses) want
+    * order preserved. */
+  def asyncEnrichOrdered[T, U: Encoder](ds: Dataset[T], concurrency: Int)(
+      lookup: T => scala.concurrent.Future[U]): Dataset[U] =
+    ds.mapPartitions { it =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      new Iterator[U] {
+        private val inFlight = scala.collection.mutable.Queue.empty[Future[U]]
+        private def fill(): Unit =
+          while (inFlight.size < concurrency && it.hasNext)
+            inFlight.enqueue(lookup(it.next()))
+        def hasNext: Boolean = { fill(); inFlight.nonEmpty }
+        def next(): U = { fill(); Await.result(inFlight.dequeue(), Duration.Inf) }
+      }
+    }
+
   /** Typed accumulator aggregate (Flink AggregateFunction<IN,ACC,OUT>
     * analog): average via an explicit (sum, count) accumulator, usable both
     * as a typed Dataset agg and registered through functions.udaf. */

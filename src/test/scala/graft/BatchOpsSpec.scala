@@ -41,6 +41,29 @@ class BatchOpsSpec extends SparkTestBase {
     assert(out.collect().toSet === Set("w:1", "w:2", "n:3", "n:4"))
   }
 
+  test("s_async_enrich: ordered-wait async lookups — order kept, concurrency bounded, overlapped") {
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // counters live in a JVM-static object (valid in local mode): closure
+    // serialization would otherwise hand the executor COPIES of captured
+    // AtomicIntegers and the driver would read zeros
+    BatchOpsSpec.asyncActive.set(0); BatchOpsSpec.asyncPeak.set(0)
+    val ds = spark.range(0, 60).as[Long].repartition(1)
+    val out = Partitionwise.asyncEnrichOrdered(ds, concurrency = 4) { id =>
+      Future {
+        val now = BatchOpsSpec.asyncActive.incrementAndGet()
+        BatchOpsSpec.asyncPeak.accumulateAndGet(now, Math.max(_, _))
+        Thread.sleep(3 + (id % 5)) // uneven latency: tests ordering under reordering-prone completion
+        BatchOpsSpec.asyncActive.decrementAndGet()
+        id * 10
+      }
+    }.collect()
+    assert(out.toSeq === (0L until 60L).map(_ * 10), "ordered-wait emits in input order")
+    val peak = BatchOpsSpec.asyncPeak.get()
+    assert(peak <= 4, s"capacity exceeded: $peak")
+    assert(peak >= 2, "lookups never overlapped — async pipeline not engaged")
+  }
+
   test("s_udaf_typed: Aggregator as typed agg and as registered udaf") {
     val agg = new Partitionwise.AvgAggregator
     val typed = Seq(1.0, 2.0, 3.0).toDS().select(agg.toColumn).head()
@@ -82,4 +105,10 @@ class BatchOpsSpec extends SparkTestBase {
       .as[(Int, String)].collect().toSeq
     assert(rows === Seq((1, "a"), (1, "b"), (2, "c")))
   }
+}
+
+object BatchOpsSpec {
+  /** JVM-static counters for the async-enrich test (see note there). */
+  val asyncActive = new java.util.concurrent.atomic.AtomicInteger(0)
+  val asyncPeak = new java.util.concurrent.atomic.AtomicInteger(0)
 }
