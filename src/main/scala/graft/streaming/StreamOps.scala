@@ -100,6 +100,24 @@ object StreamOps {
       } finally { batch.unpersist(); () }
     }
 
+  /** Streaming training-data curation — the unbounded twin of the batch
+    * q_pipeline_curate query: quality gate (token count) → exact dedup on
+    * the content hash (`dropDuplicates` keyed by md5: per-key state in the
+    * StateStore, the streaming ValueState "seen" pattern) → running
+    * per-language corpus stats in update mode. This is the shape of a
+    * continuous ingestion pipeline: each micro-batch admits only new,
+    * quality-passing content and revises the corpus totals. */
+  def curationStream(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .where(col("n_tokens") >= minTokens)
+      .withColumn("h", md5(col("text").cast("binary")))
+      .dropDuplicates("h")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** Generated load source (Flink custom SourceFunction analog). */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")

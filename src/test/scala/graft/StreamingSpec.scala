@@ -267,6 +267,31 @@ class StreamingSpec extends SparkTestBase {
     assert(reader != null)
   }
 
+  test("s_stream_curate: quality gate + streaming dedup + running corpus stats") {
+    val in = MemoryStream[(Long, String, String)]
+    val sink = nextSink()
+    val q = StreamOps.curationStream(
+      in.toDF().toDF("doc_id", "text", "lang"), minTokens = 3)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      in.addData(
+        (1L, "alpha beta gamma delta", "en"), // 4 tokens, passes
+        (2L, "too short", "en"),              // gated out
+        (3L, "uno dos tres cuatro cinco", "es"))
+      q.processAllAvailable()
+      in.addData(
+        (4L, "alpha beta gamma delta", "en"), // exact dup of 1 → dropped
+        (5L, "eins zwei drei vier", "de"))
+      q.processAllAvailable()
+      // update-mode memory sink keeps revisions; latest row per lang wins
+      val last = spark.table(sink).as[(String, Long, Long)].collect()
+        .zipWithIndex.groupBy(_._1._1).map { case (lang, rs) => lang -> rs.maxBy(_._2)._1 }
+      assert(last("en") === ("en", 1L, 4L), "dup admitted exactly once")
+      assert(last("es") === ("es", 1L, 5L))
+      assert(last("de") === ("de", 1L, 4L))
+    } finally q.stop()
+  }
+
   test("s_sink_parquet: streaming file sink writes exactly the input rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ckpt").toString
