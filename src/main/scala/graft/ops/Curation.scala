@@ -303,6 +303,36 @@ object Curation {
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- mode
+  /** Statistical mode per group: the most frequent order priority per
+    * status (ties broken by priority text — R1). Expressed as count + rank
+    * rather than any built-in mode() so both engines resolve ties
+    * identically. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = orders(s, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"n".desc, $"o_orderpriority")
+    counts.withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n")
+      .orderBy($"o_orderstatus")
+  }
+
+  val aggModeSql: String =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT o_orderstatus, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY n DESC, o_orderpriority) AS rk
+      |  FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      |FROM r WHERE rk = 1
+      |ORDER BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
@@ -313,7 +343,8 @@ object Curation {
     "q_topk_agg"       -> (topkAgg _),
     "q_win_range_frame" -> (winRangeFrame _),
     "q_unpivot"        -> (unpivotMetrics _),
-    "q_embed_quantize" -> (embedQuantize _))
+    "q_embed_quantize" -> (embedQuantize _),
+    "q_agg_mode"       -> (aggMode _))
 
   def oracle: Map[String, String] = Map(
     "q_text_pii_mask"  -> piiMaskSql,
@@ -325,5 +356,6 @@ object Curation {
     "q_topk_agg"       -> topkAggSql,
     "q_win_range_frame" -> winRangeFrameSql,
     "q_unpivot"        -> unpivotMetricsSql,
-    "q_embed_quantize" -> embedQuantizeSql)
+    "q_embed_quantize" -> embedQuantizeSql,
+    "q_agg_mode"       -> aggModeSql)
 }
