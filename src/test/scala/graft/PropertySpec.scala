@@ -102,4 +102,34 @@ class PropertySpec extends AnyFunSuite {
       assert((sa union sb) === (a ++ b).toSet)
     }
   }
+
+  test("TopKKeys: reduce/merge equal the reference model under any split") {
+    val agg = new graft.functions.TopKKeys(3)
+    val pairGen = Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(0L, 50L))
+    val caseGen = Gen.zip(Gen.listOfN(12, pairGen), Gen.chooseNum(0, 12))
+    forAllN(caseGen, n = 300) { case (pairs, cut) =>
+      // reference: full sort by (-score, id), take 3, join ids
+      val expect = pairs.sortBy { case (v, id) => (-v, id) }.take(3).map(_._2).mkString("/")
+      // aggregate path: arbitrary split into two partial buffers, merged
+      val (l, r) = pairs.splitAt(cut.min(pairs.length))
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufL, bufR)) === expect)
+      assert(agg.finish(agg.merge(bufR, bufL)) === expect, "merge must commute")
+    }
+  }
+
+  test("quantization buckets: floor((x-mn)/scale) stays in [0,255] for any vector") {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0)).map(_.take(64))
+    forAllN(vecGen, n = 300) { xs =>
+      val mn = xs.min; val mx = xs.max
+      if (mx > mn) {
+        val scale = (mx - mn) / 255.0
+        xs.foreach { x =>
+          val q = math.min(math.floor((x - mn) / scale), 255.0).toLong
+          assert(q >= 0L && q <= 255L)
+        }
+      }
+    }
+  }
 }
