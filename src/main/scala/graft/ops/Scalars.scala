@@ -179,13 +179,76 @@ object Scalars {
       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin
 
+  /** Bitwise scalar functions over integer keys (xor/and/or/shifts/popcount)
+    * — the bit-manipulation family SimHash banding is built on, exposed as
+    * first-class scalars. Both engines evaluate on the same BIGINT inputs. */
+  def bitFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select(
+        $"o_orderkey",
+        $"o_orderkey".bitwiseXOR($"o_custkey").as("x"),
+        $"o_orderkey".bitwiseAND(lit(255L)).as("a"),
+        $"o_orderkey".bitwiseOR(lit(16L)).as("o"),
+        shiftleft($"o_orderkey", 2).as("sl"),
+        shiftright($"o_orderkey", 3).as("sr"),
+        bit_count($"o_orderkey").cast(LongType).as("bc"))
+      .orderBy($"o_orderkey")
+      .limit(2000)
+  }
+
+  val bitFuncsSql: String =
+    """SELECT o_orderkey,
+      |  xor(o_orderkey, o_custkey) AS x,
+      |  o_orderkey & 255 AS a,
+      |  o_orderkey | 16 AS o,
+      |  o_orderkey << 2 AS sl,
+      |  o_orderkey >> 3 AS sr,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS bc
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 2000""".stripMargin
+
+  /** SQL entry point with a multi-stage CTE — the Table-API/SQL lifecycle
+    * (entry point B in SURVEY §3.2): the whole query text goes through
+    * Catalyst's parser; `parquet.`-backed table identifiers keep it free of
+    * session temp-view state. */
+  def sqlCte(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""WITH big AS (
+         |  SELECT o_custkey, o_totalprice
+         |  FROM parquet.`$dir/orders.parquet`
+         |  WHERE o_totalprice > 100000.0),
+         |per_cust AS (
+         |  SELECT o_custkey, COUNT(*) AS n_big,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_big
+         |  FROM big GROUP BY o_custkey)
+         |SELECT o_custkey, n_big, sum_big
+         |FROM per_cust
+         |WHERE n_big >= 3
+         |ORDER BY o_custkey""".stripMargin)
+
+  val sqlCteSql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0),
+      |per_cust AS (
+      |  SELECT o_custkey, COUNT(*) AS n_big,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_big
+      |  FROM big GROUP BY o_custkey)
+      |SELECT o_custkey, n_big, sum_big
+      |FROM per_cust
+      |WHERE n_big >= 3
+      |ORDER BY o_custkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_funcs"     -> (strFuncs _),
     "q_date_funcs"    -> (dateFuncs _),
     "q_math_funcs"    -> (mathFuncs _),
     "q_json_funcs"    -> (jsonFuncs _),
     "q_array_funcs"   -> (arrayFuncs _),
-    "q_case_coalesce" -> (caseCoalesce _))
+    "q_case_coalesce" -> (caseCoalesce _),
+    "q_bit_funcs"     -> (bitFuncs _),
+    "q_sql_cte"       -> (sqlCte _))
 
   def oracle: Map[String, String] = Map(
     "q_str_funcs"     -> strFuncsSql,
@@ -193,5 +256,7 @@ object Scalars {
     "q_math_funcs"    -> mathFuncsSql,
     "q_json_funcs"    -> jsonFuncsSql,
     "q_array_funcs"   -> arrayFuncsSql,
-    "q_case_coalesce" -> caseCoalesceSql)
+    "q_case_coalesce" -> caseCoalesceSql,
+    "q_bit_funcs"     -> bitFuncsSql,
+    "q_sql_cte"       -> sqlCteSql)
 }

@@ -81,6 +81,31 @@ object StreamOps {
       .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER stream-stream join: like the inner interval join, but a
+    * signup with no purchase inside its 10-minute window still emits — with
+    * null purchase columns — once the watermark passes the window end and
+    * the state store can prove no match will arrive. This is the streaming
+    * outer-join semantics Flink's interval join exposes via
+    * `OUTER`-flagged Table joins: correctness depends on BOTH watermarks
+    * plus the time-range bound, which let Spark expire join state. */
+  def signupPurchaseJoinOuter(signupEvents: DataFrame, purchaseEvents: DataFrame,
+                              delay: String): DataFrame = {
+    val signups = signupEvents
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", delay)
+    val purchases = purchaseEvents
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select(col("s_user").as("user_id"), col("signup_id"), col("purchase_id"))
+  }
+
   /** Stream-static enrichment: the broadcast-state pattern — a slow-changing
     * dimension joined to every micro-batch (static side broadcast, stream
     * side never shuffles). */

@@ -116,6 +116,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_join_stream_stream_outer: unmatched signup emits nulls after watermark closes its window") {
+    val signups = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.signupPurchaseJoinOuter(signups.toDF(), purchases.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      signups.addData(
+        ev(10, 60, user = 1, typ = "signup"),   // purchase follows → inner match
+        ev(20, 60, user = 2, typ = "signup"))   // no purchase → null row, later
+      purchases.addData(ev(11, 65, user = 1, typ = "purchase"))
+      q.processAllAvailable()
+      // outer rows need the watermark to pass signup + join window + delay;
+      // drive it far ahead on both sides, then one more batch to flush
+      signups.addData(ev(98, 300, user = 9, typ = "signup"))
+      purchases.addData(ev(99, 300, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      signups.addData(ev(96, 301, user = 9, typ = "signup"))
+      purchases.addData(ev(97, 301, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def gotOuter = spark.table(sink).collect()
+        .exists(r => r.getLong(0) == 2L && r.isNullAt(2))
+      while (!gotOuter && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet.filter(_._1 < 9L)
+      assert(rows === Set((1L, 10L, 11L), (2L, 20L, -1L)),
+        "inner match plus the null-extended unmatched signup")
+    } finally q.stop()
+  }
+
   test("s_join_broadcast_dim: stream-static enrichment joins every batch") {
     val in = MemoryStream[Event]
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
