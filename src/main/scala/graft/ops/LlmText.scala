@@ -209,28 +209,32 @@ object LlmText {
   /** Distinct 3-token shingles per doc, as 64-bit hashes — the shared
     * substrate for MinHash and Jaccard.
     *
-    * Formulation notes (both are measured wins at sf0.1):
-    *   - posexplode + two window leads, NOT a higher-order
-    *     `transform(sequence(...), i => slice(...))`: Spark's array HOFs
-    *     evaluate interpreted (no doGenCode on ArrayTransform) and the
-    *     per-position slice allocates an array each step — 4× slower than
-    *     this pipeline, which stays inside whole-stage codegen + WindowExec.
-    *     Trailing <3-token positions drop via the lead-2 null check (tokens
-    *     themselves are never null), which handles <3-token docs for free.
-    *   - the shingle is carried as xxhash64 of the token triple, not the
-    *     string: the inverted-index self-join then shuffles 8-byte keys
-    *     instead of ~20-byte strings. Collisions (~n²/2⁶⁴) are negligible
-    *     at any shuffle-able scale; MinHash is hash-based anyway. */
+    * Formulation notes (each step a measured win at sf0.1):
+    *   - NOT a higher-order `transform(sequence(...), i => slice(...))`:
+    *     Spark's array HOFs evaluate interpreted (no doGenCode on
+    *     ArrayTransform) — 4× slower than staying in codegen;
+    *   - NOT posexplode + lead() windows either: correct and codegen'd,
+    *     but the window inserts a shuffle + sort by doc_id before the
+    *     distinct. `explode(arrays_zip(slice×3))` pairs each token with
+    *     its two successors using only narrow per-row expressions — the
+    *     distinct's exchange is the pipeline's ONLY shuffle;
+    *   - the shingle is carried as multi-arg xxhash64 of the token triple,
+    *     not a concatenated string: 8-byte shuffle keys for the
+    *     inverted-index self-join, and no concat-boundary ambiguity.
+    *     Collisions (~n²/2⁶⁴) are negligible at any shuffle-able scale;
+    *     MinHash is hash-based anyway. */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
     docs
-      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "tok")))
-      .select($"doc_id",
-        $"tok", lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"))
-      .where($"t2".isNotNull)
-      .select($"doc_id", xxhash64(concat_ws(" ", $"tok", $"t1", $"t2")).as("shingle"))
+      .select($"doc_id", toks($"text").as("tk"))
+      .withColumn("n", size($"tk"))
+      .where($"n" >= 3)
+      .select($"doc_id", explode(arrays_zip(
+        slice($"tk", lit(1), $"n" - 2),
+        slice($"tk", lit(2), $"n" - 2),
+        slice($"tk", lit(3), $"n" - 2))).as("z"))
+      .select($"doc_id", xxhash64($"z.0", $"z.1", $"z.2").as("shingle"))
       .distinct()
   }
 
