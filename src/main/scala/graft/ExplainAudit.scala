@@ -13,7 +13,8 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_filter", "q_agg_group", "q_join_broadcast", "q_join_inner",
-        "q_scan_parquet", "q_sim_cosine_topk", "q_tumble_window")
+        "q_scan_parquet", "q_sim_cosine_topk", "q_tumble_window",
+        "q_topk_agg", "q_agg_salted", "q_dedup_ngram_jaccard")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
