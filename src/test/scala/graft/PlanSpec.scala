@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Automated guards for the physical-plan properties PLANS.md documents —
+  * the scale-critical shapes, asserted so a refactor can't silently
+  * regress them: filter pushdown into the parquet scan, broadcast join
+  * selection, partial+final aggregation, map-side top-k partials,
+  * TakeOrderedAndProject fusion, and the materialize-once self-join input.
+  */
+class PlanSpec extends SparkTestBase {
+  private val dir = sf("sf0.001")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter: predicates reach the parquet scan as PushedFilters") {
+    val p = planOf(SparkEntry.queries("q_filter")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters in scan")
+    assert(p.contains("GreaterThanOrEqual"), "range predicate not pushed")
+  }
+
+  test("q_scan_parquet: column pruning — ReadSchema is a strict subset") {
+    val p = planOf(SparkEntry.queries("q_project_expr")(spark, dir))
+    // lineitem has 11 columns; the projection reads fewer
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.nonEmpty && read.count(_ == ',') < 10, s"scan not pruned: $read")
+  }
+
+  test("q_join_broadcast: dims build broadcast hash maps, fact never shuffles for the join") {
+    val p = planOf(SparkEntry.queries("q_join_broadcast")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "broadcast join not selected")
+    assert(!p.contains("SortMergeJoin"), "dim join degenerated to sort-merge")
+  }
+
+  test("q_agg_group: two-phase aggregation — partial before the exchange") {
+    val p = planOf(SparkEntry.queries("q_agg_group")(spark, dir))
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q_topk_agg: bounded top-k aggregates map-side (ObjectHashAggregate partials)") {
+    val p = planOf(SparkEntry.queries("q_topk_agg")(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), "Aggregator not planned as object hash agg")
+    assert(p.contains("partial_topkkeys"), "no partial top-k before the shuffle")
+  }
+
+  test("q_sort_multi: order+limit fuse into TakeOrderedAndProject") {
+    val p = planOf(SparkEntry.queries("q_sort_multi")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), "global sort not fused with limit")
+  }
+
+  test("q_win_rank: rank filter plans WindowGroupLimit (no full-partition materialize)") {
+    val p = planOf(SparkEntry.queries("q_win_rank")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), "top-n window filter not pushed into the sort")
+  }
+
+  test("q_dedup_ngram_jaccard: both self-join sides read the materialized relation") {
+    val p = planOf(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir))
+    assert(p.contains("ExistingRDD"), "signature relation not materialized pre-self-join")
+  }
+}
