@@ -49,6 +49,28 @@ object Layout {
       org.apache.spark.sql.functions.col(leftKey) ===
         org.apache.spark.sql.functions.col(rightKey))
 
+  /** Salted skew join: equi-join where `left` has one or more hot keys that
+    * would pin single reducers in a plain shuffle join. The hot left side
+    * gets a content-hash salt in [0, salts); the (small) right side is
+    * replicated once per salt value via an explode — so each hot key's rows
+    * spread over `salts` reducers while every row still meets its match.
+    * Produces exactly the rows of `left.join(right, leftKey === rightKey)`.
+    *
+    * This is the manual form of what AQE's skew-join split does at runtime;
+    * it exists for the cases AQE can't see (first shuffle of a stage, or
+    * skew appearing only after filters). Replication cost is
+    * |right| × salts, so use it when right is dimension-sized. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, salts: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, xxhash64}
+    val l = fact.withColumn("_salt",
+      pmod(xxhash64(fact.columns.map(c => col(c)).toIndexedSeq: _*), lit(salts.toLong)))
+    val r = dim.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    l.join(r, l("_salt") === r("_salt") && col(factKey) === col(dimKey))
+      .drop("_salt")
+  }
+
   /** Salted high-skew aggregation: two-phase groupBy with a random-free,
     * deterministic salt — the standard fix when one hot key would otherwise
     * pin a single reducer at scale. The salt hashes the ROW CONTENT

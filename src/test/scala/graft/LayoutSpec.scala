@@ -51,4 +51,19 @@ class LayoutSpec extends SparkTestBase {
     assert(salted === direct)
     assert(salted("hot") === (0L until 10000L).sum)
   }
+
+  test("salted join equals plain join, spreads the hot key over salts") {
+    // fact: one hot key (5k rows) + a cold tail; dim: 50 keys
+    val fact = spark.range(0, 5000).select(lit(7L).as("fk"), $"id".as("v"))
+      .unionByName(spark.range(0, 200).select(($"id" % 50).as("fk"), $"id".as("v")))
+    val dim = spark.range(0, 50).select($"id".as("dk"), concat(lit("d"), $"id").as("name"))
+    val salted = Layout.saltedJoin(fact, dim, "fk", "dk", salts = 8)
+      .select($"fk", $"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = fact.join(dim, $"fk" === $"dk")
+      .select($"fk", $"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(salted.count(_._1 == 7L) === 5000)
+  }
 }
