@@ -333,6 +333,24 @@ object Curation {
       |FROM r WHERE rk = 1
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- approx quantile
+  /** Sketch-based quantiles (Greenwald-Khanna via percentile_approx) per
+    * returnflag — rows-only like q_agg_approx_distinct: the sketch's merge
+    * result is engine-specific, so there is no cross-engine oracle; the
+    * unit layer bounds it against the exact window-position percentile
+    * instead. Deterministic for the driver's repeat-run check because the
+    * same data + same partitioning merge the same summaries. */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
@@ -344,7 +362,8 @@ object Curation {
     "q_win_range_frame" -> (winRangeFrame _),
     "q_unpivot"        -> (unpivotMetrics _),
     "q_embed_quantize" -> (embedQuantize _),
-    "q_agg_mode"       -> (aggMode _))
+    "q_agg_mode"       -> (aggMode _),
+    "q_agg_approx_quantile" -> (aggApproxQuantile _))
 
   def oracle: Map[String, String] = Map(
     "q_text_pii_mask"  -> piiMaskSql,

@@ -143,6 +143,31 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Idempotent foreachBatch sink — the exactly-once pattern for
+    * NON-transactional targets (Flink's TwoPhaseCommitSinkFunction
+    * territory, via idempotence instead of transactions). Structured
+    * Streaming guarantees foreachBatch sees each batchId at-least-once
+    * with identical contents on replay, so recording committed ids makes
+    * the write exactly-once: a replayed batch after crash/restart is
+    * detected and skipped. `commits` must be a store that survives the
+    * sink (the test uses a JVM-static set; production would use the target
+    * system's keyspace or a manifest). */
+  def foreachBatchIdempotent(df: DataFrame,
+      commits: java.util.Set[java.lang.Long])(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      idempotentWrite(commits, batchId, batch)(write)
+    }
+
+  /** The sink body, separated so the replay-skip contract is directly
+    * testable: at most one `write` per batchId, replays are no-ops. */
+  private[graft] def idempotentWrite(commits: java.util.Set[java.lang.Long],
+      batchId: Long, batch: DataFrame)(write: DataFrame => Unit): Unit =
+    if (!commits.contains(batchId)) { // replay of a committed batch: skip
+      write(batch)
+      commits.add(batchId); ()
+    }
+
   /** Generated load source (Flink custom SourceFunction analog). */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")

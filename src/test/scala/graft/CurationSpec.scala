@@ -113,6 +113,22 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_agg_approx_quantile: sketch p50/p95 within 2% of exact percentiles") {
+    val dir = sf("sf0.001")
+    val approx = Curation.aggApproxQuantile(spark, dir)
+      .as[(String, Double, Double, Long)].collect()
+      .map { case (f, p50, p95, _) => f -> (p50, p95) }.toMap
+    val prices = graft.tables.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice").as[(String, Double)].collect()
+    prices.groupBy(_._1).foreach { case (flag, rows) =>
+      val sorted = rows.map(_._2).sorted
+      def exact(q: Double) = sorted(((sorted.length - 1) * q).toInt)
+      val (p50, p95) = approx(flag)
+      assert(math.abs(p50 - exact(0.5)) / exact(0.5) < 0.02, s"$flag p50")
+      assert(math.abs(p95 - exact(0.95)) / exact(0.95) < 0.02, s"$flag p95")
+    }
+  }
+
   test("q_topk_agg matches window-rank formulation") {
     val dir = sf("sf0.001")
     val ours = Curation.topkAgg(spark, dir)

@@ -301,6 +301,34 @@ class StreamingSpec extends SparkTestBase {
     assert(reader != null)
   }
 
+  test("s_sink_idempotent: foreachBatch writes each batchId at most once; replays skip") {
+    val commits = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[java.lang.Long]())
+    var writes = 0
+    val batch1 = Seq(1L, 2L).toDF("v")
+    val batch2 = Seq(3L).toDF("v")
+    StreamOps.idempotentWrite(commits, 0L, batch1)(_ => writes += 1)
+    StreamOps.idempotentWrite(commits, 0L, batch1)(_ => writes += 1) // replay → skip
+    StreamOps.idempotentWrite(commits, 1L, batch2)(_ => writes += 1)
+    StreamOps.idempotentWrite(commits, 0L, batch1)(_ => writes += 1) // late replay → skip
+    assert(writes === 2, "exactly one write per distinct batchId")
+    assert(commits.size() === 2)
+    // end-to-end through a real streaming query: every batch written once
+    val in = MemoryStream[Event]
+    val commits2 = java.util.Collections.synchronizedSet(
+      new java.util.HashSet[java.lang.Long]())
+    SparkTestBase.foreachSink.clear()
+    val q = StreamOps.foreachBatchIdempotent(in.toDF(), commits2) { b =>
+      b.collect().foreach(r => SparkTestBase.foreachSink.add(r.getAs[Long]("event_id")))
+    }.outputMode("append").start()
+    try {
+      in.addData(ev(1, 61), ev(2, 62)); q.processAllAvailable()
+      in.addData(ev(3, 63)); q.processAllAvailable()
+      assert(SparkTestBase.foreachSink.size() === 3, "each row delivered exactly once")
+      assert(commits2.size() >= 1)
+    } finally q.stop()
+  }
+
   test("s_stream_curate: quality gate + streaming dedup + running corpus stats") {
     val in = MemoryStream[(Long, String, String)]
     val sink = nextSink()
