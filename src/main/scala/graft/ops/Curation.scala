@@ -333,6 +333,28 @@ object Curation {
       |FROM r WHERE rk = 1
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- regex extract
+  /** Structured extraction via regex capture groups — pulling typed fields
+    * out of semi-structured text, a staple of log/corpus normalization.
+    * Group 1 = the word stem, group 2 = the numeric id (cast BIGINT on
+    * both sides). */
+  def regexExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .select(
+        $"c_custkey",
+        regexp_extract($"c_name", "([A-Za-z]+)#([0-9]+)", 1).as("name_part"),
+        regexp_extract($"c_name", "([A-Za-z]+)#([0-9]+)", 2).cast(LongType).as("id_part"))
+      .orderBy($"c_custkey")
+  }
+
+  val regexExtractSql: String =
+    """SELECT c_custkey,
+      |  regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 1) AS name_part,
+      |  CAST(regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) AS BIGINT) AS id_part
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- approx quantile
   /** Sketch-based quantiles (Greenwald-Khanna via percentile_approx) per
     * returnflag — rows-only like q_agg_approx_distinct: the sketch's merge
@@ -363,7 +385,8 @@ object Curation {
     "q_unpivot"        -> (unpivotMetrics _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_agg_mode"       -> (aggMode _),
-    "q_agg_approx_quantile" -> (aggApproxQuantile _))
+    "q_agg_approx_quantile" -> (aggApproxQuantile _),
+    "q_regex_extract"  -> (regexExtract _))
 
   def oracle: Map[String, String] = Map(
     "q_text_pii_mask"  -> piiMaskSql,
@@ -376,5 +399,6 @@ object Curation {
     "q_win_range_frame" -> winRangeFrameSql,
     "q_unpivot"        -> unpivotMetricsSql,
     "q_embed_quantize" -> embedQuantizeSql,
-    "q_agg_mode"       -> aggModeSql)
+    "q_agg_mode"       -> aggModeSql,
+    "q_regex_extract"  -> regexExtractSql)
 }
