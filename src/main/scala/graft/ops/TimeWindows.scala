@@ -90,7 +90,10 @@ object TimeWindows {
       |  FROM events),
       |flagged AS (
       |  SELECT user_id, sec, value,
-      |    CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800 THEN 1 ELSE 0 END AS new_sess
+      |    -- strictly greater: Spark's session_window merges an event at
+      |    -- exactly last+gap into the session (inclusive end), verified
+      |    -- empirically; >= here split one exact-1800s gap at sf0.1
+      |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess
       |  FROM t),
       |numbered AS (
       |  SELECT user_id, sec, value,
