@@ -146,7 +146,45 @@ object Joins {
       |  AND FLOOR(epoch(e2.ts)) <= FLOOR(epoch(e1.ts)) + 600
       |ORDER BY user_id, signup_id, purchase_id""".stripMargin
 
+  /** Pure time-range join, bucketed — NO equi key: every (signup, purchase)
+    * pair across ALL users where the purchase lands within 60s of the
+    * signup. Without a key, Catalyst can only plan a nested-loop join
+    * (quadratic scans at 100 TB). The bucketed form manufactures the equi
+    * key: bucket width = range width W, the left side keyed by
+    * floor(t1/W), the right side replicated to its bucket and the one
+    * before (a match's t2 ∈ [t1, t1+W] can only live in those two), then
+    * a plain equi-join on the bucket + the exact range filter. Each
+    * qualifying pair matches on exactly one replica (the two replicas
+    * carry different bucket values), so no dedup is needed — results are
+    * row-identical to the theta join the oracle runs. Shuffle is linear
+    * in the inputs; replication factor is the constant 2. */
+  def joinRangeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 60L
+    val e = events(s, dir)
+    val a = e.where($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), epochS($"ts").as("t1"))
+      .withColumn("bucket", floor($"t1" / w))
+    val b = e.where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), epochS($"ts").as("t2"))
+      .withColumn("bucket", explode(array(floor($"t2" / w), floor($"t2" / w) - 1)))
+    a.join(b, Seq("bucket"))
+      .where($"t2" >= $"t1" && $"t2" <= $"t1" + w)
+      .select($"signup_id", $"purchase_id", ($"t2" - $"t1").as("delta_s"))
+      .orderBy($"signup_id", $"purchase_id")
+  }
+
+  val joinRangeBucketSql: String =
+    """SELECT e1.event_id AS signup_id, e2.event_id AS purchase_id,
+      |  CAST(FLOOR(epoch(e2.ts)) - FLOOR(epoch(e1.ts)) AS BIGINT) AS delta_s
+      |FROM events e1
+      |JOIN events e2 ON e1.event_type = 'signup' AND e2.event_type = 'purchase'
+      |  AND FLOOR(epoch(e2.ts)) >= FLOOR(epoch(e1.ts))
+      |  AND FLOOR(epoch(e2.ts)) <= FLOOR(epoch(e1.ts)) + 60
+      |ORDER BY signup_id, purchase_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_range_bucket" -> (joinRangeBucket _),
     "q_join_inner"     -> (joinInner _),
     "q_join_left"      -> (joinLeft _),
     "q_join_full"      -> (joinFull _),
@@ -164,5 +202,6 @@ object Joins {
     "q_join_anti"      -> joinAntiSql,
     "q_join_broadcast" -> joinBroadcastSql,
     "q_join_cross"     -> joinCrossSql,
-    "q_join_interval"  -> joinIntervalSql)
+    "q_join_interval"  -> joinIntervalSql,
+    "q_join_range_bucket" -> joinRangeBucketSql)
 }

@@ -55,6 +55,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), "top-n window filter not pushed into the sort")
   }
 
+  test("q_join_range_bucket: keyless range join plans as an equi-join, not nested-loop") {
+    val p = planOf(SparkEntry.queries("q_join_range_bucket")(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "bucketing failed to manufacture an equi key")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "no hash/merge equi-join in plan")
+  }
+
   test("q_dedup_ngram_jaccard: both self-join sides read the materialized relation") {
     val p = planOf(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir))
     assert(p.contains("ExistingRDD"), "signature relation not materialized pre-self-join")
