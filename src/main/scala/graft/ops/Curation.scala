@@ -268,7 +268,9 @@ object Curation {
   /** Int8-style embedding quantization — per-vector min/max affine scale to
     * [0,255], the storage-compression step of an embedding pipeline. Bucket
     * assignment uses floor (tie-free, unlike round-half conventions that
-    * differ per engine); min/max are order-independent reductions, and the
+    * differ per engine); min/max are order-independent reductions emitted
+    * UNROUNDED — float→double widening is exact and bit-identical in both
+    * engines, whereas round(double, n) conventions differ — and the
     * checksum is an integer sum (exact in any order). The full quantized
     * vector is checksummed rather than emitted (array cells break the
     * driver comparator). */
@@ -281,8 +283,8 @@ object Curation {
     embeddings(s, dir)
       .select(
         $"vec_id",
-        round(mn, 6).as("mn"),
-        round(mx, 6).as("mx"),
+        mn.as("mn"),
+        mx.as("mx"),
         when(mx > mn,
           aggregate(
             transform(e, x => least(floor((x - mn) / scale), lit(255.0)).cast(LongType)),
@@ -293,8 +295,8 @@ object Curation {
 
   val embedQuantizeSql: String =
     """SELECT vec_id,
-      |  ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS mn,
-      |  ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS mx,
+      |  list_min(CAST(embedding AS DOUBLE[])) AS mn,
+      |  list_max(CAST(embedding AS DOUBLE[])) AS mx,
       |  CASE WHEN list_max(CAST(embedding AS DOUBLE[])) > list_min(CAST(embedding AS DOUBLE[]))
       |    THEN list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> CAST(LEAST(floor((x - list_min(CAST(embedding AS DOUBLE[]))) /
