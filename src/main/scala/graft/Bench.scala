@@ -23,11 +23,19 @@ object Bench {
     // codegen unit (Janino caches by generated source, which depends on
     // plan shape, not data volume), so the timed loop below measures
     // steady-state query execution rather than one-off JIT compilation.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
+    // warmDir derives from the bench dir (sibling sf0.001, or SPARK_GRAFT
+    // _WARM_DIR override); whether warmup ran is logged so warm and cold
+    // runs are never silently conflated.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      new java.io.File(sfDir).getParent + "/sf0.001")
+    val warmed = new java.io.File(warmDir).isDirectory
+    if (warmed)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    System.err.println(
+      if (warmed) s"[bench] per-query warmup ran at $warmDir (warm protocol)"
+      else s"[bench] warmup SKIPPED: $warmDir absent (cold protocol — not comparable to warm-protocol numbers)")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

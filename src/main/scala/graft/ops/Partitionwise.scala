@@ -53,19 +53,22 @@ object Partitionwise {
     * the capacity bound caps per-task memory exactly like Flink's operator
     * capacity. `unorderedWait` would emit on completion order — not offered
     * here because deterministic tests (and most enrich-join uses) want
-    * order preserved. */
-  def asyncEnrichOrdered[T, U: Encoder](ds: Dataset[T], concurrency: Int)(
+    * order preserved. Like Flink's orderedWait, a per-lookup `timeout` is
+    * mandatory-by-default: a lookup that never completes fails the task
+    * (java.util.concurrent.TimeoutException) instead of hanging it forever. */
+  def asyncEnrichOrdered[T, U: Encoder](ds: Dataset[T], concurrency: Int,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))(
       lookup: T => scala.concurrent.Future[U]): Dataset[U] =
     ds.mapPartitions { it =>
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
       new Iterator[U] {
         private val inFlight = scala.collection.mutable.Queue.empty[Future[U]]
         private def fill(): Unit =
           while (inFlight.size < concurrency && it.hasNext)
             inFlight.enqueue(lookup(it.next()))
         def hasNext: Boolean = { fill(); inFlight.nonEmpty }
-        def next(): U = { fill(); Await.result(inFlight.dequeue(), Duration.Inf) }
+        def next(): U = { fill(); Await.result(inFlight.dequeue(), timeout) }
       }
     }
 

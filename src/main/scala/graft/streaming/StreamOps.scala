@@ -131,14 +131,39 @@ object StreamOps {
     * StateStore, the streaming ValueState "seen" pattern) → running
     * per-language corpus stats in update mode. This is the shape of a
     * continuous ingestion pipeline: each micro-batch admits only new,
-    * quality-passing content and revises the corpus totals. */
-  def curationStream(docs: DataFrame, minTokens: Int = 5): DataFrame = {
+    * quality-passing content and revises the corpus totals.
+    *
+    * UNBOUNDED-STATE TRADE-OFF (deliberate): `dropDuplicates("h")` keeps one
+    * md5 key per distinct document FOREVER — that is what global exact dedup
+    * means. State grows O(distinct docs): 16 bytes/key ≈ 16 GB per trillion
+    * distinct documents spread across the cluster's state stores, viable but
+    * unbounded. When the pipeline only needs dedup within a lateness horizon
+    * (re-sends, retries — the common ingestion case), use
+    * [[curationStreamBounded]] instead: watermarked state is evicted and
+    * memory is bounded by the horizon, not the corpus. */
+  def curationStream(docs: DataFrame, minTokens: Int = 5): DataFrame =
+    curateAgg(docs, minTokens, _.dropDuplicates("h"))
+
+  /** Bounded-state variant of [[curationStream]]: dedup via
+    * `dropDuplicatesWithinWatermark` — duplicates are only suppressed when
+    * they arrive within the watermark delay of the first copy, and each
+    * key's state is dropped once the watermark passes it. Correct for
+    * retry/re-send dedup in continuous ingestion; NOT global dedup (a copy
+    * arriving after the horizon is admitted again). Requires an event-time
+    * column `tsCol` on the input. */
+  def curationStreamBounded(docs: DataFrame, tsCol: String, delay: String,
+                            minTokens: Int = 5): DataFrame =
+    curateAgg(docs, minTokens,
+      _.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("h"))
+
+  private def curateAgg(docs: DataFrame, minTokens: Int,
+                        dedup: DataFrame => DataFrame): DataFrame = {
     val toks = split(trim(col("text")), " ")
-    docs
+    val hashed = docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .where(col("n_tokens") >= minTokens)
       .withColumn("h", md5(col("text").cast("binary")))
-      .dropDuplicates("h")
+    dedup(hashed)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }

@@ -67,7 +67,10 @@ object Layout {
       pmod(xxhash64(fact.columns.map(c => col(c)).toIndexedSeq: _*), lit(salts.toLong)))
     val r = dim.withColumn("_salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    l.join(r, l("_salt") === r("_salt") && col(factKey) === col(dimKey))
+    // l(...)/r(...) qualification throughout: with unqualified col(...),
+    // a fact and dim sharing the key column name would be ambiguous and
+    // the join would throw AnalysisException.
+    l.join(r, l("_salt") === r("_salt") && l(factKey) === r(dimKey))
       .drop("_salt")
   }
 

@@ -64,6 +64,20 @@ class BatchOpsSpec extends SparkTestBase {
     assert(peak >= 2, "lookups never overlapped — async pipeline not engaged")
   }
 
+  test("s_async_enrich: a lookup exceeding the timeout fails the task instead of hanging") {
+    import scala.concurrent.duration._
+    val ds = spark.range(0, 3).as[Long].repartition(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Partitionwise.asyncEnrichOrdered(ds, concurrency = 2, timeout = 300.millis) { _ =>
+        scala.concurrent.Promise[Long]().future // never completes
+      }.collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(ex).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"expected a TimeoutException cause, got: $ex")
+  }
+
   test("s_udaf_typed: Aggregator as typed agg and as registered udaf") {
     val agg = new Partitionwise.AvgAggregator
     val typed = Seq(1.0, 2.0, 3.0).toDS().select(agg.toColumn).head()

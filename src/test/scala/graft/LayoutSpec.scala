@@ -66,4 +66,16 @@ class LayoutSpec extends SparkTestBase {
     assert(salted === plain)
     assert(salted.count(_._1 == 7L) === 5000)
   }
+
+  test("salted join resolves same-name join keys unambiguously") {
+    val fact = spark.range(0, 100).select(($"id" % 10).as("k"), $"id".as("v"))
+    val dim = spark.range(0, 10).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+    val salted = Layout.saltedJoin(fact, dim, "k", "k", salts = 4)
+      .select($"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = fact.join(dim, fact("k") === dim("k"))
+      .select($"v", $"name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted === plain)
+  }
 }

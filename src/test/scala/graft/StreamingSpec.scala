@@ -354,6 +354,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_stream_curate_bounded: watermarked dedup suppresses within the horizon, evicts after") {
+    val in = MemoryStream[(Long, Timestamp, String, String)]
+    val sink = nextSink()
+    val q = StreamOps.curationStreamBounded(
+      in.toDF().toDF("doc_id", "ts", "text", "lang"),
+      tsCol = "ts", delay = "10 minutes", minTokens = 3)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      in.addData(
+        (1L, ts(0), "alpha beta gamma delta", "en"),
+        (2L, ts(1), "alpha beta gamma delta", "en")) // dup within horizon → suppressed
+      q.processAllAvailable()
+      in.addData((3L, ts(60), "uno dos tres cuatro", "es")) // watermark → 50 min
+      q.processAllAvailable()
+      // en-state (expires at 0+10 min) evicted: the same content is admitted again
+      in.addData((4L, ts(61), "alpha beta gamma delta", "en"))
+      q.processAllAvailable()
+      val last = spark.table(sink).as[(String, Long, Long)].collect()
+        .zipWithIndex.groupBy(_._1._1).map { case (lang, rs) => lang -> rs.maxBy(_._2)._1 }
+      assert(last("en")._2 === 2L, "post-horizon copy admitted again (bounded state)")
+      assert(last("es")._2 === 1L)
+    } finally q.stop()
+  }
+
   test("s_sink_parquet: streaming file sink writes exactly the input rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_psink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_psink_ckpt").toString
