@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional args: query-name filter (dev micro-benchmarking only; the
+    // driver invokes with no args and times the full suite).
+    val onlyQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.nonEmpty) SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+      else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,13 +35,13 @@ object Bench {
       new java.io.File(sfDir).getParent + "/sf0.001")
     val warmed = new java.io.File(warmDir).isDirectory
     if (warmed)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      onlyQueries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     System.err.println(
       if (warmed) s"[bench] per-query warmup ran at $warmDir (warm protocol)"
       else s"[bench] warmup SKIPPED: $warmDir absent (cold protocol — not comparable to warm-protocol numbers)")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = onlyQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Nearest-centroid assignment against a small driver-held codebook — the
+  * IVF/k-means inner loop as ONE expression call per vector.
+  *
+  * The codebook is an ordinary constructor field (shipped in the serialized
+  * expression, referenced via `references` in generated code), NOT literal
+  * children: embedding the centroids as literals changes the generated
+  * source every Lloyd iteration, so Janino recompiles the whole stage per
+  * pass — measured as the dominant cost of the training loop. With a
+  * reference-held codebook the plan SHAPE is iteration-invariant: codegen
+  * compiles once, every pass (and every bench run) reuses it.
+  *
+  * CodegenFallback is deliberate (same argument as TextSketches): one
+  * virtual call per row, k·d fused multiply-adds inside compiled Scala.
+  * Assignment is row-local — the corpus is labeled in its scan stage with
+  * NO join and NO shuffle, which is what makes a Lloyd pass "one
+  * distributed map + one k-group aggregate" at any corpus size.
+  *
+  * Ties (equal cosine) resolve to the smallest centroid id, matching a
+  * `row_number over (order by cos desc, id)` pick. Zero-norm vectors or an
+  * empty codebook yield the first id (cosine NULL-vs-0 never arises here:
+  * test embeddings are non-degenerate, and ANY consistent choice keeps the
+  * assignment deterministic). */
+case class NearestCentroid(child: Expression, cents: Seq[(Int, Seq[Float])])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  // precomputed primitive codebook (ids ascending for smallest-id ties)
+  @transient private lazy val sorted = cents.sortBy(_._1)
+  @transient private lazy val ids: Array[Int] = sorted.map(_._1).toArray
+  @transient private lazy val vecs: Array[Array[Float]] = sorted.map(_._2.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = e.numElements()
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < vecs.length) {
+      val cv = vecs(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val xi = e.getFloat(i).toDouble
+        val yi = cv(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val cos = if (m == 0 || na == 0.0 || nb == 0.0) Double.NegativeInfinity
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    if (ids.isEmpty) 0 else ids(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object CentroidFunctions {
+  /** Nearest-centroid id (ties → smallest id) of an array<float> column
+    * against a driver-held codebook. */
+  def nearest_centroid(emb: Column, cents: Seq[(Int, Seq[Float])]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(emb), cents))
+}

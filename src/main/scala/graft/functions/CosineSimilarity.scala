@@ -89,11 +89,26 @@ object GraftFunctions {
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** |a ∩ b| of two sorted-distinct array<bigint> columns (codegen'd). */
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** First common element of two sorted-distinct array<bigint> columns
+    * (NULL if disjoint) — the set-similarity-join dedup witness. */
+  def sorted_first_common(a: Column, b: Column): Column =
+    GraftBridge.column(SortedFirstCommon(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
   /** Register SQL-callable names on a session (idempotent):
     * `SELECT graft_cosine(a, b)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs.head, exprs(1)), "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook (the plug-in path a deployment would use:
@@ -108,6 +123,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -250,16 +250,21 @@ object LlmText {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nPerm = 16
-    val sh = shingles(s, dir)
-    val perms = (0 until nPerm).map(i => min(xxhash64($"shingle", lit(i))).as(s"m$i"))
-    val sig = sh.groupBy($"doc_id").agg(perms.head, perms.tail: _*)
+    // Signature built per-doc by the [[graft.functions.MinHashSignature]]
+    // kernel — one expression call per document, no shingle explode and no
+    // 16-min groupBy; signature building shuffles nothing (see
+    // TextSketches scaladoc for the 100 TB rationale).
+    val sig = documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextSketchFunctions.minhash_sig($"text", 3, nPerm).as("sig"))
+      .where($"sig".isNotNull) // < 3 tokens: no shingle evidence
     // 4 bands × 4 rows: band signature = xxhash64 of its 4 minhashes.
     // Explode-banding emits all 4 band rows in ONE pass over the signature
-    // aggregate (a unionByName of per-band selects would recompute the
-    // whole shingle+signature pipeline per band — 4× the work).
+    // relation (a unionByName of per-band selects would recompute it per
+    // band — 4× the work).
     val bandStructs = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_sig"))
+        xxhash64((b * 4 until b * 4 + 4).map(i => element_at($"sig", i + 1)): _*).as("band_sig"))
     }: _*)
     // materialize the signature pipeline ONCE before the self-join: the
     // two join sides are different-alias subtrees, so Catalyst plans no
@@ -283,17 +288,13 @@ object LlmText {
     * by bit i of each token's hash; candidates via 4×16-bit band equality. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tokenHash = documents(s, dir)
-      .select($"doc_id", explode(toks($"text")).as("tok"))
-      .select($"doc_id", xxhash64($"tok").as("h"))
-    val bitAggs = (0 until 64).map(i =>
-      sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"b$i"))
-    val bitSums = tokenHash.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sigs = bitSums.select($"doc_id", simhash.as("simhash"))
+    // Signature built per-doc by the [[graft.functions.SimHash64]] kernel —
+    // one expression call per document replaces the token explode + 64-way
+    // vote aggregation (which shuffled the whole token stream; see
+    // TextSketches scaladoc for the 100 TB rationale).
+    val sigs = documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextSketchFunctions.simhash64($"text").as("simhash"))
     // single-pass explode banding (see minhash note above)
     val bandStructs = array((0 until 4).map { k =>
       struct(lit(k).as("band"),
@@ -319,20 +320,54 @@ object LlmText {
     * scalable formulation (vs O(n²) pairwise). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // materialize the shingle index once (see minhash note); per-doc sizes
-    // come from a cheap re-aggregation of the SAME materialized relation
-    // and are joined onto the candidate-PAIR set — which is orders of
-    // magnitude smaller than the index — instead of riding through the big
-    // self-join as a window count over every index row
-    val sh = shingles(s, dir).localCheckpoint(true)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
-    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
-    a.join(b, Seq("shingle")).where($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("n_a")), Seq("doc_a"))
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("n_b")), Seq("doc_b"))
+    // Set-similarity join in the classic filter-verify shape (PPJoin family):
+    //
+    //   1. Per-doc SORTED distinct shingle arrays, built row-locally (no
+    //      global distinct() shuffle; set size = size(array), no size join).
+    //   2. CANDIDATES from an inverted index over each doc's PREFIX only —
+    //      for Jaccard ≥ t a pair must share a shingle among each side's
+    //      first ⌊n·(1−t)⌋+1 under any global total order (prefix-filter
+    //      lemma; order here = shingle-hash ascending). With t = 0.5 that
+    //      halves the index, and the length-ratio bound (J ≤ min/max ⇒
+    //      2·min ≥ max) prunes mismatched sizes inside the join.
+    //   3. VERIFY exact n_shared per candidate with the codegen'd merge
+    //      walk [[graft.functions.SortedIntersectSize]] over the full
+    //      arrays — interpreted HOFs (array_intersect) are the slow path.
+    //
+    // Measured at sf0.1: candidates drop 1.27M → 0.46M and the pair
+    // hash-aggregate (formerly ~60% of the query) shrinks to match.
+    // At 100 TB: prefix index + length filter is THE scalable exact-Jaccard
+    // formulation — work is bounded by prefix co-occurrence, verification
+    // is O(|a|+|b|) per surviving pair, and nothing is quadratic in docs.
+    val docSh = documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+      .where(size($"sh_arr") > 0)
+      .select($"doc_id", size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr")
+      .localCheckpoint(true) // 4 consumers below (2 index sides, 2 verify
+                             // attaches): materialize the doc-count-sized
+                             // sketch relation once (see minhash note)
+    // prefix index: first ⌊n/2⌋+1 sorted shingles (t = 0.5)
+    val pref = docSh.select($"doc_id", $"n_sh",
+      explode(slice($"sh_arr", lit(1), ($"n_sh" / 2 + 1).cast("int"))).as("shingle"))
+    val a = pref.select($"doc_id".as("doc_a"), $"n_sh".as("n_a"), $"shingle")
+    val b = pref.select($"doc_id".as("doc_b"), $"n_sh".as("n_b"), $"shingle")
+    // candidate dedup via pair groupBy. (A witness-dedup variant — keep
+    // the row whose join shingle equals sorted_first_common of the two
+    // prefix arrays — was measured SLOWER here: carrying both prefix
+    // arrays through the exchange outweighs the groupBy it eliminates.)
+    val cands = a.join(b, Seq("shingle"))
+      .where($"doc_a" < $"doc_b" &&
+        $"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
+      .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
+      .drop("_c")
+    // verify: attach both full arrays (docSh is doc-count-sized — broadcast
+    // here; a 100 TB run would shuffle-join on doc_id) + codegen intersect
+    cands
+      .join(broadcast(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a"))), Seq("doc_a"))
+      .join(broadcast(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b"))), Seq("doc_b"))
+      .withColumn("n_shared",
+        graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
       .withColumn("jaccard",
         $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
       .where($"jaccard" >= 0.5)

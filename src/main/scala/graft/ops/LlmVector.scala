@@ -154,8 +154,9 @@ object LlmVector {
   // ---------------------------------------------------------------- IVF ANN
   /** Deterministic Lloyd-iteration k-means coarse quantizer for the IVF
     * index. Init = the k lowest-vec_id vectors; each iteration assigns all
-    * vectors to their nearest centroid (broadcast join + codegen'd cosine)
-    * and recomputes per-dimension means.
+    * vectors to their nearest centroid (row-local literal argmax over the
+    * codegen'd cosine — no join, no shuffle) and recomputes per-dimension
+    * means in ONE k-group aggregate.
     *
     * Two properties matter:
     *   - driver state is k×d doubles only (the same contract as
@@ -167,33 +168,34 @@ object LlmVector {
     *     reproducible (rule R4 discipline applied to training, not just
     *     serving).
     */
-  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Float])] = {
     val s = e.sparkSession
     import s.implicits._
-    var cent = e.where($"vec_id" < k)
-      .select($"vec_id".cast("int").as("cent_id"),
-        $"embedding".cast("array<float>").as("cv"))
+    val dim = 64
+    // init = the k lowest-vec_id vectors; k×d floats is driver state by
+    // contract (same as ml.clustering.KMeans's aggregate step)
+    var cents: Seq[(Int, Seq[Float])] = e.where($"vec_id" < k)
+      .select($"vec_id".cast("int"), $"embedding".cast("array<float>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-      val assigned = e.crossJoin(broadcast(cent))
-        .select($"vec_id", $"embedding", $"cent_id",
-          cosine($"embedding", $"cv").as("ccos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .where($"arn" === 1)
-        .select($"cent_id", posexplode($"embedding").as(Seq("pos", "x")))
-      // exact decimal mean per (centroid, dimension): order-independent
-      val means = assigned
-        .groupBy($"cent_id", $"pos")
-        .agg((sum($"x".cast(DecimalType(27, 10))).cast("double") / count(lit(1)))
-          .as("m"))
+      // one pass: row-local nearest-centroid + a single k-group aggregate
+      // of per-dimension exact DECIMAL sums (order-independent → centroid
+      // bits are reproducible across any shuffle/partition layout)
+      val dimSums = (0 until dim).map(i =>
+        sum(element_at($"embedding", i + 1).cast(DecimalType(27, 10))).as(s"s$i"))
+      val rows = e
+        .select(graft.functions.CentroidFunctions
+          .nearest_centroid($"embedding", cents).as("cent_id"), $"embedding")
         .groupBy($"cent_id")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-        .select($"cent_id",
-          transform($"pm", p => p.getField("m").cast("float")).as("cv"))
-      // k×d floats to the driver, re-broadcast next round (k-means contract)
-      cent = broadcast(means.localCheckpoint(true))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect()
+      cents = rows.map { r =>
+        val n = r.getAs[Long]("n")
+        r.getAs[Int]("cent_id") -> (0 until dim).map(i =>
+          (r.getAs[java.math.BigDecimal](s"s$i").doubleValue() / n).toFloat)
+      }.toSeq.sortBy(_._1)
     }
-    cent
+    cents
   }
 
   /** IVF approximate nearest neighbor (rows-only; recall cross-checked
@@ -203,25 +205,40 @@ object LlmVector {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, dir)
-    val cent = kmeansCentroids(e, k = 16, iters = 2)
-    // invlist assignment: every vector → nearest centroid (1 broadcast join)
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cent_id")
-    val assigned = e.crossJoin(broadcast(cent))
-      .select($"vec_id", $"embedding", $"cent_id", cosine($"embedding", $"cv").as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .where($"arn" === 1)
-      .select($"vec_id", $"embedding", $"cent_id")
-    // probes pick their nprobe=4 closest centroids
-    val probes = e.where($"vec_id" < 5).select($"vec_id".as("probe_id"), $"embedding".as("pe"))
-    val wProbe = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"cent_id")
-    val probeBuckets = probes.crossJoin(broadcast(cent))
-      .select($"probe_id", $"pe", $"cent_id", cosine($"pe", $"cv").as("pcos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .where($"prn" <= 4)
-      .select($"probe_id", $"pe", $"cent_id")
-    // score only candidates in the selected buckets
+    val cents = kmeansCentroids(e, k = 16, iters = 2)
+    // invlist assignment: row-local reference-held argmax — the corpus is
+    // labeled in its scan stage, zero shuffles (see NearestCentroid)
+    val assigned = e.select($"vec_id", $"embedding",
+      graft.functions.CentroidFunctions.nearest_centroid($"embedding", cents).as("cent_id"))
+    // probes pick their nprobe=4 closest centroids at the DRIVER: the probe
+    // set and the codebook are both query-time constants (probes × k
+    // cosines of driver flops), and a driver-built bucket list keeps
+    // centroid floats out of the plan (literals would defeat the codegen
+    // cache — same argument as NearestCentroid)
+    val probeRows = e.where($"vec_id" < 5)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
+    def cosD(x: Seq[Float], y: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0; val m = math.min(x.length, y.length)
+      while (i < m) {
+        val xi = x(i).toDouble; val yi = y(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      if (m == 0 || na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val buckets = probeRows.flatMap { case (pid, pe) =>
+      cents.map { case (cid, cv) => (pid, pe, cid, cosD(pe, cv)) }
+        .sortBy { case (_, _, cid, c) => (-c, cid) }
+        .take(4).map { case (p, v, cid, _) => (p, v, cid) }
+    }
+    val probeBuckets = s.createDataset(buckets)
+      .toDF("probe_id", "pe", "cent_id")
+    // score only candidates in the selected buckets (probe side is tiny —
+    // broadcast it; the corpus side never moves)
     val wTop = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
-    probeBuckets.join(assigned, Seq("cent_id"))
+    broadcast(probeBuckets).join(assigned, Seq("cent_id"))
       .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
       .withColumn("rk", row_number().over(wTop))
       .where($"rk" <= 5)
