@@ -273,7 +273,11 @@ object Curation {
     * engines, whereas round(double, n) conventions differ — and the
     * checksum is an integer sum (exact in any order). The full quantized
     * vector is checksummed rather than emitted (array cells break the
-    * driver comparator). */
+    * driver comparator). The oracle's sum is CAST to BIGINT: DuckDB's
+    * list_aggregate 'sum' over BIGINT[] returns HUGEINT, which pandas-side
+    * fetches render as float64 ("16320.0" vs Spark's int64 "16320") — a
+    * type-level hash mismatch invisible to value-equality checks; this was
+    * the sole cross-engine divergence in a full result-type audit. */
   def embedQuantize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = $"embedding".cast("array<double>")
@@ -297,11 +301,11 @@ object Curation {
     """SELECT vec_id,
       |  list_min(CAST(embedding AS DOUBLE[])) AS mn,
       |  list_max(CAST(embedding AS DOUBLE[])) AS mx,
-      |  CASE WHEN list_max(CAST(embedding AS DOUBLE[])) > list_min(CAST(embedding AS DOUBLE[]))
+      |  CAST(CASE WHEN list_max(CAST(embedding AS DOUBLE[])) > list_min(CAST(embedding AS DOUBLE[]))
       |    THEN list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> CAST(LEAST(floor((x - list_min(CAST(embedding AS DOUBLE[]))) /
       |        ((list_max(CAST(embedding AS DOUBLE[])) - list_min(CAST(embedding AS DOUBLE[]))) / 255.0)), 255) AS BIGINT)), 'sum')
-      |    ELSE 0 END AS qsum
+      |    ELSE 0 END AS BIGINT) AS qsum
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin
 

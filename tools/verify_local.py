@@ -61,9 +61,20 @@ def main(sf_dir, out_dir):
         try:
             rel = con.sql(oracle[name])
             d_cols = rel.columns
+            d_types = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        # Type audit: a pandas-side fetch renders HUGEINT (e.g. DuckDB's sum
+        # over BIGINT[]) as float64 — "16320.0" vs Spark's int64 "16320" — a
+        # hash mismatch that value-equality via fetchall() cannot see. Caught
+        # this on q_embed_quantize (rounds 1-3); fail loudly on any recurrence.
+        widened = [f"{c}:{t}" for c, t in zip(d_cols, d_types)
+                   if "HUGEINT" in t.upper() or t.upper().startswith("U")]
+        if widened:
+            print(f"FAIL {name}: oracle type(s) widen beyond int64 (pandas "
+                  f"renders as float64, breaking the hash): {widened} — CAST to BIGINT")
+            n_fail += 1; continue
         sc, sr = canon(s_rows, s_cols)
         dc, dr = canon(d_rows, d_cols)
         if sc != dc:
