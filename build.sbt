@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses graft.Bench's single JSON output line from the
+// `sbt runMain` stream. Two sbt behaviors break a last-line parse: the
+// trailing "[success] Total time ..." banner, and logger "[info]" prefixes
+// on forked-process stdout. Route forked output straight through and drop
+// the banner so the JSON line is the final, unprefixed line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
