@@ -207,7 +207,69 @@ object Advanced {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Ordered funnel: users whose first signup precedes their first click
+    * precedes their first purchase — the sequence-pattern staple behind
+    * conversion analytics (CEP followedBy chain, batch form). One hash
+    * aggregate builds all three first-occurrence timestamps in a single
+    * scan (min over a CASE), then a row-local ordering predicate — no
+    * self-joins, so the plan is one shuffle at any scale. Times are
+    * floor-epoch-seconds (rule R3). */
+  def funnelOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", epochS($"ts"))).as("t_signup"),
+        min(when($"event_type" === "click", epochS($"ts"))).as("t_click"),
+        min(when($"event_type" === "purchase", epochS($"ts"))).as("t_purchase"))
+      .where($"t_signup" < $"t_click" && $"t_click" < $"t_purchase")
+      .orderBy($"user_id")
+  }
+
+  val funnelOrderSql: String =
+    """SELECT user_id,
+      |  MIN(CASE WHEN event_type = 'signup'
+      |    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_signup,
+      |  MIN(CASE WHEN event_type = 'click'
+      |    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_click,
+      |  MIN(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_purchase
+      |FROM events GROUP BY user_id
+      |HAVING t_signup < t_click AND t_click < t_purchase
+      |ORDER BY user_id""".stripMargin
+
+  /** Cohort retention: users bucketed by first-activity week (the cohort),
+    * counted as retained in each later week they appear. Two hash
+    * aggregates — (user → cohort week) then (cohort, offset → distinct
+    * users) — both shuffling on keys that scale with user count, never
+    * with event count. Weeks are floor(epoch/604800): integer, engine-
+    * identical, no calendar conventions involved. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weeks = events(s, dir)
+      .select($"user_id", floor(epochS($"ts") / lit(604800.0)).cast(LongType).as("week"))
+    val cohorts = weeks.groupBy($"user_id").agg(min($"week").as("cohort"))
+    weeks.join(cohorts, "user_id")
+      .groupBy($"cohort", ($"week" - $"cohort").as("offset_w"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort", $"offset_w")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH weeks AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(FLOOR(epoch(ts)) / 604800.0) AS BIGINT) AS week
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(week) AS cohort FROM weeks GROUP BY user_id)
+      |SELECT cohort, week - cohort AS offset_w,
+      |  COUNT(DISTINCT weeks.user_id) AS n_users
+      |FROM weeks JOIN cohorts ON weeks.user_id = cohorts.user_id
+      |GROUP BY cohort, week - cohort
+      |ORDER BY cohort, offset_w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_order"    -> (funnelOrder _),
+    "q_cohort_retention" -> (cohortRetention _),
     "q_join_asof"       -> (joinAsof _),
     "q_pivot"           -> (pivotTypes _),
     "q_stats_moments"   -> (statsMoments _),
@@ -217,6 +279,8 @@ object Advanced {
     "q_array_agg"       -> (arrayAgg _))
 
   def oracle: Map[String, String] = Map(
+    "q_funnel_order"    -> funnelOrderSql,
+    "q_cohort_retention" -> cohortRetentionSql,
     "q_join_asof"       -> joinAsofSql,
     "q_pivot"           -> pivotTypesSql,
     "q_stats_moments"   -> statsMomentsSql,

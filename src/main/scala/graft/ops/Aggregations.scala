@@ -194,7 +194,33 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Conditional (filtered) aggregation — several predicates folded in one
+    * pass over the fact table (Flink SQL FILTER / Table API agg with CASE).
+    * One scan + one hash-aggregate regardless of predicate count: the
+    * alternative of N filtered subqueries would scan N times at 100 TB.
+    * Money sums go through DECIMAL per rule R2; an all-null group (user
+    * with no purchases) yields NULL in both engines. */
+  def aggFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "error", 1)).as("n_err"),
+        count(when($"event_type" === "purchase", 1)).as("n_buy"),
+        sum(when($"event_type" === "purchase", dec2($"value")))
+          .cast("double").as("buy_value"))
+      .orderBy($"user_id")
+  }
+
+  val aggFilterSql: String =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS buy_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_filter"          -> (aggFilter _),
     "q_agg_group"           -> (aggGroup _),
     "q_agg_global"          -> (aggGlobal _),
     "q_agg_distinct"        -> (aggDistinct _),
@@ -206,6 +232,7 @@ object Aggregations {
     "q_agg_approx_distinct" -> (aggApproxDistinct _))
 
   def oracle: Map[String, String] = Map(
+    "q_agg_filter"         -> aggFilterSql,
     "q_agg_group"          -> aggGroupSql,
     "q_agg_global"         -> aggGlobalSql,
     "q_agg_distinct"       -> aggDistinctSql,

@@ -183,8 +183,26 @@ object Joins {
       |  AND FLOOR(epoch(e2.ts)) <= FLOOR(epoch(e1.ts)) + 60
       |ORDER BY signup_id, purchase_id""".stripMargin
 
+  /** Right outer join: every nation kept, suppliers where present — the
+    * mirror of q_join_left exercising the "right" join type (Table API
+    * rightOuterJoin). Catalyst canonicalizes it to a left join with sides
+    * swapped, so at scale the small preserved side still broadcasts. */
+  def joinRight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    supplier(s, dir)
+      .join(nation(s, dir), $"s_nationkey" === $"n_nationkey", "right")
+      .select($"n_nationkey", $"n_name", $"s_suppkey", $"s_name")
+      .orderBy($"n_nationkey", $"s_suppkey")
+  }
+
+  val joinRightSql: String =
+    """SELECT n_nationkey, n_name, s_suppkey, s_name
+      |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_range_bucket" -> (joinRangeBucket _),
+    "q_join_right"     -> (joinRight _),
     "q_join_inner"     -> (joinInner _),
     "q_join_left"      -> (joinLeft _),
     "q_join_full"      -> (joinFull _),
@@ -195,6 +213,7 @@ object Joins {
     "q_join_interval"  -> (joinInterval _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_right"     -> joinRightSql,
     "q_join_inner"     -> joinInnerSql,
     "q_join_left"      -> joinLeftSql,
     "q_join_full"      -> joinFullSql,

@@ -453,7 +453,83 @@ object LlmText {
       |GROUP BY lang, label
       |ORDER BY lang, label""".stripMargin
 
+  // ---------------------------------------------------------------- tf-idf
+  /** Corpus TF-IDF sufficient statistics: per-token total term frequency
+    * and document frequency, top-20 by tf. Emits the integer (tf, df)
+    * pair rather than the tf·log(N/df) score: log() is libm-dependent and
+    * not bit-stable across engines, while the integer statistics are exact
+    * — a downstream scorer multiplies at read time. One explode + one hash
+    * aggregate; at 100 TB the aggregate shuffles on token (Zipf-skewed,
+    * which AQE skew-split handles; partial aggregation collapses the heavy
+    * head map-side first). */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"token")
+      .limit(20)
+  }
+
+  val textTfidfSql: String =
+    """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- normalize
+  /** Canonicalization dedup measure: lowercase, strip non-alphanumerics,
+    * collapse whitespace, then count distinct canonical forms per source —
+    * the text-normalization front of a dedup pipeline (URL/content
+    * canonicalization). Corpus text is ASCII (verified), so lower() has no
+    * locale/unicode-convention exposure; the canonical form is md5-hashed
+    * so the distinct-count state is fixed-width however long the doc. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = regexp_replace(
+      regexp_replace(lower(trim($"text")), "[^a-z0-9 ]", ""), " +", " ")
+    documents(s, dir)
+      .select($"source", md5(canon).as("c"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"c").as("n_canonical"))
+      .orderBy($"source")
+  }
+
+  val textNormalizeSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(regexp_replace(regexp_replace(
+      |    lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_canonical
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- sampling
+  /** Stratified deterministic sampling: 5 docs per language, chosen by
+    * content-hash order — the reproducible held-out-split primitive
+    * (stratum quota version of q_sample_hash). Hash order makes the split
+    * independent of file/partition layout, so the same corpus sampled on
+    * any cluster shape yields the same rows; doc_id breaks exact-duplicate
+    * hash ties (rule R1). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy(md5($"text"), $"doc_id")
+    documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 5)
+      .select($"lang", $"rn", $"doc_id")
+      .orderBy($"lang", $"rn")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY md5(text), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf"          -> (textTfidf _),
+    "q_text_normalize"      -> (textNormalize _),
+    "q_sample_stratified"   -> (sampleStratified _),
     "q_pipeline_curate"     -> (pipelineCurate _),
     "q_text_wordcount"      -> (textWordcount _),
     "q_text_stats"          -> (textStats _),
@@ -468,6 +544,9 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   def oracle: Map[String, String] = Map(
+    "q_text_tfidf"          -> textTfidfSql,
+    "q_text_normalize"      -> textNormalizeSql,
+    "q_sample_stratified"   -> sampleStratifiedSql,
     "q_pipeline_curate"     -> pipelineCurateSql,
     "q_text_wordcount"      -> Relational.flatmapExplodeSql,
     "q_text_stats"          -> textStatsSql,

@@ -308,7 +308,46 @@ object LlmVector {
       .orderBy($"doc_id")
   }
 
+  /** Distributed centroid accumulation — the map-side partial-sum step of
+    * k-means/IVF training, oracle-checkable form. Per label: vector count
+    * plus component sums of the 1e6-quantized elements (dims 1 and 2
+    * individually, plus the all-dims total). Quantizing each element with
+    * floor(x·1e6) BEFORE summation makes the reduction pure int64 — exact
+    * in any shuffle order, unlike float sums which are non-associative —
+    * which is exactly how a deterministic large-scale k-means keeps its
+    * centroids reproducible across cluster shapes (divide by n at read).
+    * The DuckDB twin CASTs every integer sum to BIGINT (sum over int
+    * returns HUGEINT there — the q_embed_quantize lesson). */
+  def embedCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = $"embedding".cast("array<double>")
+    val q6 = (c: Column) => floor(c * lit(1000000.0)).cast(LongType)
+    embeddings(s, dir)
+      .select($"label",
+        q6(element_at(e, 1)).as("d1"),
+        q6(element_at(e, 2)).as("d2"),
+        aggregate(transform(e, x => q6(x)), lit(0L), (a, x) => a + x).as("dall"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum($"d1").as("s_d1"), sum($"d2").as("s_d2"), sum($"dall").as("s_all"))
+      .orderBy($"label")
+  }
+
+  val embedCentroidSql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS d1,
+      |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS d2,
+      |    CAST(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)), 'sum') AS BIGINT) AS dall
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n,
+      |  CAST(SUM(d1) AS BIGINT) AS s_d1, CAST(SUM(d2) AS BIGINT) AS s_d2,
+      |  CAST(SUM(dall) AS BIGINT) AS s_all
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroid"     -> (embedCentroid _),
     "q_sim_cosine_topk"    -> (simCosineTopk _),
     "q_embed_norm"         -> (embedNorm _),
     "q_multimodal_join"    -> (multimodalJoin _),
@@ -319,6 +358,7 @@ object LlmVector {
     "q_mm_decode_stub"     -> (mmDecodeStub _))
 
   def oracle: Map[String, String] = Map(
+    "q_embed_centroid"     -> embedCentroidSql,
     "q_sim_cosine_topk"    -> simCosineTopkSql,
     "q_embed_norm"         -> embedNormSql,
     "q_multimodal_join"    -> multimodalJoinSql,

@@ -164,7 +164,68 @@ object TimeWindows {
       |FROM r WHERE rank <= 3
       |ORDER BY win_start, rank""".stripMargin
 
+  /** Count-based window, batch analog of Flink's keyedStream.countWindow(20):
+    * per user, consecutive 20-event buckets in event-time order, aggregated
+    * per bucket. Spark has no count-window primitive; the composition is
+    * row_number → floor((rn−1)/20) bucket id → hash aggregate. Ordering is
+    * on floor-epoch-seconds + event_id — a cross-engine total order (raw ts
+    * ordering could disagree below microsecond precision). The streaming twin
+    * is a ListState buffer flushed at n (streaming.Processors). */
+  def countWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"), $"value")
+      .withColumn("win_id", floor((row_number().over(w) - 1) / lit(20.0)).cast(LongType))
+      .groupBy($"user_id", $"win_id")
+      .agg(count(lit(1)).as("n"), sumMoney($"value").as("sum_value"),
+        min($"t").as("t_min"), max($"t").as("t_max"))
+      .orderBy($"user_id", $"win_id")
+  }
+
+  val countWindowSql: String =
+    """WITH r AS (
+      |  SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, CAST(FLOOR((rn - 1) / 20.0) AS BIGINT) AS win_id,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  MIN(t) AS t_min, MAX(t) AS t_max
+      |FROM r GROUP BY user_id, FLOOR((rn - 1) / 20.0)
+      |ORDER BY user_id, win_id""".stripMargin
+
+  /** CEP batch analog of the login-fail classic (Pattern.begin.where.next
+    * .within): per user, the 3rd error within a 24 h window — detected with
+    * lag(t, 2) over the per-user error stream: if the error two-back is
+    * within the horizon, this event completes a burst. One shuffle on
+    * user_id, O(1) state per row — the same sliding-count idea the
+    * streaming StatefulProcessor implements with ListState + timers. */
+  def cepFailBurst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    events(s, dir).where($"event_type" === "error")
+      .select($"user_id", $"event_id", epochS($"ts").as("t"))
+      .withColumn("t2back", lag($"t", 2).over(w))
+      .where($"t2back".isNotNull && $"t" - $"t2back" <= 86400)
+      .select($"user_id", $"event_id", $"t", ($"t" - $"t2back").as("span_s"))
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
+  val cepFailBurstSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+      |    LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 2) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS t2back
+      |  FROM events WHERE event_type = 'error')
+      |SELECT user_id, event_id, t, t - t2back AS span_s
+      |FROM r WHERE t2back IS NOT NULL AND t - t2back <= 86400
+      |ORDER BY user_id, t, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_count_window"      -> (countWindow _),
+    "q_cep_fail_burst"    -> (cepFailBurst _),
     "q_tumble_window"     -> (tumbleWindow _),
     "q_hop_window"        -> (hopWindow _),
     "q_session_window"    -> (sessionWindow _),
@@ -172,6 +233,8 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_count_window"     -> countWindowSql,
+    "q_cep_fail_burst"   -> cepFailBurstSql,
     "q_tumble_window"    -> tumbleWindowSql,
     "q_hop_window"       -> hopWindowSql,
     "q_session_window"   -> sessionWindowSql,

@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.{Advanced, Aggregations, Joins, LlmText, LlmVector, TimeWindows}
+
+/** Semantic checks for the round-4 operator additions (count window, CEP
+  * burst, funnel, cohort, conditional agg, right join, tf-idf, normalize,
+  * stratified sample, centroid) on the real sf0.001 data — each assertion
+  * recomputes the property a different way than the operator does. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  private val dir = sf("sf0.001")
+
+  test("q_count_window: per-user buckets are consecutive, full except the last") {
+    val rows = TimeWindows.countWindow(spark, dir)
+      .select("user_id", "win_id", "n").as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (user, buckets) =>
+      val sorted = buckets.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong),
+        s"user $user: bucket ids not consecutive from 0")
+      sorted.init.foreach { case (_, w, n) =>
+        assert(n === 20L, s"user $user bucket $w not full") }
+      assert(sorted.last._3 <= 20L && sorted.last._3 >= 1L)
+    }
+  }
+
+  test("q_cep_fail_burst: matches brute-force recompute of 3-in-horizon errors") {
+    val errors = graft.tables.Tables.events(spark, dir)
+      .where($"event_type" === "error")
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long, Long)].collect()
+    val expected = errors.groupBy(_._1).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.sliding(3).collect {
+        case Array(a, _, c) if c._3 - a._3 <= 86400 => (user, c._2)
+      }
+    }.toSet
+    val got = TimeWindows.cepFailBurst(spark, dir)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("q_funnel_order: every returned user's stamps are strictly ordered and first-occurrence") {
+    val rows = Advanced.funnelOrder(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val firsts = graft.tables.Tables.events(spark, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.unix_timestamp($"ts")).as("t"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(x => x._2 -> x._3).toMap }
+    rows.foreach { case (u, ts, tc, tp) =>
+      assert(ts < tc && tc < tp)
+      assert(firsts(u)("signup") === ts && firsts(u)("click") === tc &&
+        firsts(u)("purchase") === tp)
+    }
+  }
+
+  test("q_cohort_retention: offset-0 cells account for every user exactly once") {
+    val rows = Advanced.cohortRetention(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(_._2 >= 0), "negative week offset")
+    val usersInCohort0 = rows.filter(_._2 == 0L).map(_._3).sum
+    val totalUsers = graft.tables.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(usersInCohort0 === totalUsers,
+      "every user appears in its own cohort's offset-0 cell")
+  }
+
+  test("q_agg_filter: conditional counts recompute via plain filters (spot user)") {
+    val df = Aggregations.aggFilter(spark, dir)
+    val u = df.select("user_id").as[Long].head()
+    val row = df.where($"user_id" === u).head()
+    val e = graft.tables.Tables.events(spark, dir).where($"user_id" === u)
+    assert(row.getLong(1) === e.where($"event_type" === "error").count())
+    assert(row.getLong(2) === e.where($"event_type" === "purchase").count())
+  }
+
+  test("q_join_right: preserves all nations; equals mirrored left join") {
+    val r = Joins.joinRight(spark, dir)
+    assert(r.select("n_nationkey").distinct().count() === 25L)
+    val l = graft.tables.Tables.nation(spark, dir)
+      .join(graft.tables.Tables.supplier(spark, dir),
+        $"s_nationkey" === $"n_nationkey", "left")
+      .select($"n_nationkey", $"n_name", $"s_suppkey", $"s_name")
+    assert(r.count() === l.count())
+    assert(r.exceptAll(l).count() === 0L)
+  }
+
+  test("q_text_tfidf: df ≤ tf, df ≤ corpus size, tf non-increasing") {
+    val rows = LlmText.textTfidf(spark, dir)
+      .select("tf", "df").as[(Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (tf, df) => assert(df <= tf && df <= 500L && df >= 1L) }
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sortBy(-_).toSeq)
+  }
+
+  test("q_text_normalize: canonical forms never exceed docs; punctuation-only diffs collapse") {
+    LlmText.textNormalize(spark, dir)
+      .select("n_docs", "n_canonical").as[(Long, Long)].collect()
+      .foreach { case (n, c) => assert(c <= n && c >= 1L) }
+    // literal check: two docs differing only in case/punct share a canon hash
+    val two = Seq((1L, "Hello, World!"), (2L, "hello world")).toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    two.createOrReplaceTempView("graft_norm_two")
+    import org.apache.spark.sql.functions._
+    val canon = regexp_replace(
+      regexp_replace(lower(trim($"text")), "[^a-z0-9 ]", ""), " +", " ")
+    assert(two.select(md5(canon).as("c")).distinct().count() === 1L)
+  }
+
+  test("q_sample_stratified: exactly 5 per language with rn 1..5") {
+    val rows = LlmText.sampleStratified(spark, dir)
+      .select("lang", "rn").as[(String, Int)].collect()
+    rows.groupBy(_._1).foreach { case (lang, xs) =>
+      assert(xs.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4, 5), s"lang $lang") }
+  }
+
+  test("q_embed_centroid: totals recompute from a driver-side fold") {
+    val got = LlmVector.embedCentroid(spark, dir)
+      .select("label", "n", "s_d1").as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val raw = graft.tables.Tables.embeddings(spark, dir)
+      .select($"label", $"embedding").as[(Int, Array[Float])].collect()
+    val exp = raw.groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.length.toLong,
+        xs.map(x => math.floor(x._2(0).toDouble * 1000000.0).toLong).sum)
+    }
+    assert(got === exp)
+  }
+}
