@@ -67,4 +67,36 @@ class PlanSpec extends SparkTestBase {
     val p = planOf(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir))
     assert(p.contains("ExistingRDD"), "signature relation not materialized pre-self-join")
   }
+
+  test("q_agg_filter: all conditional aggregates fold into ONE aggregate pair (single scan)") {
+    val p = planOf(SparkEntry.queries("q_agg_filter")(spark, dir))
+    // formatted explain lists each operator twice (tree + detail header);
+    // count the "(n) HashAggregate" detail headers = actual operator count
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate.*""")) == 2,
+      "conditional agg should be one partial+final pair, not N filtered subplans")
+    assert(p.contains("partial_count"), "no map-side partials")
+  }
+
+  test("q_funnel_order: single scan + one aggregate pair, no self-joins") {
+    val p = planOf(SparkEntry.queries("q_funnel_order")(spark, dir))
+    assert(!p.contains("Join"), "funnel should not self-join per stage")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      "funnel should read events exactly once")
+  }
+
+  test("q_join_right: preserved-side join still broadcasts the small relation") {
+    val p = planOf(SparkEntry.queries("q_join_right")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "right join degenerated to shuffle join")
+  }
+
+  test("q_cep_fail_burst: filter pushed below the window sort") {
+    val p = planOf(SparkEntry.queries("q_cep_fail_burst")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"),
+      "event-type filter not pushed to the scan — window would sort all events")
+  }
+
+  test("q_embed_centroid: quantized sums aggregate partially map-side") {
+    val p = planOf(SparkEntry.queries("q_embed_centroid")(spark, dir))
+    assert(p.contains("partial_sum"), "centroid accumulation must combine map-side")
+  }
 }
