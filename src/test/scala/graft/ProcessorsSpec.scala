@@ -18,6 +18,53 @@ class ProcessorsSpec extends SparkTestBase {
   private def ev(id: Long, min: Int, user: Long = 1L, v: Double = 1.0): Event =
     Event(id, ts(min), user, "m", v)
 
+  test("dataflow equivalence: streaming count-window over replayed events == batch q_count_window (order-free invariants)") {
+    // CountWindow bucket MEMBERSHIP depends on arrival order (which Spark
+    // does not guarantee within a micro-batch per key), so row-exact
+    // equality vs the event-time-ordered batch query would be flaky. The
+    // order-INSENSITIVE invariants are exact though: per user, the multiset
+    // of bucket sizes (a function of the per-user count alone) and the
+    // conservation of total value across buckets.
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.countWindow(spark, dir)
+      .select("user_id", "n", "sum_value")
+      .as[(Long, Long, Double)].collect()
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new CountWindowProcessor(20),
+        TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // Replay in event-time order, one complete 20-bucket per user per
+      // micro-batch: intra-batch order (which Spark doesn't guarantee) then
+      // cannot change bucket membership, making the replay deterministic.
+      val chunksByUser = evs.groupBy(_.user_id).view.mapValues(
+        _.sortBy(e => (e.ts.getTime, e.event_id)).grouped(20).toVector).toMap
+      val rounds = chunksByUser.values.map(_.length).max
+      (0 until rounds).foreach { r =>
+        val batchRows = chunksByUser.values.flatMap(_.lift(r)).flatten.toSeq
+        if (batchRows.nonEmpty) { in.addData(batchRows); q.processAllAvailable() }
+      }
+      val streamed = spark.table(sink).as[CountWindowResult].collect()
+        .map(c => (c.user_id, c.window_idx) -> (c.n, c.sum_value)).toMap
+      // streaming emits only FULL buckets (the tail stays buffered in state)
+      val batchFull = graft.ops.TimeWindows.countWindow(spark, dir)
+        .select("user_id", "win_id", "n", "sum_value")
+        .as[(Long, Long, Long, Double)].collect().filter(_._3 == 20L)
+      assert(batch.count(_._2 == 20L) === streamed.size, "full-bucket count differs")
+      batchFull.foreach { case (u, w, n, sum) =>
+        val (sn, ssum) = streamed((u, w))
+        assert(sn === n)
+        // same 20 members; double fold order may differ inside the bucket
+        assert(math.abs(ssum - sum) < 1e-6, s"user $u bucket $w: $ssum vs $sum")
+      }
+    } finally q.stop()
+  }
+
   test("s_count_window: flush an aggregate every n records per key") {
     val in = MemoryStream[Event]
     val sink = nextSink()
