@@ -182,6 +182,31 @@ object Advanced {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** nth_value window function over an explicit full-partition frame: each
+    * order annotated with its customer's 2nd-largest order price. The frame
+    * must be explicit — the default RANGE..CURRENT ROW frame would make
+    * nth_value a running value; unbounded-both-sides gives the per-partition
+    * constant. Tie-broken by o_orderkey (rule R1) so "2nd" is engine-
+    * identical under duplicate prices. */
+  def winNthValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        nth_value($"o_totalprice", 2).over(w).as("second_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val winNthValueSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Array aggregation: per-nation sorted list of supplier keys (sorted so
     * the array value is shuffle-order independent — determinism by
     * construction, not by engine accident). The list is serialized to a
@@ -270,6 +295,7 @@ object Advanced {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_order"    -> (funnelOrder _),
     "q_cohort_retention" -> (cohortRetention _),
+    "q_win_nth_value"   -> (winNthValue _),
     "q_join_asof"       -> (joinAsof _),
     "q_pivot"           -> (pivotTypes _),
     "q_stats_moments"   -> (statsMoments _),
@@ -281,6 +307,7 @@ object Advanced {
   def oracle: Map[String, String] = Map(
     "q_funnel_order"    -> funnelOrderSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_win_nth_value"   -> winNthValueSql,
     "q_join_asof"       -> joinAsofSql,
     "q_pivot"           -> pivotTypesSql,
     "q_stats_moments"   -> statsMomentsSql,

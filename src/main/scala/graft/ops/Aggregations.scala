@@ -219,7 +219,28 @@ object Aggregations {
       |    THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS buy_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Boolean aggregates (Flink SQL EVERY/SOME): per event type, whether all
+    * values are positive and whether any exceeds 900 — plus the count so
+    * the result carries its evidence base. bool_and/bool_or are exact
+    * (order-free) reductions in both engines. */
+  def aggBool(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir).groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        bool_and($"value" > 0).as("all_positive"),
+        bool_or($"value" > 900).as("any_large"))
+      .orderBy($"event_type")
+  }
+
+  val aggBoolSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  BOOL_AND(value > 0) AS all_positive,
+      |  BOOL_OR(value > 900) AS any_large
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bool"            -> (aggBool _),
     "q_agg_filter"          -> (aggFilter _),
     "q_agg_group"           -> (aggGroup _),
     "q_agg_global"          -> (aggGlobal _),
@@ -232,6 +253,7 @@ object Aggregations {
     "q_agg_approx_distinct" -> (aggApproxDistinct _))
 
   def oracle: Map[String, String] = Map(
+    "q_agg_bool"           -> aggBoolSql,
     "q_agg_filter"         -> aggFilterSql,
     "q_agg_group"          -> aggGroupSql,
     "q_agg_global"         -> aggGlobalSql,
