@@ -119,6 +119,62 @@ class LoginFailProcessor(horizonMs: Long, threshold: Int)
   }
 }
 
+/** Streaming funnel (CEP followedBy chain, batch twin: q_funnel_order):
+  * tracks the MINIMUM event time of each funnel stage per user and settles
+  * the verdict with an event-time timer that keeps sliding to
+  * last-seen + horizon — the verdict is evaluated once, when the watermark
+  * proves the user has gone quiet. Emitting on arrival instead would be
+  * wrong under out-of-order input: a late earlier-stage event can flip an
+  * already-emitted conversion (append mode cannot retract). Min-tracking
+  * makes the state ORDER-INSENSITIVE (min is associative/commutative), so
+  * the settled verdict equals the batch query on any replay order —
+  * asserted in ProcessorsSpec. State: three longs + one timer per user. */
+case class FunnelConversion(user_id: Long, t_signup: Long, t_click: Long, t_purchase: Long)
+
+class FunnelProcessor(horizonMs: Long)
+    extends StatefulProcessor[Long, Event, FunnelConversion] {
+  @transient private var minTs: MapState[String, Long] = _
+  @transient private var timerTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    minTs = getHandle.getMapState[String, Long]("mins",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[FunnelConversion] = {
+    var maxSeen = if (timerTs.exists()) timerTs.get() - horizonMs else Long.MinValue
+    rows.foreach { e =>
+      if (e.event_type == "signup" || e.event_type == "click" || e.event_type == "purchase") {
+        val t = e.ts.getTime
+        if (!minTs.containsKey(e.event_type) || t < minTs.getValue(e.event_type))
+          minTs.updateValue(e.event_type, t)
+      }
+      if (e.ts.getTime > maxSeen) maxSeen = e.ts.getTime
+    }
+    // slide the settlement timer to quiet-time = last activity + horizon
+    if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+    val fireAt = maxSeen + horizonMs
+    getHandle.registerTimer(fireAt)
+    timerTs.update(fireAt)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[FunnelConversion] = {
+    timerTs.clear()
+    val out = for {
+      s <- if (minTs.containsKey("signup")) Some(minTs.getValue("signup")) else None
+      c <- if (minTs.containsKey("click")) Some(minTs.getValue("click")) else None
+      p <- if (minTs.containsKey("purchase")) Some(minTs.getValue("purchase")) else None
+      if s < c && c < p
+    } yield FunnelConversion(key, s / 1000L, c / 1000L, p / 1000L)
+    minTs.clear()
+    out.iterator
+  }
+}
+
 /** Hot-items top-N (THE canonical Flink-training example: windowed count →
   * per-window TopN via ProcessWindowFunction + state + timer). Keyed by the
   * tumbling-window start; a MapState holds item→count for the open window;

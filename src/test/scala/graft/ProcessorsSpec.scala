@@ -18,6 +18,49 @@ class ProcessorsSpec extends SparkTestBase {
   private def ev(id: Long, min: Int, user: Long = 1L, v: Double = 1.0): Event =
     Event(id, ts(min), user, "m", v)
 
+  test("dataflow equivalence: streaming funnel settles to exactly batch q_funnel_order") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Advanced.funnelOrder(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val horizonMs = 3600000L
+    val maxMs = evs.map(_.ts.getTime).max
+    // The settled verdict is only guaranteed for disorder WITHIN the
+    // watermark bound (a quiet-time timer firing before straggler stages
+    // arrive settles early — correct streaming semantics, wrong test). The
+    // replay below is fully reversed (~30 days of disorder), so the
+    // watermark delay must cover the whole span.
+    val delayMs = 35L * 24 * 3600000
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // deliberately adversarial replay: REVERSED event order — min-tracking
+      // state must settle to the same verdict as the in-order batch query
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentinel = Event(-1L,
+        new Timestamp(maxMs + delayMs + 3 * horizonMs), -99L, "sentinel", 0.0)
+      in.addData(sentinel); q.processAllAvailable()
+      in.addData(sentinel.copy(event_id = -2L)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def streamed() = spark.table(sink).as[FunnelConversion].collect()
+        .filter(_.user_id != -99L)
+        .map(f => (f.user_id, f.t_signup, f.t_click, f.t_purchase)).toSet
+      while (streamed().size < batch.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(streamed() === batch)
+    } finally q.stop()
+  }
+
   test("dataflow equivalence: streaming count-window over replayed events == batch q_count_window (order-free invariants)") {
     // CountWindow bucket MEMBERSHIP depends on arrival order (which Spark
     // does not guarantee within a micro-batch per key), so row-exact
