@@ -200,8 +200,33 @@ object Joins {
       |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY n_nationkey, s_suppkey NULLS FIRST""".stripMargin
 
+  /** Skew-safe salted join surfaced as a contract query: lineitem⋈supplier
+    * on suppkey (few suppliers → the canonical hot-key shape at scale) runs
+    * through tables.Layout.saltedJoin — content-hash salt on the fact side,
+    * dim replicated per salt — then aggregates revenue per supplier. The
+    * oracle is the PLAIN join+group: salting must be a pure physical
+    * rewrite, row-identical to the unsalted join (that equality IS the
+    * check). Money math through DECIMAL (rule R2) keeps the sum exact in
+    * any salt-bucket order. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = lineitem(s, dir).select($"l_suppkey", $"l_extendedprice")
+    val dim = supplier(s, dir).select($"s_suppkey", $"s_name")
+    graft.tables.Layout.saltedJoin(fact, dim, "l_suppkey", "s_suppkey", salts = 8)
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n_items"), sumMoney($"l_extendedprice").as("revenue"))
+      .orderBy($"s_name")
+  }
+
+  val joinSaltedSql: String =
+    """SELECT s_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_range_bucket" -> (joinRangeBucket _),
+    "q_join_salted"    -> (joinSalted _),
     "q_join_right"     -> (joinRight _),
     "q_join_inner"     -> (joinInner _),
     "q_join_left"      -> (joinLeft _),
@@ -213,6 +238,7 @@ object Joins {
     "q_join_interval"  -> (joinInterval _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_salted"    -> joinSaltedSql,
     "q_join_right"     -> joinRightSql,
     "q_join_inner"     -> joinInnerSql,
     "q_join_left"      -> joinLeftSql,
