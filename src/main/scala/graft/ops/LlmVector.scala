@@ -352,7 +352,46 @@ object LlmVector {
       |  CAST(SUM(dall) AS BIGINT) AS s_all
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** Frame sampling over opaque payloads — the video/audio keyframe-
+    * extraction plumbing of a multimodal pipeline, with a deterministic
+    * frame model standing in for the codec (fixed 256-byte frames, every
+    * 4th sampled; the text column plays the payload as in q_mm_binary_meta
+    * — ASCII, so char frames == byte frames). The Spark shape is the real
+    * thing: per-row frame enumeration via sequence+explode (no UDF, stays
+    * in codegen), content-addressed frame ids via md5 — at 100 TB the
+    * explode fans out inside the scan stage partition-locally and the
+    * sampled frames shuffle nowhere until the caller keys them. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select($"doc_id", $"text",
+        ceil(length($"text") / lit(256.0)).cast(LongType).as("n_frames"))
+      .select($"doc_id", $"text", $"n_frames",
+        explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
+      .where(pmod($"frame_idx", lit(4L)) === 0)
+      .select($"doc_id", $"frame_idx",
+        md5(expr("cast(substring(text, cast(frame_idx*256+1 as int), 256) as binary)"))
+          .as("frame_md5"),
+        $"n_frames")
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(CEIL(length(text) / 256.0) AS BIGINT) AS n_frames
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, n_frames,
+      |    unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      |  FROM b)
+      |SELECT doc_id, frame_idx,
+      |  md5(substring(text, frame_idx*256+1, 256)) AS frame_md5, n_frames
+      |FROM f WHERE frame_idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_frame_sample"    -> (mmFrameSample _),
     "q_embed_centroid"     -> (embedCentroid _),
     "q_sim_cosine_topk"    -> (simCosineTopk _),
     "q_embed_norm"         -> (embedNorm _),
@@ -364,6 +403,7 @@ object LlmVector {
     "q_mm_decode_stub"     -> (mmDecodeStub _))
 
   def oracle: Map[String, String] = Map(
+    "q_mm_frame_sample"    -> mmFrameSampleSql,
     "q_embed_centroid"     -> embedCentroidSql,
     "q_sim_cosine_topk"    -> simCosineTopkSql,
     "q_embed_norm"         -> embedNormSql,
