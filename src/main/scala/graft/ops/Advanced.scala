@@ -207,6 +207,70 @@ object Advanced {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Exact quartiles by explicit window position — extends q_median to the
+    * p25/p50/p75 family without percentile built-ins (whose interpolation
+    * and boundary conventions differ per engine). The selected positions
+    * are ceil(q·n): pure integer/IEEE arithmetic, engine-identical; the
+    * emitted values are untouched input doubles. Single window pass +
+    * one aggregate — no per-quantile scans. */
+  def percentileExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    val cw = Window.partitionBy($"event_type")
+    events(s, dir)
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .groupBy($"event_type")
+      .agg(
+        max(when($"rn" === ceil($"n" * 0.25), $"value")).as("p25"),
+        max(when($"rn" === ceil($"n" * 0.50), $"value")).as("p50"),
+        max(when($"rn" === ceil($"n" * 0.75), $"value")).as("p75"))
+      .orderBy($"event_type")
+  }
+
+  val percentileExactSql: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.25) THEN value END) AS p25,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.50) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.75) THEN value END) AS p75
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Market-basket co-occurrence: part pairs appearing together in ≥2
+    * orders, top-100 — the frequent-itemset candidate-pair primitive. The
+    * self-join goes through the order-as-basket inverted index, so work is
+    * Σ C(items-per-order, 2) — bounded by basket size (≤7 here, small and
+    * bounded in any real order table), never |parts|² — the same
+    * index-bounded shape as the shingle Jaccard join. distinct() first so
+    * repeat purchases of a part within one order count once. */
+  def basketPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val a = items.select($"l_orderkey", $"l_partkey".as("p1"))
+    val b = items.select($"l_orderkey", $"l_partkey".as("p2"))
+    a.join(b, Seq("l_orderkey"))
+      .where($"p1" < $"p2")
+      .groupBy($"p1", $"p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .where($"n_orders" >= 2)
+      .orderBy($"n_orders".desc, $"p1", $"p2")
+      .limit(100)
+  }
+
+  val basketPairsSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin
+
   /** Array aggregation: per-nation sorted list of supplier keys (sorted so
     * the array value is shuffle-order independent — determinism by
     * construction, not by engine accident). The list is serialized to a
@@ -296,6 +360,8 @@ object Advanced {
     "q_funnel_order"    -> (funnelOrder _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_win_nth_value"   -> (winNthValue _),
+    "q_percentile_exact" -> (percentileExact _),
+    "q_basket_pairs"    -> (basketPairs _),
     "q_join_asof"       -> (joinAsof _),
     "q_pivot"           -> (pivotTypes _),
     "q_stats_moments"   -> (statsMoments _),
@@ -308,6 +374,8 @@ object Advanced {
     "q_funnel_order"    -> funnelOrderSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_win_nth_value"   -> winNthValueSql,
+    "q_percentile_exact" -> percentileExactSql,
+    "q_basket_pairs"    -> basketPairsSql,
     "q_join_asof"       -> joinAsofSql,
     "q_pivot"           -> pivotTypesSql,
     "q_stats_moments"   -> statsMomentsSql,

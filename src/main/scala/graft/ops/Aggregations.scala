@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.tables.Tables._
 import Util._
 
@@ -239,7 +240,29 @@ object Aggregations {
       |  BOOL_OR(value > 900) AS any_large
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Fixed-width histogram: value distribution per event type in width-50
+    * buckets — the profiling aggregate behind data-quality dashboards.
+    * Bucket = floor(value/50): IEEE division+floor on the same parquet
+    * double is bit-deterministic in both engines; counts are exact. One
+    * hash-aggregate pair, bucket cardinality is bounded by range/width
+    * regardless of row count. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"event_type",
+        floor($"value" / lit(50.0)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val aggHistogramSql: String =
+    """SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type, FLOOR(value / 50.0)
+      |ORDER BY event_type, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_histogram"       -> (aggHistogram _),
     "q_agg_bool"            -> (aggBool _),
     "q_agg_filter"          -> (aggFilter _),
     "q_agg_group"           -> (aggGroup _),
@@ -253,6 +276,7 @@ object Aggregations {
     "q_agg_approx_distinct" -> (aggApproxDistinct _))
 
   def oracle: Map[String, String] = Map(
+    "q_agg_histogram"      -> aggHistogramSql,
     "q_agg_bool"           -> aggBoolSql,
     "q_agg_filter"         -> aggFilterSql,
     "q_agg_group"          -> aggGroupSql,
