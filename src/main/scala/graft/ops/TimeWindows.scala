@@ -223,7 +223,62 @@ object TimeWindows {
       |FROM r WHERE t2back IS NOT NULL AND t - t2back <= 86400
       |ORDER BY user_id, t, event_id""".stripMargin
 
+  /** Series decimation: every 10th event per user in event-time order —
+    * the plot/preview downsampling primitive. One window pass; ordering on
+    * floor-epoch-seconds + event_id (cross-engine total order). At scale
+    * the modulo filter drops 90% of rows before anything downstream. */
+  def timeDownsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"))
+      .withColumn("rn", row_number().over(w))
+      .where(pmod($"rn" - 1, lit(10)) === 0)
+      .select($"user_id", $"event_id", $"t")
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
+  val timeDownsampleSql: String =
+    """SELECT user_id, event_id, t FROM (
+      |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
+      |  FROM events)
+      |WHERE (rn - 1) % 10 = 0
+      |ORDER BY user_id, t, event_id""".stripMargin
+
+  /** Calendar gap-fill: daily order counts on a dense epoch-day spine with
+    * zero-filled missing days — the densification step every time-series
+    * consumer (charts, models, window functions over time) needs. The
+    * spine generates from the observed min/max day (two-row broadcast),
+    * so no external calendar table; days are integer epoch-days (rule R3,
+    * no calendar/timezone conventions). */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = orders(s, dir)
+      .groupBy(floor(epochS($"o_orderdate") / lit(86400.0)).cast(LongType).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n_orders"))
+      .orderBy($"day")
+  }
+
+  val gapFillDailySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 86400.0) AS BIGINT) AS day,
+      |    COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b)
+      |SELECT spine.day AS day, COALESCE(n, 0) AS n_orders
+      |FROM spine LEFT JOIN daily ON spine.day = daily.day
+      |ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_downsample"   -> (timeDownsample _),
+    "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
     "q_tumble_window"     -> (tumbleWindow _),
@@ -233,6 +288,8 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_time_downsample"  -> timeDownsampleSql,
+    "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,
     "q_tumble_window"    -> tumbleWindowSql,

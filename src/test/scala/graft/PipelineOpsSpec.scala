@@ -117,6 +117,55 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(xs.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4, 5), s"lang $lang") }
   }
 
+  test("q_agg_histogram: bucket counts partition the rows exactly") {
+    val rows = Aggregations.aggHistogram(spark, dir)
+      .select("n").as[Long].collect()
+    val total = graft.tables.Tables.events(spark, dir).count()
+    assert(rows.sum === total, "histogram buckets must sum to the row count")
+  }
+
+  test("q_percentile_exact: quartiles are ordered members of each group") {
+    val rows = Advanced.percentileExact(spark, dir)
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.length === 5)
+    val byType = graft.tables.Tables.events(spark, dir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (t, p25, p50, p75) =>
+      assert(p25 <= p50 && p50 <= p75, s"$t quartiles out of order")
+      assert(byType(t).contains(p25) && byType(t).contains(p50) && byType(t).contains(p75),
+        s"$t: exact percentiles must be members of the group")
+    }
+  }
+
+  test("q_basket_pairs: pair counts recompute from driver-side basket fold (spot top pair)") {
+    val top = Advanced.basketPairs(spark, dir).head()
+    val (p1, p2, n) = (top.getLong(0), top.getLong(1), top.getLong(2))
+    val recount = graft.tables.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+      .groupBy(_._1).count { case (_, items) =>
+        val set = items.map(_._2).toSet; set.contains(p1) && set.contains(p2) }
+    assert(n === recount.toLong)
+  }
+
+  test("q_time_downsample: keeps exactly ceil(k/10) events per user, first always kept") {
+    val kept = graft.ops.TimeWindows.timeDownsample(spark, dir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val all = graft.tables.Tables.events(spark, dir)
+      .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    all.foreach { case (u, k) =>
+      assert(kept(u) === (k + 9) / 10, s"user $u: ${kept(u)} of $k") }
+  }
+
+  test("q_gap_fill_daily: dense day spine, counts conserved, gaps are zero") {
+    val rows = graft.ops.TimeWindows.gapFillDaily(spark, dir)
+      .as[(Long, Long)].collect()
+    val days = rows.map(_._1)
+    assert(days.toSeq === (days.min to days.max).toSeq, "spine must be dense")
+    assert(rows.map(_._2).sum === graft.tables.Tables.orders(spark, dir).count())
+    assert(rows.exists(_._2 == 0L), "expect at least one zero-filled gap day")
+  }
+
   test("q_embed_centroid: totals recompute from a driver-side fold") {
     val got = LlmVector.embedCentroid(spark, dir)
       .select("label", "n", "s_d1").as[(Int, Long, Long)].collect()
