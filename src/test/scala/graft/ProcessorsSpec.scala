@@ -18,6 +18,33 @@ class ProcessorsSpec extends SparkTestBase {
   private def ev(id: Long, min: Int, user: Long = 1L, v: Double = 1.0): Event =
     Event(id, ts(min), user, "m", v)
 
+  test("dataflow equivalence: streaming CEP burst == batch q_cep_fail_burst (same horizon/threshold)") {
+    // LoginFailProcessor fires when >=3 events lie in [t-h, t], which for
+    // time-sorted events is EXACTLY the batch query's lag(t,2) >= t-h
+    // predicate — so the completing-event sets must match one-to-one.
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.cepFailBurst(spark, dir)
+      .select("user_id", "t").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val errs = graft.tables.Tables.events(spark, dir)
+      .where($"event_type" === "error")
+      .select($"user_id", $"ts")
+      .collect().map(r => LoginEvent(r.getLong(0), r.getTimestamp(1), success = false))
+    val in = MemoryStream[LoginEvent]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new LoginFailProcessor(horizonMs = 86400000L, threshold = 3),
+        TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(errs.toSeq); q.processAllAvailable()
+      val streamed = spark.table(sink).as[FailBurst].collect()
+        .map(b => (b.user_id, b.last_ms / 1000L))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dataflow equivalence: streaming funnel settles to exactly batch q_funnel_order") {
     val dir = sf("sf0.001")
     val batch = graft.ops.Advanced.funnelOrder(spark, dir)
