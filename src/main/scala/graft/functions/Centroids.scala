@@ -68,9 +68,61 @@ case class NearestCentroid(child: Expression, cents: Seq[(Int, Seq[Float])])
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH signature: bit i of the result is set iff the
+  * vector's dot product with plane i is positive. One expression call per
+  * vector — row-local, so signature building shuffles NOTHING; the bucket
+  * (or a band slice of it) becomes the shuffle key of the downstream
+  * banded join. Same design choices as [[NearestCentroid]]:
+  *
+  *   - planes are a reference-held constructor field, not literal children
+  *     — the generated plan shape is seed-invariant so codegen caches;
+  *   - CodegenFallback: one virtual call per row amortized over
+  *     planes×dims fused multiply-adds in compiled Scala (replaces the
+  *     interpreted `zip_with`+`aggregate` HOF pipeline, which walked
+  *     16 ArrayTransform/ArrayAggregate trees per row);
+  *   - each dot is a left-to-right double fold — bit-identical to the HOF
+  *     formulation it replaces, so bucket ids (rows-only contract) do not
+  *     shift.
+  *
+  * At most 64 planes (bits of a long). */
+case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(planes.length <= 64, "signature is packed into one long")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  @transient private lazy val pl: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = e.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < pl.length) {
+      val w = pl(b)
+      val m = math.min(n, w.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += e.getFloat(i).toDouble * w(i); i += 1 }
+      if (dot > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
 object CentroidFunctions {
   /** Nearest-centroid id (ties → smallest id) of an array<float> column
     * against a driver-held codebook. */
   def nearest_centroid(emb: Column, cents: Seq[(Int, Seq[Float])]): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(emb), cents))
+
+  /** Packed sign-bit LSH signature of an array<float> column against a
+    * driver-held plane set (≤ 64 planes). */
+  def hyperplane_sig(emb: Column, planes: Seq[Seq[Double]]): Column =
+    GraftBridge.column(HyperplaneSignature(GraftBridge.expression(emb), planes))
 }

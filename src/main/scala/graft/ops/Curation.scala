@@ -154,17 +154,23 @@ object Curation {
 
   // ---------------------------------------------------------------- ngram freq
   /** Top-5 token bigrams per language — corpus n-gram frequency analysis.
-    * Bigrams via the codegen'd posexplode + lead pipeline (same rationale
-    * as LlmText.shingles); rank ties broken by bigram text for an R1 total
-    * order. */
+    * Bigrams are formed ROW-LOCALLY with `explode(arrays_zip(slice, slice))`
+    * — the same shape as LlmText.shinglesOf — so the token stream is never
+    * shuffled: a posexplode + lead() window would sort the ENTIRE corpus
+    * token stream by doc_id before aggregating, an O(corpus-tokens) exchange
+    * that dies at 100 TB. Here the only shuffle is the (lang, bigram) count
+    * aggregate, with map-side partials. Rank ties broken by bigram text for
+    * an R1 total order. */
   def ngramFreq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wLead = Window.partitionBy($"doc_id").orderBy($"pos")
     val bigrams = documents(s, dir)
-      .select($"doc_id", $"lang", posexplode(split(trim($"text"), " ")).as(Seq("pos", "tok")))
-      .select($"lang", $"tok", lead($"tok", 1).over(wLead).as("t1"))
-      .where($"t1".isNotNull)
-      .select($"lang", concat_ws(" ", $"tok", $"t1").as("bigram"))
+      .select($"lang", split(trim($"text"), " ").as("tk"))
+      .withColumn("nt", size($"tk"))
+      .where($"nt" >= 2)
+      .select($"lang", explode(arrays_zip(
+        slice($"tk", lit(1), $"nt" - 1),
+        slice($"tk", lit(2), $"nt" - 1))).as("z"))
+      .select($"lang", concat_ws(" ", $"z.0", $"z.1").as("bigram"))
     val counts = bigrams.groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
     val wRank = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
     counts.withColumn("rk", row_number().over(wRank))

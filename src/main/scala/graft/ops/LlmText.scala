@@ -361,11 +361,14 @@ object LlmText {
         $"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
       .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
       .drop("_c")
-    // verify: attach both full arrays (docSh is doc-count-sized — broadcast
-    // here; a 100 TB run would shuffle-join on doc_id) + codegen intersect
+    // verify: attach both full arrays + codegen intersect. No broadcast()
+    // hint — docSh is corpus-sized (doc_id + full shingle array per doc), so
+    // forcing a broadcast OOMs at 100×. AQE converts the shuffle join to
+    // broadcast AT RUNTIME when the materialized side is actually small
+    // (as at test SFs), which is the size-gated behavior we want.
     cands
-      .join(broadcast(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a"))), Seq("doc_a"))
-      .join(broadcast(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b"))), Seq("doc_b"))
+      .join(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
+      .join(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
       .withColumn("n_shared",
         graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
       .withColumn("jaccard",

@@ -122,8 +122,22 @@ object LlmVector {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- near-dup
-  /** Embedding near-dup pairs by cosine ≥ 0.45 (brute-force a<b; the
-    * verifiable baseline — the banded/bucketed path is q_sim_lsh_bucket).
+  /** Embedding near-dup pairs by cosine ≥ 0.45 — the EXACT all-pairs oracle
+    * twin. Dual-path with [[dedupEmbedBanded]] (the LSH-banded scale path,
+    * benched as q_dedup_embed_banded): this one is intentionally
+    * brute-force because on THIS data no exact sub-quadratic plan exists,
+    * measured not assumed — the test embeddings are near-isotropic random
+    * vectors (mean pairwise |cos| ≈ 0.01 both within and across labels;
+    * only 14/124,750 pairs qualify at sf0.01), so every metric-pruning
+    * family degenerates: triangle-inequality IVF bucket pruning admits all
+    * bucket pairs (member-to-centroid distances ~√2 ≫ the √1.1 threshold
+    * radius), and hyperplane-LSH at t=0.45 collides 0.65 per plane vs 0.5
+    * for random pairs — too shallow a gap for recall 1.0 at any affordable
+    * band count. Exact dense all-pairs on unstructured data is Ω(n²);
+    * the honest scale posture is (a) this exact twin for verification and
+    * (b) the banded approximate path for the 100 TB run, with recall
+    * measured against (a) in BandedDedupSpec. Real near-dup corpora prune
+    * far better: their duplicate threshold is 0.85+ where banding is sharp.
     *
     * Hot path: O(n²) pairs × 64 dims — an interpreted HOF fold per pair is
     * ~15× too slow (measured 33s at sf0.1). The codegen'd
@@ -151,6 +165,57 @@ object LlmVector {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** LSH-banded embedding near-dup — the 100 TB shape of
+    * [[dedupEmbedCosine]] (rows-only: recall < 1 by construction on this
+    * near-isotropic data; precision is exactly 1 because every candidate is
+    * verified with the same codegen cosine + threshold as the exact twin,
+    * so output ⊆ exact output — asserted in BandedDedupSpec along with the
+    * measured recall).
+    *
+    * Shape: 48 fixed hyperplanes → one packed sign signature per vector
+    * (row-local [[graft.functions.HyperplaneSignature]] kernel, zero
+    * shuffle), banded 12×4 bits (per-pair detection 1−(1−p⁴)¹² ≈ 0.90 at
+    * cos = 0.45, p = 1−θ/π ≈ 0.649 — steeper thresholds band far sharper);
+    * candidates come from a self-join on
+    * (band, band_bits) — the shuffle key — then pair-dedup BEFORE the
+    * arrays are attached (the band join moves only (vec_id, band, bits)
+    * rows, never the 64-float payload), then exact cosine verify. Nothing
+    * is quadratic in the corpus: work = Σ_buckets C(|bucket|,2), the same
+    * contract as the MinHash/SimHash dedup family. The embedding attach is
+    * an un-hinted equi-join: AQE broadcasts it at test SF and shuffles on
+    * vec_id at scale. */
+  def dedupEmbedBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = 48
+    val bandBits = 4
+    val nBands = nPlanes / bandBits
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(nPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+    val e = embeddings(s, dir)
+    val sigs = e.select($"vec_id",
+      graft.functions.CentroidFunctions.hyperplane_sig($"embedding", planes).as("sig"))
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright($"sig", b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
+    }: _*)
+    // materialize the 8-rows/doc band table pre-self-join (ReusedExchange
+    // trap — same rationale as the MinHash band table)
+    val banded = sigs.select($"vec_id", explode(bandStructs).as("bs"))
+      .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits"))
+      .localCheckpoint(true)
+    val a = banded.select($"vec_id".as("vec_a"), $"band", $"bits")
+    val b = banded.select($"vec_id".as("vec_b"), $"band", $"bits")
+    val cands = a.join(b, Seq("band", "bits")).where($"vec_a" < $"vec_b")
+      .groupBy($"vec_a", $"vec_b").agg(count(lit(1)).as("_nb")).drop("_nb")
+    cands
+      .join(e.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
+      .join(e.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
+      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
+      .where($"cos" >= 0.45)
+      .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   // ---------------------------------------------------------------- IVF ANN
   /** Deterministic Lloyd-iteration k-means coarse quantizer for the IVF
     * index. Init = the k lowest-vec_id vectors; each iteration assigns all
@@ -172,6 +237,12 @@ object LlmVector {
     val s = e.sparkSession
     import s.implicits._
     val dim = 64
+    // persist the working set across Lloyd iterations: each iteration is an
+    // action, and without the cache every pass (init + iters aggregates)
+    // re-reads the source parquet — at 100 TB you persist the (projected)
+    // training relation once and iterate against memory/disk.
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // init = the k lowest-vec_id vectors; k×d floats is driver state by
     // contract (same as ml.clustering.KMeans's aggregate step)
     var cents: Seq[(Int, Seq[Float])] = e.where($"vec_id" < k)
@@ -202,6 +273,7 @@ object LlmVector {
       }.toSeq.sortBy(_._1)
     }
     cents
+    } finally e.unpersist(false)
   }
 
   /** IVF approximate nearest neighbor (rows-only; recall cross-checked
@@ -255,18 +327,18 @@ object LlmVector {
   // ---------------------------------------------------------------- LSH buckets
   /** Random-hyperplane LSH bucketing (rows-only): 16 fixed Gaussian planes
     * (seeded, deterministic) → 16-bit signature per vector. The bucket id is
-    * the shuffle key a banded near-dup join would use at scale. */
+    * the shuffle key a banded near-dup join would use at scale (see
+    * [[dedupEmbedBanded]] for that join). Signature via the codegen-side
+    * [[graft.functions.HyperplaneSignature]] kernel — bit-identical to the
+    * interpreted zip_with/aggregate HOF chain it replaced (same
+    * left-to-right double folds), one expression call per row instead of
+    * 16 interpreted array walks. */
   def simLshBucket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rnd = new scala.util.Random(42)
     val planes = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with($"embedding", typedlit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withBucket = embeddings(s, dir).select($"vec_id", bucket.as("bucket"))
+    val withBucket = embeddings(s, dir).select($"vec_id",
+      graft.functions.CentroidFunctions.hyperplane_sig($"embedding", planes).as("bucket"))
     val wSize = Window.partitionBy($"bucket")
     withBucket
       .withColumn("bucket_size", count(lit(1)).over(wSize))
@@ -366,6 +438,12 @@ object LlmVector {
     documents(s, dir)
       .select($"doc_id", $"text",
         ceil(length($"text") / lit(256.0)).cast(LongType).as("n_frames"))
+      // empty payload ⇒ n_frames = 0 and sequence(0, -1) would DESCEND
+      // (Spark defaults step to -1 when start > stop), emitting a spurious
+      // frame 0 where the DuckDB twin's generate_series(0, -1) is empty —
+      // filter the degenerate row out before the explode on both engines'
+      // behalf (the oracle is already empty for it)
+      .where($"n_frames" >= 1)
       .select($"doc_id", $"text", $"n_frames",
         explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_idx"))
       .where(pmod($"frame_idx", lit(4L)) === 0)
@@ -397,6 +475,7 @@ object LlmVector {
     "q_embed_norm"         -> (embedNorm _),
     "q_multimodal_join"    -> (multimodalJoin _),
     "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "q_dedup_embed_banded" -> (dedupEmbedBanded _),
     "q_ann_ivf"            -> (annIvf _),
     "q_sim_lsh_bucket"     -> (simLshBucket _),
     "q_mm_binary_meta"     -> (mmBinaryMeta _),

@@ -128,22 +128,33 @@ class LoginFailProcessor(horizonMs: Long, threshold: Int)
   * already-emitted conversion (append mode cannot retract). Min-tracking
   * makes the state ORDER-INSENSITIVE (min is associative/commutative), so
   * the settled verdict equals the batch query on any replay order —
-  * asserted in ProcessorsSpec. State: three longs + one timer per user. */
+  * asserted in ProcessorsSpec. After settlement a tombstone flag suppresses
+  * re-tracking, so stragglers cannot trigger a second partial verdict.
+  * State: three longs + a tombstone + one timer per user. */
 case class FunnelConversion(user_id: Long, t_signup: Long, t_click: Long, t_purchase: Long)
 
 class FunnelProcessor(horizonMs: Long)
     extends StatefulProcessor[Long, Event, FunnelConversion] {
   @transient private var minTs: MapState[String, Long] = _
   @transient private var timerTs: ValueState[Long] = _
+  @transient private var settled: ValueState[Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     minTs = getHandle.getMapState[String, Long]("mins",
       Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
     timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    settled = getHandle.getValueState[Boolean]("settled",
+      Encoders.scalaBoolean, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[Event],
       timers: TimerValues): Iterator[FunnelConversion] = {
+    // once settled, the verdict for this user is final: a straggler funnel
+    // event arriving after the timer fired must NOT restart tracking —
+    // append mode cannot retract, so a second (partial) verdict for the
+    // same user would diverge from the batch twin's one-row-per-user
+    // contract. The tombstone makes "evaluated once" enforced, not assumed.
+    if (settled.exists() && settled.get()) return Iterator.empty
     var maxSeen = if (timerTs.exists()) timerTs.get() - horizonMs else Long.MinValue
     rows.foreach { e =>
       if (e.event_type == "signup" || e.event_type == "click" || e.event_type == "purchase") {
@@ -171,6 +182,7 @@ class FunnelProcessor(horizonMs: Long)
       if s < c && c < p
     } yield FunnelConversion(key, s / 1000L, c / 1000L, p / 1000L)
     minTs.clear()
+    settled.update(true) // tombstone: suppress re-tracking of stragglers
     out.iterator
   }
 }

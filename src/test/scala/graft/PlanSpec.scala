@@ -99,4 +99,48 @@ class PlanSpec extends SparkTestBase {
     val p = planOf(SparkEntry.queries("q_embed_centroid")(spark, dir))
     assert(p.contains("partial_sum"), "centroid accumulation must combine map-side")
   }
+
+  /** Map of formatted-explain node ids ("(7) Exchange …") per operator name.
+    * Node ids follow execution order (leaves lowest), so id comparisons
+    * assert operator ORDER, not just presence. */
+  private def nodeIds(p: String, op: String): Seq[Int] =
+    s"""\\((\\d+)\\) $op""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+
+  test("q_ngram_freq: bigrams form row-locally — partial aggregate BEFORE the first exchange") {
+    val p = planOf(SparkEntry.queries("q_ngram_freq")(spark, dir))
+    // the pre-round-5 lead()-window shape shuffled the whole token stream
+    // by doc_id before any aggregation; the arrays_zip shape has no window
+    // below the count and its first Exchange sits above a partial agg
+    assert(!p.contains("lead("), "token stream flows through a lead() window again")
+    val aggs = nodeIds(p, "HashAggregate")
+    val exs = nodeIds(p, "Exchange")
+    assert(aggs.nonEmpty && exs.nonEmpty, s"unexpected plan: $p")
+    assert(aggs.min < exs.min,
+      s"Exchange(${exs.min}) precedes the partial HashAggregate(${aggs.min}) — token stream shuffles raw")
+    assert(p.contains("partial_count"), "no map-side combine on the bigram count")
+  }
+
+  test("q_basket_pairs: row-local double-Generate pair expansion, no self-join") {
+    val p = planOf(SparkEntry.queries("q_basket_pairs")(spark, dir))
+    assert(nodeIds(p, "Generate").size == 2,
+      "pair expansion should be posexplode + explode(slice), exactly two Generates")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("CartesianProduct"),
+      "basket pairs degenerated to a self-join")
+  }
+
+  test("q_gap_fill_daily: spine join broadcasts — the daily aggregate never re-shuffles") {
+    val p = planOf(SparkEntry.queries("q_gap_fill_daily")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      "spine ⋈ daily should be a broadcast hash join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "gap-fill join degenerated")
+  }
+
+  test("q_dedup_embed_banded: candidates come from the band join, never a cartesian") {
+    val p = planOf(graft.ops.LlmVector.dedupEmbedBanded(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banded dedup must not plan an O(n²) join")
+    assert(p.contains("ExistingRDD"), "band table not materialized pre-self-join")
+  }
 }

@@ -344,4 +344,49 @@ class ProcessorsSpec extends SparkTestBase {
       assert(streamed() === batch)
     } finally q.stop()
   }
+
+  test("dataflow equivalence: streaming session_window settles to exactly batch q_session_window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dir = sf("sf0.001")
+    // batch twin (oracle-checked): sess_start, user_id, n_events, sum_value
+    val batch = graft.ops.TimeWindows.sessionWindow(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    // the SAME session_window + aggregate expressions as the batch query,
+    // under a watermark wide enough for the fully-reversed replay below
+    // (~30 days of disorder — same argument as the funnel test)
+    val stream = in.toDS()
+      .select($"user_id", timestamp_seconds(unix_timestamp($"ts")).as("tsec"), $"value")
+      .withWatermark("tsec", "35 days")
+      .groupBy(session_window($"tsec", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(unix_timestamp($"session_window.start").as("sess_start"),
+        $"user_id", $"n_events", $"sum_value")
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // adversarial replay: REVERSED event order — session merging under
+      // the watermark must still converge to the batch gaps-and-islands
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentTs = new Timestamp(maxMs + 36L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def streamed() = spark.table(sink).where($"user_id" =!= -99L)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      while (streamed().size < batch.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(streamed() === batch)
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CentroidFunctions
+import graft.ops.LlmVector
+
+/** The LSH-banded embedding near-dup path (q_dedup_embed_banded) against
+  * its exact brute-force twin (q_dedup_embed_cosine), plus the
+  * HyperplaneSignature kernel vs the interpreted HOF chain it replaced.
+  * Everything here is deterministic: fixed data, fixed seeded planes. */
+class VectorDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hyperplane_sig kernel is bit-identical to the zip_with/aggregate HOF formulation") {
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    // the exact pre-round-5 q_sim_lsh_bucket formulation (interpreted HOFs)
+    val hofBucket = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with($"embedding", typedlit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cmp = graft.tables.Tables.embeddings(spark, sf("sf0.01"))
+      .select($"vec_id",
+        CentroidFunctions.hyperplane_sig($"embedding", planes).as("kernel"),
+        hofBucket.as("hof"))
+    assert(cmp.count() > 0)
+    val diff = cmp.where($"kernel" =!= $"hof").count()
+    assert(diff === 0L, "kernel signature shifted vs the HOF formulation — rows-only contract broken")
+  }
+
+  test("q_dedup_embed_banded: precision exactly 1 vs the exact twin; recall measured") {
+    val dir = sf("sf0.01")
+    val exact = LlmVector.dedupEmbedCosine(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val banded = LlmVector.dedupEmbedBanded(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "no qualifying pairs at sf0.01 — test data changed?")
+    // precision == 1: every banded pair is re-verified with the same codegen
+    // cosine + threshold, so banded ⊆ exact must hold exactly
+    assert(banded.subsetOf(exact), s"banded emitted non-qualifying pairs: ${banded -- exact}")
+    // recall: deterministic on this fixed data + seeded planes (measured
+    // 12/14 = 0.857). Theoretical per-pair detection at cos = 0.45 is
+    // 1-(1-p^4)^12 ≈ 0.90 with p = 1-acos(0.45)/π ≈ 0.649; the floor below
+    // is slack for the tiny (14-pair) population — it guards against the
+    // banding silently degrading, not against LSH being approximate
+    // (which is the point).
+    val recall = banded.size.toDouble / exact.size
+    info(f"banded recall = $recall%.3f (${banded.size}/${exact.size})")
+    assert(recall >= 0.7, f"recall $recall%.3f collapsed — banding layout broken?")
+  }
+}
