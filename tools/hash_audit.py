@@ -12,11 +12,20 @@ import sys, json, glob, hashlib
 import duckdb
 import pyarrow.parquet as pq
 
+def canon_scalar(v):
+    # numpy >= 2.0 includes the dtype in scalar reprs ('np.int32(3)' vs
+    # 'np.int64(3)'), so raw repr() would flip benign width differences
+    # (e.g. an int32 row_number vs a BIGINT oracle cast) from PASS to FAIL
+    # depending on the installed numpy. Unwrap to the Python value first;
+    # repr of int/float/str/bool/None/Timestamp is version-stable.
+    item = getattr(v, "item", None)
+    return item() if callable(item) else v
+
 def canon_hash(df):
     df = df[sorted(df.columns)]
     h = hashlib.md5()
     for row in df.itertuples(index=False):
-        h.update(repr(tuple(row)).encode())
+        h.update(repr(tuple(canon_scalar(v) for v in row)).encode())
     return h.hexdigest()
 
 def main(sf_dir, out_dir):
@@ -37,7 +46,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: pandas-path hash differs")
             s2, d2 = sdf[sorted(sdf.columns)], ddf[sorted(ddf.columns)]
             for i in range(min(len(s2), len(d2))):
-                a, b = tuple(s2.iloc[i]), tuple(d2.iloc[i])
+                a = tuple(canon_scalar(v) for v in s2.iloc[i])
+                b = tuple(canon_scalar(v) for v in d2.iloc[i])
                 if repr(a) != repr(b):
                     print(f"  first diff row {i}:\n  spark={a}\n  duck ={b}"); break
         else:

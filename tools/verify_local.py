@@ -69,8 +69,11 @@ def main(sf_dir, out_dir):
         # over BIGINT[]) as float64 — "16320.0" vs Spark's int64 "16320" — a
         # hash mismatch that value-equality via fetchall() cannot see. Caught
         # this on q_embed_quantize (rounds 1-3); fail loudly on any recurrence.
+        # explicit unsigned/oversized integer family — a bare startswith("U")
+        # would also catch UUID/UNION, which pandas renders losslessly
+        wide_types = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
         widened = [f"{c}:{t}" for c, t in zip(d_cols, d_types)
-                   if "HUGEINT" in t.upper() or t.upper().startswith("U")]
+                   if t.upper() in wide_types]
         if widened:
             print(f"FAIL {name}: oracle type(s) widen beyond int64 (pandas "
                   f"renders as float64, breaking the hash): {widened} — CAST to BIGINT")
