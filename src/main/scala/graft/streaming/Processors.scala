@@ -271,3 +271,110 @@ class OrderTimeoutProcessor(horizonMs: Long)
     } else Iterator.empty
   }
 }
+
+/** Buffered event inside [[PatternSequenceProcessor]] state (ms epoch, no
+  * Timestamp — keeps the state encoder primitive). */
+case class BufEv(event_id: Long, ts_ms: Long, event_type: String, value: Double)
+
+/** One emitted pattern match: the head/tail event times plus the consumed
+  * event ids in stage order. */
+case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids: Seq[Long])
+
+/** Generic linear CEP pattern — MATCH_RECOGNIZE-lite / flink-cep
+  * `Pattern.begin(a).followedBy(b)….within(h)`, generalizing the
+  * special-cased processors above (login-fail, funnel, order-timeout) to
+  * an arbitrary predicate sequence.
+  *
+  * Semantics (deterministic, append-mode safe):
+  *   - a match is `stages.length` events in event-time order (total order:
+  *     ts, then event_id) each satisfying its stage predicate, with
+  *     relaxed contiguity (followedBy — non-matching events in between are
+  *     skipped), completing within `withinMs` of its first element;
+  *   - leftmost-greedy with AFTER MATCH SKIP PAST LAST ROW: the earliest
+  *     viable head wins, consumed events are never reused, overlapping
+  *     matches are not emitted;
+  *   - out-of-order input is absorbed by buffering: a head only feeds the
+  *     matcher once the watermark SEALS its window (head.ts + within ≤ wm)
+  *     — past that point no event inside the window can still arrive, so
+  *     the verdict is final (append mode cannot retract). Sealing is
+  *     monotone in head time, so incremental (per-watermark-advance)
+  *     matching emits exactly what one-shot matching over the fully sorted
+  *     stream would — asserted against an independent in-memory reference
+  *     matcher in ProcessorsSpec.
+  *
+  * State per key: the unconsumed buffer, pruned every fire to events whose
+  * window the watermark has not sealed — bounded by horizon × per-key event
+  * rate (the login-fail prune contract); plus one sliding timer. Events no
+  * stage predicate accepts are never buffered. */
+class PatternSequenceProcessor(stages: Seq[Event => Boolean], withinMs: Long)
+    extends StatefulProcessor[Long, Event, PatternMatch] {
+  @transient private var buf: ListState[BufEv] = _
+  @transient private var timerTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[BufEv]("buf", Encoders.product[BufEv], TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def toEvent(key: Long, b: BufEv): Event =
+    Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
+
+  private def slideTimer(fireAt: Long): Unit =
+    if (!timerTs.exists() || timerTs.get() != fireAt) {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(fireAt)
+      timerTs.update(fireAt)
+    }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[PatternMatch] = {
+    rows.foreach { e =>
+      val b = BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)
+      if (stages.exists(p => p(toEvent(key, b)))) buf.appendValue(b)
+    }
+    // fire just past the current watermark: each advance re-runs sealing
+    slideTimer(timers.getCurrentWatermarkInMs() + 1)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[PatternMatch] = {
+    timerTs.clear()
+    val wm = timers.getCurrentWatermarkInMs()
+    val events = buf.get().toArray.sortBy(e => (e.ts_ms, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+    val consumed = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i < events.length && events(i).ts_ms + withinMs <= wm) { // sealing is ts-monotone
+      val head = events(i)
+      if (!consumed(head.event_id) && stages.head(toEvent(key, head))) {
+        val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
+        var stage = 1
+        var lastMs = head.ts_ms
+        var j = i + 1
+        while (stage < stages.length && j < events.length
+            && events(j).ts_ms <= head.ts_ms + withinMs) {
+          val e = events(j)
+          if (!consumed(e.event_id) && stages(stage)(toEvent(key, e))) {
+            ids += e.event_id; lastMs = e.ts_ms; stage += 1
+          }
+          j += 1
+        }
+        if (stage == stages.length) {
+          ids.foreach(consumed += _)
+          out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)
+        }
+      }
+      i += 1
+    }
+    // prune: consumed events are spent; an unconsumed sealed event can
+    // neither head a future match (just tried) nor join a later head
+    // (later heads seal later and were also just tried) — only the
+    // undecided tail stays
+    val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
+    buf.clear()
+    keep.foreach(buf.appendValue)
+    if (keep.nonEmpty) slideTimer(wm + 1)
+    out.iterator
+  }
+}

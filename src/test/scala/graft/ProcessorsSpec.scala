@@ -345,6 +345,109 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_cep_pattern_seq: skip-past-last-row, within-horizon, relaxed contiguity, out-of-order buffering") {
+    val stages: Seq[Event => Boolean] = Seq(_.event_type == "A", _.event_type == "B")
+    val withinMs = 10L * 60000
+    val evs = Seq(
+      ev(1, 1).copy(event_type = "A"), ev(2, 5).copy(event_type = "B"),   // match [1,2]
+      ev(3, 10).copy(event_type = "A"), ev(4, 11).copy(event_type = "C"), // C skipped (followedBy)
+      ev(5, 12).copy(event_type = "B"),                                   // match [3,5]
+      ev(6, 50).copy(event_type = "A"), ev(7, 70).copy(event_type = "B")) // gap 20m > 10m: no match
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternSequenceProcessor(stages, withinMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // adversarial: reversed arrival order, split across micro-batches
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(3)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val sent = Event(-1L, ts(60 * 24 * 3), -99L, "sentinel", 0.0)
+      in.addData(sent); q.processAllAvailable()
+      in.addData(sent.copy(event_id = -2L)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def got() = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L).map(m => m.event_ids).toSet
+      while (got().size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(got() === Set(Seq(1L, 2L), Seq(3L, 5L)),
+        "expected exactly the leftmost non-overlapping in-horizon matches")
+    } finally q.stop()
+  }
+
+  test("s_cep_pattern_seq: streaming matcher == one-shot reference over real events (reversed replay)") {
+    val dir = sf("sf0.001")
+    val withinMs = 7L * 24 * 3600000
+    val stages: Seq[Event => Boolean] = Seq(
+      _.event_type == "signup", _.event_type == "click", _.event_type == "purchase")
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    // independent one-shot reference: greedy leftmost over the fully
+    // sorted per-user stream — no buffering, no sealing, no watermark
+    def reference(): Set[(Long, Long, Long, Seq[Long])] =
+      evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.filter(e => stages.exists(_(e)))
+          .sortBy(e => (e.ts.getTime, e.event_id)).toArray
+        val consumed = scala.collection.mutable.HashSet.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Seq[Long])]
+        for (i <- sorted.indices) {
+          val head = sorted(i)
+          if (!consumed(head.event_id) && stages.head(head)) {
+            val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
+            var stage = 1
+            var lastMs = head.ts.getTime
+            var j = i + 1
+            while (stage < stages.length && j < sorted.length
+                && sorted(j).ts.getTime <= head.ts.getTime + withinMs) {
+              val e = sorted(j)
+              if (!consumed(e.event_id) && stages(stage)(e)) {
+                ids += e.event_id; lastMs = e.ts.getTime; stage += 1
+              }
+              j += 1
+            }
+            if (stage == stages.length) {
+              ids.foreach(consumed += _)
+              out += ((uid, head.ts.getTime, lastMs, ids.toSeq))
+            }
+          }
+        }
+        out
+      }.toSet
+    val expected = reference()
+    assert(expected.nonEmpty, "pattern should match on sf0.001 events")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternSequenceProcessor(stages, withinMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      // two sentinels: advance the watermark far past every sealed window,
+      // then land the timer output
+      val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def streamed() = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+        .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+      while (streamed().size < expected.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(streamed() === expected)
+    } finally q.stop()
+  }
+
   test("dataflow equivalence: streaming session_window settles to exactly batch q_session_window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
