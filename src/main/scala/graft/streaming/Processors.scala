@@ -280,6 +280,56 @@ case class BufEv(event_id: Long, ts_ms: Long, event_type: String, value: Double)
   * event ids in stage order. */
 case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids: Seq[Long])
 
+/** The pure matcher core of [[PatternSequenceProcessor]], factored out so
+  * its central invariant — incremental matching at successive watermark
+  * seals ≡ one-shot matching over the fully sorted stream — is
+  * property-testable without a streaming harness (PropertySpec exercises
+  * random streams × random seal schedules). */
+object PatternMatcher {
+  /** Run leftmost-greedy matching over `buffer` for every head whose
+    * window the watermark seals (head.ts + within ≤ wm). Returns
+    * (matches in head order, surviving buffer). `buffer` need not be
+    * sorted; `key` is echoed into the emitted rows and the predicates'
+    * Event view. */
+  def seal(key: Long, buffer: Seq[BufEv], stages: Seq[Event => Boolean],
+      withinMs: Long, wm: Long): (Seq[PatternMatch], Seq[BufEv]) = {
+    def toEvent(b: BufEv): Event =
+      Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
+    val events = buffer.sortBy(e => (e.ts_ms, e.event_id)).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+    val consumed = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i < events.length && events(i).ts_ms + withinMs <= wm) { // sealing is ts-monotone
+      val head = events(i)
+      if (!consumed(head.event_id) && stages.head(toEvent(head))) {
+        val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
+        var stage = 1
+        var lastMs = head.ts_ms
+        var j = i + 1
+        while (stage < stages.length && j < events.length
+            && events(j).ts_ms <= head.ts_ms + withinMs) {
+          val e = events(j)
+          if (!consumed(e.event_id) && stages(stage)(toEvent(e))) {
+            ids += e.event_id; lastMs = e.ts_ms; stage += 1
+          }
+          j += 1
+        }
+        if (stage == stages.length) {
+          ids.foreach(consumed += _)
+          out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)
+        }
+      }
+      i += 1
+    }
+    // prune: consumed events are spent; an unconsumed sealed event can
+    // neither head a future match (just tried) nor join a later head
+    // (later heads seal later and were also just tried) — only the
+    // undecided tail survives
+    val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
+    (out.toSeq, keep.toSeq)
+  }
+}
+
 /** Generic linear CEP pattern — MATCH_RECOGNIZE-lite / flink-cep
   * `Pattern.begin(a).followedBy(b)….within(h)`, generalizing the
   * special-cased processors above (login-fail, funnel, order-timeout) to
@@ -341,37 +391,7 @@ class PatternSequenceProcessor(stages: Seq[Event => Boolean], withinMs: Long)
       expired: ExpiredTimerInfo): Iterator[PatternMatch] = {
     timerTs.clear()
     val wm = timers.getCurrentWatermarkInMs()
-    val events = buf.get().toArray.sortBy(e => (e.ts_ms, e.event_id))
-    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
-    val consumed = scala.collection.mutable.HashSet.empty[Long]
-    var i = 0
-    while (i < events.length && events(i).ts_ms + withinMs <= wm) { // sealing is ts-monotone
-      val head = events(i)
-      if (!consumed(head.event_id) && stages.head(toEvent(key, head))) {
-        val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
-        var stage = 1
-        var lastMs = head.ts_ms
-        var j = i + 1
-        while (stage < stages.length && j < events.length
-            && events(j).ts_ms <= head.ts_ms + withinMs) {
-          val e = events(j)
-          if (!consumed(e.event_id) && stages(stage)(toEvent(key, e))) {
-            ids += e.event_id; lastMs = e.ts_ms; stage += 1
-          }
-          j += 1
-        }
-        if (stage == stages.length) {
-          ids.foreach(consumed += _)
-          out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)
-        }
-      }
-      i += 1
-    }
-    // prune: consumed events are spent; an unconsumed sealed event can
-    // neither head a future match (just tried) nor join a later head
-    // (later heads seal later and were also just tried) — only the
-    // undecided tail stays
-    val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
+    val (out, keep) = PatternMatcher.seal(key, buf.get().toSeq, stages, withinMs, wm)
     buf.clear()
     keep.foreach(buf.appendValue)
     if (keep.nonEmpty) slideTimer(wm + 1)

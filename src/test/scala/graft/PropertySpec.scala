@@ -132,4 +132,57 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CEP sealing: incremental matching at any watermark schedule == one-shot matching") {
+    import graft.streaming.{BufEv, Event, PatternMatcher}
+    // random stream: ids unique, times in a small range (dense collisions),
+    // types drawn from {A,B,C,D}; random 2-3 stage pattern; random horizon;
+    // random monotone watermark schedule with random arrival assignment
+    val evGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", "D"))
+    } yield ts.zip(tp).zipWithIndex.map { case ((t, y), i) => BufEv(i.toLong, t, y, 0.0) }
+    val patGen = Gen.oneOf(Seq("A", "B"), Seq("A", "B", "C"), Seq("B", "A"), Seq("A", "A"))
+    val caseGen = for {
+      evs <- evGen
+      pat <- patGen
+      within <- Gen.chooseNum(1L, 800L)
+      nSeals <- Gen.chooseNum(1, 5)
+      seals <- Gen.listOfN(nSeals, Gen.chooseNum(0L, 3000L))
+      // arrival batch of each event: any batch whose seal HASN'T passed its
+      // ts yet (watermark contract: events never arrive later than that)
+      arrivals <- Gen.listOfN(evs.length, Gen.chooseNum(0, nSeals - 1))
+    } yield (evs, pat, within, seals.sorted, arrivals)
+    forAllN(caseGen, n = 400) { case (evs, pat, within, seals, arrivals) =>
+      val stages: Seq[Event => Boolean] = pat.map(t => (e: Event) => e.event_type == t)
+      val fin = seals.last + 5000 // final seal covers everything
+      // one-shot: everything buffered, one seal past every window
+      val (oneShot, rest) = PatternMatcher.seal(1L, evs, stages, within, fin)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      // incremental: events arrive in their assigned batch, but never after
+      // a seal has passed their timestamp (respect the watermark contract)
+      var buffer = Seq.empty[BufEv]
+      var emitted = Seq.empty[graft.streaming.PatternMatch]
+      var prevWm = Long.MinValue
+      (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
+        val due = evs.zip(arrivals).collect {
+          case (e, a) if (a min seals.length - 1) == (batch min seals.length - 1)
+            && e.ts_ms > prevWm => e
+          case (e, a) if batch == seals.length && a >= 0 && e.ts_ms > prevWm
+            && !emittedOrBuffered(e, buffer, emitted) => e
+        }
+        def emittedOrBuffered(e: BufEv, b: Seq[BufEv],
+            em: Seq[graft.streaming.PatternMatch]): Boolean =
+          b.exists(_.event_id == e.event_id) ||
+            em.exists(_.event_ids.contains(e.event_id))
+        val (m, keep) = PatternMatcher.seal(1L, buffer ++ due, stages, within, wm)
+        emitted ++= m
+        buffer = keep
+        prevWm = wm
+      }
+      assert(emitted.toSet === oneShot.toSet,
+        s"incremental != one-shot for pat=$pat within=$within seals=$seals")
+    }
+  }
 }
