@@ -53,7 +53,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver captures only the tail of stdout,
+    // which truncated the per-query map to ~68/108 entries in round 4 and
+    // 86/108 in round 5 — the file copy keeps round-over-round per-query
+    // diffs complete regardless of capture-window size.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written to $out")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -112,16 +112,36 @@ object Advanced {
       |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
       |FROM m ORDER BY event_type""".stripMargin
 
-  /** Exact median (lower discrete): the middle element by explicit window
-    * position — engine-agnostic by construction, unlike percentile
-    * built-ins whose edge conventions differ. */
+  /** Exact median (lower discrete): the middle element by explicit position
+    * — engine-agnostic by construction, unlike percentile built-ins whose
+    * edge conventions differ.
+    *
+    * Scale design (r5 verdict): the obvious row_number-over-events window
+    * sorts EVERY row of each event_type partition — with 5 distinct keys
+    * that is five single-reducer sorts of ~20% of a 100 TB corpus each, a
+    * low-cardinality-skew killer. Instead we exploit that `value` is a
+    * 2-decimal price: the distinct-value domain is bounded (≤ ~49k values
+    * here, and domain-bounded in general), so an exact VALUE HISTOGRAM
+    * `groupBy(event_type, value).count` — a map-side-combining hash agg
+    * whose output size is capped by the domain, not the corpus — followed
+    * by a cumulative window over that tiny histogram selects the k-th
+    * element exactly. The only sort touches ≤ |domain| rows per key.
+    * The k-th row by (value, event_id) has the same VALUE as the k-th by
+    * value alone (the tiebreak permutes rows within equal values only), so
+    * the emitted median is identical to the oracle's row-positional one. */
   def medianValue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
-      .where($"rn" === (($"n" + lit(1)) / lit(2)).cast(LongType))
+    val hist = events(s, dir)
+      .groupBy($"event_type", $"value")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy($"event_type")
+    hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wKey))
+      .withColumn("k", (($"n" + lit(1)) / lit(2)).cast(LongType))
+      .where($"cum" >= $"k" && ($"cum" - $"cnt") < $"k")
       .select($"event_type", $"n", $"value".as("median_lower"))
       .orderBy($"event_type")
   }
@@ -207,25 +227,35 @@ object Advanced {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** Exact quartiles by explicit window position — extends q_median to the
+  /** Exact quartiles by explicit position — extends q_median to the
     * p25/p50/p75 family without percentile built-ins (whose interpolation
     * and boundary conventions differ per engine). The selected positions
     * are ceil(q·n): pure integer/IEEE arithmetic, engine-identical; the
-    * emitted values are untouched input doubles. Single window pass +
-    * one aggregate — no per-quantile scans. */
+    * emitted values are untouched input doubles.
+    *
+    * Same de-skewed shape as [[medianValue]]: an exact value histogram
+    * (domain-bounded hash agg) + cumulative window over the histogram,
+    * instead of sorting every raw row per event_type. Position rn falls in
+    * bucket b iff cum(b) - cnt(b) < rn <= cum(b); values at that position
+    * match the oracle's row-positional selection because the (value,
+    * event_id) tiebreak never changes the value at a given rank. */
   def percentileExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    val cw = Window.partitionBy($"event_type")
-    events(s, dir)
-      .select($"event_type", $"value", $"event_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(cw))
+    val hist = events(s, dir)
+      .groupBy($"event_type", $"value")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy($"event_type")
+    def atRank(q: Double) = {
+      val k = ceil($"n" * q)
+      max(when(k > $"cum" - $"cnt" && k <= $"cum", $"value"))
+    }
+    hist
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(wKey))
       .groupBy($"event_type")
-      .agg(
-        max(when($"rn" === ceil($"n" * 0.25), $"value")).as("p25"),
-        max(when($"rn" === ceil($"n" * 0.50), $"value")).as("p50"),
-        max(when($"rn" === ceil($"n" * 0.75), $"value")).as("p75"))
+      .agg(atRank(0.25).as("p25"), atRank(0.50).as("p50"), atRank(0.75).as("p75"))
       .orderBy($"event_type")
   }
 

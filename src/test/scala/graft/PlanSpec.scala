@@ -137,6 +137,24 @@ class PlanSpec extends SparkTestBase {
       "gap-fill join degenerated")
   }
 
+  test("q_median / q_percentile_exact: window sorts the bounded value histogram, not raw rows") {
+    // r5 verdict: the old row_number-over-events shape was five single-
+    // reducer sorts of ~20% of the corpus each (event_type has 5 values).
+    // The de-skewed shape aggregates to a domain-bounded (event_type,
+    // value) histogram FIRST; the only Window/Sort sits above that
+    // HashAggregate, so its input is capped by the value domain.
+    for (q <- Seq("q_median", "q_percentile_exact")) {
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      val aggs = nodeIds(p, "HashAggregate")
+      val wins = nodeIds(p, "Window")
+      assert(aggs.nonEmpty && wins.nonEmpty, s"$q: unexpected plan: $p")
+      assert(aggs.min < wins.min,
+        s"$q: Window(${wins.min}) runs below the histogram HashAggregate(${aggs.min}) — raw rows sort per key")
+      assert(!p.contains("row_number("),
+        s"$q: raw-row row_number window is back")
+    }
+  }
+
   test("q_dedup_embed_banded: candidates come from the band join, never a cartesian") {
     val p = planOf(graft.ops.LlmVector.dedupEmbedBanded(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -160,26 +160,24 @@ class PropertySpec extends AnyFunSuite {
       // one-shot: everything buffered, one seal past every window
       val (oneShot, rest) = PatternMatcher.seal(1L, evs, stages, within, fin)
       assert(rest.isEmpty, "final seal must drain the buffer")
-      // incremental: events arrive in their assigned batch, but never after
-      // a seal has passed their timestamp (respect the watermark contract)
+      // incremental: each event arrives EXACTLY ONCE, in its assigned batch
+      // — pulled earlier if a preceding seal would pass its timestamp first
+      // (the watermark contract: an event never arrives after a seal whose
+      // watermark covers it). Batch i delivers, then seals at seals(i), so
+      // arriving in the batch of the first covering seal is still in time.
+      def effectiveBatch(e: BufEv, a: Int): Int = {
+        val firstCovering = seals.indexWhere(_ >= e.ts_ms)
+        if (firstCovering < 0) a else a min firstCovering
+      }
       var buffer = Seq.empty[BufEv]
       var emitted = Seq.empty[graft.streaming.PatternMatch]
-      var prevWm = Long.MinValue
       (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
         val due = evs.zip(arrivals).collect {
-          case (e, a) if (a min seals.length - 1) == (batch min seals.length - 1)
-            && e.ts_ms > prevWm => e
-          case (e, a) if batch == seals.length && a >= 0 && e.ts_ms > prevWm
-            && !emittedOrBuffered(e, buffer, emitted) => e
+          case (e, a) if effectiveBatch(e, a) == batch => e
         }
-        def emittedOrBuffered(e: BufEv, b: Seq[BufEv],
-            em: Seq[graft.streaming.PatternMatch]): Boolean =
-          b.exists(_.event_id == e.event_id) ||
-            em.exists(_.event_ids.contains(e.event_id))
         val (m, keep) = PatternMatcher.seal(1L, buffer ++ due, stages, within, wm)
         emitted ++= m
         buffer = keep
-        prevWm = wm
       }
       assert(emitted.toSet === oneShot.toSet,
         s"incremental != one-shot for pat=$pat within=$within seals=$seals")

@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Install the repo's git hooks (currently: the Test/compile pre-commit gate).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+install -m 755 tools/pre-commit .git/hooks/pre-commit
+echo "installed .git/hooks/pre-commit (compile gate)"
