@@ -269,12 +269,12 @@ object LlmText {
     // materialize the signature pipeline ONCE before the self-join: the
     // two join sides are different-alias subtrees, so Catalyst plans no
     // ReusedExchange and would recompute shingles+signatures per side
-    // (verified via ExplainAudit). localCheckpoint cuts the lineage at the
-    // 4-rows-per-doc band table — the same "materialize the small signature
-    // relation" step a 100 TB run would do with a persisted intermediate.
-    val bands = sig.select($"doc_id", explode(bandStructs).as("bs"))
-      .select($"doc_id", $"bs.band".as("band"), $"bs.band_sig".as("band_sig"))
-      .localCheckpoint(true)
+    // (verified via ExplainAudit). Layout.materialize cuts the lineage at
+    // the 4-rows-per-doc band table — locally a localCheckpoint, at scale
+    // a persisted intermediate (see the helper's scaladoc).
+    val bands = graft.tables.Layout.materialize(
+      sig.select($"doc_id", explode(bandStructs).as("bs"))
+        .select($"doc_id", $"bs.band".as("band"), $"bs.band_sig".as("band_sig")))
     val a = bands.select($"doc_id".as("doc_a"), $"band", $"band_sig")
     val b = bands.select($"doc_id".as("doc_b"), $"band", $"band_sig")
     a.join(b, Seq("band", "band_sig")).where($"doc_a" < $"doc_b")
@@ -300,9 +300,9 @@ object LlmText {
       struct(lit(k).as("band"),
         shiftright($"simhash", k * 16).bitwiseAND(lit(0xFFFFL)).as("band_bits"))
     }: _*)
-    val banded = sigs.select($"doc_id", $"simhash", explode(bandStructs).as("bs"))
-      .select($"doc_id", $"simhash", $"bs.band".as("band"), $"bs.band_bits".as("band_bits"))
-      .localCheckpoint(true) // materialize once pre-self-join (see minhash)
+    val banded = graft.tables.Layout.materialize( // once pre-self-join (see minhash)
+      sigs.select($"doc_id", $"simhash", explode(bandStructs).as("bs"))
+        .select($"doc_id", $"simhash", $"bs.band".as("band"), $"bs.band_bits".as("band_bits")))
     val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"band_bits")
     val b = banded.select($"doc_id".as("doc_b"), $"simhash".as("sim_b"), $"band", $"band_bits")
     a.join(b, Seq("band", "band_bits")).where($"doc_a" < $"doc_b")
@@ -339,14 +339,14 @@ object LlmText {
     // At 100 TB: prefix index + length filter is THE scalable exact-Jaccard
     // formulation — work is bounded by prefix co-occurrence, verification
     // is O(|a|+|b|) per surviving pair, and nothing is quadratic in docs.
-    val docSh = documents(s, dir)
-      .select($"doc_id",
-        graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
-      .where(size($"sh_arr") > 0)
-      .select($"doc_id", size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr")
-      .localCheckpoint(true) // 4 consumers below (2 index sides, 2 verify
-                             // attaches): materialize the doc-count-sized
-                             // sketch relation once (see minhash note)
+    val docSh = graft.tables.Layout.materialize( // 4 consumers below (2 index
+      // sides, 2 verify attaches): materialize the doc-count-sized sketch
+      // relation once (see minhash note)
+      documents(s, dir)
+        .select($"doc_id",
+          graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+        .where(size($"sh_arr") > 0)
+        .select($"doc_id", size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr"))
     // prefix index: first ⌊n/2⌋+1 sorted shingles (t = 0.5)
     val pref = docSh.select($"doc_id", $"n_sh",
       explode(slice($"sh_arr", lit(1), ($"n_sh" / 2 + 1).cast("int"))).as("shingle"))

@@ -200,9 +200,9 @@ object LlmVector {
     }: _*)
     // materialize the 8-rows/doc band table pre-self-join (ReusedExchange
     // trap — same rationale as the MinHash band table)
-    val banded = sigs.select($"vec_id", explode(bandStructs).as("bs"))
-      .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits"))
-      .localCheckpoint(true)
+    val banded = graft.tables.Layout.materialize(
+      sigs.select($"vec_id", explode(bandStructs).as("bs"))
+        .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits")))
     val a = banded.select($"vec_id".as("vec_a"), $"band", $"bits")
     val b = banded.select($"vec_id".as("vec_b"), $"band", $"bits")
     val cands = a.join(b, Seq("band", "bits")).where($"vec_a" < $"vec_b")

@@ -276,7 +276,86 @@ object TimeWindows {
       |FROM spine LEFT JOIN daily ON spine.day = daily.day
       |ORDER BY day""".stripMargin
 
+  /** Generic linear CEP as a batch contract query — the oracle-checked twin
+    * of [[graft.streaming.PatternSequenceProcessor]], run through the
+    * [[graft.streaming.Pattern]] builder + shared PatternMatcher core (the
+    * special-cased processors login-fail/funnel already have batch twins;
+    * this gives the GENERIC engine the same validation). Pattern:
+    * signup → click → purchase within 24h per user, leftmost-greedy, no
+    * event reuse, relaxed contiguity.
+    *
+    * Oracle: leftmost-greedy no-reuse matching is sequential, but with
+    * DISTINCT stage types the per-stage picks are strictly increasing
+    * across a user's successive matches (exchange argument: a smaller
+    * unconsumed pick inside the current window would have been inside the
+    * previous head's window too — cross-checked against a consumed-set
+    * reference on 3000 random streams), so a recursive CTE carrying only
+    * the last (head, stage-2, stage-3) picks replays the engine exactly.
+    *
+    * Scale: one shuffle on user_id; per-user sort+scan — the inherent
+    * MATCH_RECOGNIZE partition contract (see Patterns.scala).
+    * Times are engine-identical epoch ms: Spark truncates µs→ms via
+    * Timestamp.getTime, DuckDB via epoch_ms — both floor positive epochs. */
+  def cepPatternSeq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern
+      .begin("signup")(_.event_type == "signup")
+      .followedBy("click")(_.event_type == "click")
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(86400000L)
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepPatternSeqSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click','purchase')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS b_t, CAST(-1 AS BIGINT) AS b_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS c_t, CAST(-1 AS BIGINT) AS c_id
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1,
+      |    nxt.h_t, nxt.h_id, nxt.b_t, nxt.b_id, nxt.c_t, nxt.c_id
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |           b2.t AS b_t, b2.id AS b_id, c3.t AS c_t, c3.id AS c_id
+      |    FROM ev e1,
+      |      LATERAL (
+      |        SELECT e2.t, e2.event_id AS id FROM ev e2
+      |        WHERE e2.user_id = e1.user_id AND e2.event_type = 'click'
+      |          AND (e2.t > e1.t OR (e2.t = e1.t AND e2.event_id > e1.event_id))
+      |          AND (e2.t > m.b_t OR (e2.t = m.b_t AND e2.event_id > m.b_id))
+      |          AND e2.t <= e1.t + 86400000
+      |        ORDER BY e2.t, e2.event_id LIMIT 1) b2,
+      |      LATERAL (
+      |        SELECT e3.t, e3.event_id AS id FROM ev e3
+      |        WHERE e3.user_id = e1.user_id AND e3.event_type = 'purchase'
+      |          AND (e3.t > b2.t OR (e3.t = b2.t AND e3.event_id > b2.id))
+      |          AND (e3.t > m.c_t OR (e3.t = m.c_t AND e3.event_id > m.c_id))
+      |          AND e3.t <= e1.t + 86400000
+      |        ORDER BY e3.t, e3.event_id LIMIT 1) c3
+      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, c_t AS last_ms,
+      |  CAST(h_id AS VARCHAR) || '/' || CAST(b_id AS VARCHAR) || '/'
+      |    || CAST(c_id AS VARCHAR) AS ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cep_pattern_seq"   -> (cepPatternSeq _),
     "q_time_downsample"   -> (timeDownsample _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
@@ -288,6 +367,7 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,

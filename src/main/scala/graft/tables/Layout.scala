@@ -74,6 +74,20 @@ object Layout {
       .drop("_salt")
   }
 
+  /** Materialize an intermediate relation exactly once before it fans out
+    * to multiple consumers (self-join sides, repeated verify attaches).
+    * Catalyst plans no ReusedExchange across different-alias subtrees, so
+    * without this every consumer recomputes the producing pipeline
+    * (verified via ExplainAudit on the banded dedups).
+    *
+    * Local implementation: eager `localCheckpoint` — it cuts lineage and
+    * pins the (small, doc-count-sized) relation in executor block storage.
+    * On a real cluster the same step is a persisted table / `CACHE TABLE`
+    * (localCheckpoint blocks the driver and ties the data to executor
+    * lifetimes, which a 1000-executor job must not do); this helper is the
+    * single seam where that substitution happens. */
+  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Salted high-skew aggregation: two-phase groupBy with a random-free,
     * deterministic salt — the standard fix when one hot key would otherwise
     * pin a single reducer at scale. The salt hashes the ROW CONTENT

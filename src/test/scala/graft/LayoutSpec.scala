@@ -67,6 +67,20 @@ class LayoutSpec extends SparkTestBase {
     assert(salted.count(_._1 == 7L) === 5000)
   }
 
+  test("materialize: same rows, lineage cut to a scanned relation (the persisted-table seam)") {
+    // Layout.materialize is the single seam where the local eager
+    // localCheckpoint stands in for the persisted intermediate a cluster
+    // run would use — consumers must see identical rows and a plan that
+    // SCANS the materialized relation instead of recomputing the producer.
+    val src = spark.range(0, 100).select($"id", ($"id" * 2).as("v"))
+    val mat = Layout.materialize(src)
+    assert(mat.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val plan = mat.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan"),
+      s"materialize did not cut lineage: $plan")
+  }
+
   test("salted join resolves same-name join keys unambiguously") {
     val fact = spark.range(0, 100).select(($"id" % 10).as("k"), $"id".as("v"))
     val dim = spark.range(0, 10).select($"id".as("k"), concat(lit("d"), $"id").as("name"))

@@ -18,6 +18,41 @@ class ProcessorsSpec extends SparkTestBase {
   private def ev(id: Long, min: Int, user: Long = 1L, v: Double = 1.0): Event =
     Event(id, ts(min), user, "m", v)
 
+  /** Independent one-shot CEP reference: greedy leftmost over the fully
+    * sorted per-user stream — no buffering, no sealing, no watermark.
+    * Written against the SEMANTICS (leftmost-greedy, no reuse, relaxed
+    * contiguity, within-horizon), not against PatternMatcher's code. */
+  private def cepReference(evs: Seq[Event], stages: Seq[Event => Boolean],
+      withinMs: Long): Set[(Long, Long, Long, Seq[Long])] =
+    evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val sorted = es.filter(e => stages.exists(_(e)))
+        .sortBy(e => (e.ts.getTime, e.event_id)).toArray
+      val consumed = scala.collection.mutable.HashSet.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Seq[Long])]
+      for (i <- sorted.indices) {
+        val head = sorted(i)
+        if (!consumed(head.event_id) && stages.head(head)) {
+          val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
+          var stage = 1
+          var lastMs = head.ts.getTime
+          var j = i + 1
+          while (stage < stages.length && j < sorted.length
+              && sorted(j).ts.getTime <= head.ts.getTime + withinMs) {
+            val e = sorted(j)
+            if (!consumed(e.event_id) && stages(stage)(e)) {
+              ids += e.event_id; lastMs = e.ts.getTime; stage += 1
+            }
+            j += 1
+          }
+          if (stage == stages.length) {
+            ids.foreach(consumed += _)
+            out += ((uid, head.ts.getTime, lastMs, ids.toSeq))
+          }
+        }
+      }
+      out
+    }.toSet
+
   test("dataflow equivalence: streaming CEP burst == batch q_cep_fail_burst (same horizon/threshold)") {
     // LoginFailProcessor fires when >=3 events lie in [t-h, t], which for
     // time-sorted events is EXACTLY the batch query's lag(t,2) >= t-h
@@ -387,38 +422,7 @@ class ProcessorsSpec extends SparkTestBase {
     val evs = graft.tables.Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Event].collect()
-    // independent one-shot reference: greedy leftmost over the fully
-    // sorted per-user stream — no buffering, no sealing, no watermark
-    def reference(): Set[(Long, Long, Long, Seq[Long])] =
-      evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
-        val sorted = es.filter(e => stages.exists(_(e)))
-          .sortBy(e => (e.ts.getTime, e.event_id)).toArray
-        val consumed = scala.collection.mutable.HashSet.empty[Long]
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Seq[Long])]
-        for (i <- sorted.indices) {
-          val head = sorted(i)
-          if (!consumed(head.event_id) && stages.head(head)) {
-            val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
-            var stage = 1
-            var lastMs = head.ts.getTime
-            var j = i + 1
-            while (stage < stages.length && j < sorted.length
-                && sorted(j).ts.getTime <= head.ts.getTime + withinMs) {
-              val e = sorted(j)
-              if (!consumed(e.event_id) && stages(stage)(e)) {
-                ids += e.event_id; lastMs = e.ts.getTime; stage += 1
-              }
-              j += 1
-            }
-            if (stage == stages.length) {
-              ids.foreach(consumed += _)
-              out += ((uid, head.ts.getTime, lastMs, ids.toSeq))
-            }
-          }
-        }
-        out
-      }.toSet
-    val expected = reference()
+    val expected = cepReference(evs, stages, withinMs)
     assert(expected.nonEmpty, "pattern should match on sf0.001 events")
     val maxMs = evs.map(_.ts.getTime).max
     val in = MemoryStream[Event]
@@ -490,6 +494,65 @@ class ProcessorsSpec extends SparkTestBase {
         Thread.sleep(200); q.processAllAvailable()
       }
       assert(streamed() === batch)
+    } finally q.stop()
+  }
+
+  test("Pattern builder: matchBatch == one-shot reference over real events (q_cep_pattern_seq backing)") {
+    val dir = sf("sf0.001")
+    val pat = Pattern
+      .begin("signup")(_.event_type == "signup")
+      .followedBy("click")(_.event_type == "click")
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(86400000L)
+    val evs = graft.tables.Tables.events(spark, dir)
+      .where($"event_type".isin("signup", "click", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    val got = pat.matchBatch(evs).collect()
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+    val expected = cepReference(evs.collect(), pat.predicates, 86400000L)
+    assert(expected.nonEmpty, "pattern should match on sf0.001 events")
+    assert(got === expected)
+  }
+
+  test("Pattern builder: login-fail shape (error,error,error within horizon) through the generic engine") {
+    // flink-cep Pattern.begin("fail").times(3).within(h), re-expressed as a
+    // 3-stage followedBy chain. Generic-engine semantics differ from
+    // LoginFailProcessor deliberately: non-overlapping leftmost triples
+    // (consumed events never re-alert) and no reset-on-success — the
+    // processor stays the strict-contiguity variant, the builder is the
+    // MATCH_RECOGNIZE-style one.
+    val fail = (e: Event) => e.event_type == "error"
+    val pat = Pattern.begin("f1")(fail).followedBy("f2")(fail)
+      .followedBy("f3")(fail).within(10L * 60000)
+    val evs = Seq(
+      ev(1, 1).copy(event_type = "error"), ev(2, 3).copy(event_type = "error"),
+      ev(3, 5).copy(event_type = "ok"),    // non-matching events are skipped
+      ev(4, 8).copy(event_type = "error"), // match [1,2,4]
+      ev(5, 9).copy(event_type = "error"), // unconsumed; no two more in horizon
+      ev(6, 40).copy(event_type = "error"), ev(7, 45).copy(event_type = "error"),
+      ev(8, 48).copy(event_type = "error")) // match [6,7,8] (48-40 ≤ 10 min horizon)
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processor, TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      in.addData(evs.sortBy(e => -e.ts.getTime)); q.processAllAvailable()
+      val sent = Event(-1L, ts(60 * 24), -99L, "sentinel", 0.0)
+      in.addData(sent); q.processAllAvailable()
+      in.addData(sent.copy(event_id = -2L)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def got() = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L).map(_.event_ids).toSet
+      while (got().size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(got() === Set(Seq(1L, 2L, 4L), Seq(6L, 7L, 8L)))
+      // the same pattern over the same data, batch surface, must agree
+      val batch = pat.matchBatch(evs.toDS()).collect().map(_.event_ids).toSet
+      assert(batch === Set(Seq(1L, 2L, 4L), Seq(6L, 7L, 8L)))
     } finally q.stop()
   }
 }
