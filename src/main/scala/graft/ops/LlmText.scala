@@ -318,7 +318,7 @@ object LlmText {
     * pure integer set arithmetic + one final division). Pairs must share
     * ≥1 shingle — the index join bounds work by shingle co-occurrence, the
     * scalable formulation (vs O(n²) pairwise). */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Set-similarity join in the classic filter-verify shape (PPJoin family):
     //
@@ -375,11 +375,18 @@ object LlmText {
         $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
       .where($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"n_shared", round($"jaccard", 4).as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
-  val dedupNgramJaccardSql: String =
-    """WITH tk AS (
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Shared CTE body producing the verified Jaccard ≥ 0.5 near-dup pairs —
+    * the oracle twin of [[jaccardPairs]], reused by both the pair query and
+    * the cluster query so the two oracles can never drift apart. */
+  private val jaccardPairsCte: String =
+    """tk AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
@@ -393,14 +400,108 @@ object LlmText {
       |shared AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_shared,
-      |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
-      |FROM shared
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, n_shared,
+      |    ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $jaccardPairsCte
+      |SELECT doc_a, doc_b, n_shared, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- dedup: clusters
+  /** Near-dup CLUSTERS + canonical-doc selection — the step that actually
+    * dedups a corpus: pairwise similarity (q_dedup_ngram_jaccard's verified
+    * pairs) only says "a~b"; to keep one representative you need the
+    * connected components of the pair graph (a~b, b~c ⇒ {a,b,c} is one
+    * cluster even when a~c scores below threshold) and a deterministic
+    * canonical pick per cluster (longest text, then smallest doc_id — the
+    * "keep the most complete copy" rule).
+    *
+    * Components via iterative hash-min label propagation — the standard
+    * distributed CC (GraphX/Pregel shape): every doc starts labeled with
+    * itself; each round takes the min of its neighbors' labels; converges
+    * in O(component diameter) rounds. Near-dup clusters are shallow (dup
+    * families, not long chains), so rounds stay single-digit at any corpus
+    * size. Per round: one shuffle join on doc_id + one hash agg — no
+    * driver-side graph state; the driver sees only the converged/changed
+    * COUNT per round (same contract as MLlib iterations). The label
+    * relation is [[graft.tables.Layout.materialize]]d per round to cut the
+    * exponentially growing lineage.
+    *
+    * Oracle: recursive reachability closure + min — exact on the same
+    * pairs CTE the pair query uses. Closure is Σ|component|², fine for an
+    * oracle at verification SF (the Spark side never builds it). */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+    val adj = graft.tables.Layout.materialize(
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    // seed = round 1 fused into initialization: label(v) = min(v, min nbr)
+    var labels = adj.groupBy($"src").agg(min($"dst").as("_m"))
+      .select($"src".as("doc_id"), least($"src", $"_m").as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val cur = graft.tables.Layout.materialize(labels)
+      val nbrMin = adj.join(cur, adj("dst") === cur("doc_id"))
+        .groupBy($"src").agg(min($"label").as("nbr_min"))
+      val next = graft.tables.Layout.materialize(
+        cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
+          .select(cur("doc_id"),
+            least(cur("label"), coalesce($"nbr_min", cur("label"))).as("label")))
+      changed = next.as("n").join(cur.as("c"), $"n.doc_id" === $"c.doc_id")
+        .where($"n.label" =!= $"c.label").count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    val withLen = labels.join(
+      documents(s, dir).select($"doc_id", length($"text").cast(LongType).as("len")),
+      Seq("doc_id"))
+    val w = Window.partitionBy($"label").orderBy($"len".desc, $"doc_id")
+    val canon = withLen.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"label".as("cluster_id"), $"doc_id".as("canonical_doc"))
+    labels.groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(array_sort(collect_list($"doc_id")), "/").as("members"))
+      .join(canon, Seq("cluster_id"))
+      .select($"cluster_id", $"n_docs", $"members", $"canonical_doc")
+      .orderBy($"cluster_id")
+  }
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+      |edges AS (
+      |  SELECT doc_a AS v, doc_b AS u FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT v, u FROM edges
+      |  UNION
+      |  SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+      |labels AS (
+      |  SELECT v AS doc_id, LEAST(v, MIN(u)) AS cluster_id
+      |  FROM reach GROUP BY v),
+      |canon AS (
+      |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+      |    SELECT l.cluster_id, l.doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+      |        ORDER BY length(d.text) DESC, l.doc_id) AS rn
+      |    FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+      |  WHERE rn = 1)
+      |SELECT l.cluster_id, COUNT(*) AS n_docs,
+      |  array_to_string(list_sort(list(l.doc_id)), '/') AS members,
+      |  ANY_VALUE(c.canonical_doc) AS canonical_doc
+      |FROM labels l JOIN canon c ON c.cluster_id = l.cluster_id
+      |GROUP BY l.cluster_id
+      |ORDER BY l.cluster_id""".stripMargin
 
   // ---------------------------------------------------------------- pipeline
   /** End-to-end curation pipeline — the stages a training-data run chains,
@@ -544,7 +645,8 @@ object LlmText {
     "q_dedup_exact"         -> (dedupExact _),
     "q_dedup_minhash"       -> (dedupMinhash _),
     "q_dedup_simhash"       -> (dedupSimhash _),
-    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "q_dedup_cluster"       -> (dedupCluster _))
 
   def oracle: Map[String, String] = Map(
     "q_text_tfidf"          -> textTfidfSql,
@@ -558,5 +660,6 @@ object LlmText {
     "q_text_quality"        -> textQualitySql,
     "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,
-    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_cluster"       -> dedupClusterSql)
 }

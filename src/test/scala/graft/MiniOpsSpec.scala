@@ -68,6 +68,26 @@ class MiniOpsSpec extends SparkTestBase {
     assert(dedup1.select(md5($"text".cast("binary"))).distinct().count() === dedup1.count())
   }
 
+  test("near-dup clustering: transitive chain merges; canonical = longest text then min doc_id") {
+    // planted graph: 1~2 (J=2/3), 2~3 (J=0.5), but 1~3 scores 0.25 — only
+    // connectivity, not pairwise similarity, puts all three in one cluster.
+    // 10 and 11 are exact dups; 5 is a singleton (must not appear).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    Seq(
+      (1L, "a b c d", "en", "s", 7L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "b c d e f", "en", "s", 9L),
+      (5L, "x y z", "en", "s", 5L),
+      (10L, "p q r s", "en", "s", 7L),
+      (11L, "p q r s", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    val rows = LlmText.dedupCluster(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    // cluster 1 = {1,2,3}: canonical is doc 2 (len 9 ties with 3, min id wins)
+    assert(rows === Seq((1L, 3L, "1/2/3", 2L), (10L, 2L, "10/11", 10L)))
+  }
+
   test("simhash: identical docs get hamming distance 0 (planted)") {
     val pairs = LlmText.dedupSimhash(spark, dir).collect()
     // sanity only: every emitted candidate pair has hamming <= 8 and a<b
