@@ -503,6 +503,102 @@ object LlmText {
       |GROUP BY l.cluster_id
       |ORDER BY l.cluster_id""".stripMargin
 
+  // ---------------------------------------------------------- decontamination
+  /** Train/eval decontamination — the GPT-3-style n-gram overlap check: a
+    * training doc is contaminated if it shares any exact token 5-gram with
+    * the held-out eval set (here: source `src0` plays the benchmark).
+    * Emits each contaminated train doc with its count of distinct
+    * overlapping grams (the triage signal: 1 gram = boilerplate, 50 = a
+    * leaked document).
+    *
+    * Scale shape: inverted-index semi-join — explode grams on both sides,
+    * equi-join on the gram string, aggregate per doc. The eval side is
+    * benchmark-sized (≪ corpus) so AQE broadcasts it at runtime; the train
+    * side shuffles map-side-combined (doc, gram) distinct rows only. Never
+    * quadratic: work = gram co-occurrence, same family as the jaccard
+    * prefix index. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def grams(df: DataFrame): DataFrame = {
+      val t = toks($"text")
+      val n = size(t)
+      df.select($"doc_id", $"source",
+        explode(when(n >= 5,
+          transform(sequence(lit(1), n - 4),
+            i => array_join(slice(t, i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    }
+    val g = grams(documents(s, dir))
+    val eval_ = g.where($"source" === "src0").select($"gram").distinct()
+    val train = g.where($"source" =!= "src0")
+      .select($"doc_id", $"gram").distinct()
+    train.join(eval_, Seq("gram"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 5
+      |      THEN list_transform(generate_series(1, len(t) - 4),
+      |             i -> array_to_string(t[i:i+4], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM tk),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+      |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0')
+      |SELECT doc_id, COUNT(*) AS n_grams
+      |FROM tr WHERE gram IN (SELECT gram FROM ev)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- sequence packing
+  /** Token-budget shard assignment — the concatenate-then-chunk packing a
+    * pretraining tokenizer does: within each (lang, part) stream, docs are
+    * concatenated in doc_id order and each doc is assigned the 2048-token
+    * shard its first token lands in (bin = ⌊tokens-before-this-doc /
+    * budget⌋; docs may straddle shard boundaries, as in real packing).
+    * Emits per-shard occupancy — the skew/efficiency profile of the
+    * packed dataset.
+    *
+    * Scale shape: packing is inherently sequential per STREAM, so streams
+    * must be the parallelism unit — `part = doc_id mod 32` gives 32
+    * deterministic streams per lang (a cluster run sizes this to its
+    * writer parallelism). The running sum is a window over (lang, part):
+    * corpus/|streams| rows per partition, never a single global reducer. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = size(toks($"text")).cast(LongType)
+    val w = Window.partitionBy($"lang", $"part").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select($"doc_id", $"lang", pmod($"doc_id", lit(32L)).as("part"), n.as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", (($"cum" - $"n_tok") / lit(2048L)).cast(LongType))
+      .groupBy($"lang", $"part", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"lang", $"part", $"bin")
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, doc_id % 32 AS part,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, part, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang, part ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT lang, part, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      |FROM c
+      |GROUP BY lang, part, (cum - n_tok) // 2048
+      |ORDER BY lang, part, bin""".stripMargin
+
   // ---------------------------------------------------------------- pipeline
   /** End-to-end curation pipeline — the stages a training-data run chains,
     * composed as ONE declarative plan so Catalyst fuses the filters into
@@ -646,7 +742,9 @@ object LlmText {
     "q_dedup_minhash"       -> (dedupMinhash _),
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "q_dedup_cluster"       -> (dedupCluster _))
+    "q_dedup_cluster"       -> (dedupCluster _),
+    "q_decontaminate"       -> (decontaminate _),
+    "q_pack_sequences"      -> (packSequences _))
 
   def oracle: Map[String, String] = Map(
     "q_text_tfidf"          -> textTfidfSql,
@@ -661,5 +759,7 @@ object LlmText {
     "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "q_dedup_cluster"       -> dedupClusterSql)
+    "q_dedup_cluster"       -> dedupClusterSql,
+    "q_decontaminate"       -> decontaminateSql,
+    "q_pack_sequences"      -> packSequencesSql)
 }
