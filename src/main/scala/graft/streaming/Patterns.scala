@@ -36,6 +36,16 @@ final case class Pattern private (
   def followedBy(name: String)(pred: Event => Boolean): Pattern =
     copy(stages = stages :+ (name -> pred))
 
+  /** flink-cep `.times(n)` — the LAST stage must occur n times total
+    * (relaxed contiguity between occurrences), desugared to n chained
+    * followedBy stages sharing the predicate. */
+  def times(n: Int): Pattern = {
+    require(n >= 1, s"times($n): need n >= 1")
+    require(stages.nonEmpty, "times(n) needs a stage to repeat")
+    val (name, pred) = stages.last
+    copy(stages = stages ++ (2 to n).map(i => s"$name#$i" -> pred))
+  }
+
   def within(ms: Long): Pattern = copy(horizonMs = Some(ms))
 
   def predicates: Seq[Event => Boolean] = stages.map(_._2)

@@ -523,8 +523,8 @@ class ProcessorsSpec extends SparkTestBase {
     // processor stays the strict-contiguity variant, the builder is the
     // MATCH_RECOGNIZE-style one.
     val fail = (e: Event) => e.event_type == "error"
-    val pat = Pattern.begin("f1")(fail).followedBy("f2")(fail)
-      .followedBy("f3")(fail).within(10L * 60000)
+    val pat = Pattern.begin("fail")(fail).times(3).within(10L * 60000)
+    assert(pat.stages.length === 3, "times(3) desugars to 3 stages")
     val evs = Seq(
       ev(1, 1).copy(event_type = "error"), ev(2, 3).copy(event_type = "error"),
       ev(3, 5).copy(event_type = "ok"),    // non-matching events are skipped
