@@ -529,12 +529,14 @@ object LlmText {
           .otherwise(array().cast("array<string>"))).as("gram"))
     }
     val g = grams(documents(s, dir))
-    val eval_ = g.where($"source" === "src0").select($"gram").distinct()
-    val train = g.where($"source" =!= "src0")
-      .select($"doc_id", $"gram").distinct()
+    // no explicit distinct on either side: left-semi only tests existence
+    // (right-side dups are free) and the per-doc dedup folds into the
+    // countDistinct's own partial aggregation — two fewer exchanges
+    val eval_ = g.where($"source" === "src0").select($"gram")
+    val train = g.where($"source" =!= "src0").select($"doc_id", $"gram")
     train.join(eval_, Seq("gram"), "left_semi")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"))
+      .agg(countDistinct($"gram").as("n_grams"))
       .orderBy($"doc_id")
   }
 

@@ -155,6 +155,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_decontaminate: existence test plans as a semi-join with partial aggregation") {
+    val p = planOf(SparkEntry.queries("q_decontaminate")(spark, dir))
+    assert(p.contains("LeftSemi"), "eval-overlap must be a semi-join, not inner+distinct")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram join degenerated to O(n²)")
+    assert(p.contains("partial_count"), "no map-side partial on the per-doc gram count")
+  }
+
+  test("q_pack_sequences: running sum partitions by (lang, stream) — never a single reducer") {
+    val p = planOf(SparkEntry.queries("q_pack_sequences")(spark, dir))
+    val winLine = p.linesIterator.find(l => l.contains("Arguments") && l.contains("windowspecdefinition"))
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing window collapsed to one partition")
+    assert(winLine.exists(l => l.contains("lang") && l.contains("part")),
+      s"window not partitioned by (lang, part): ${winLine.getOrElse("<none>")}")
+  }
+
   test("q_dedup_embed_banded: candidates come from the band join, never a cartesian") {
     val p = planOf(graft.ops.LlmVector.dedupEmbedBanded(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
