@@ -423,45 +423,20 @@ object LlmText {
     * canonical pick per cluster (longest text, then smallest doc_id — the
     * "keep the most complete copy" rule).
     *
-    * Components via iterative hash-min label propagation — the standard
-    * distributed CC (GraphX/Pregel shape): every doc starts labeled with
-    * itself; each round takes the min of its neighbors' labels; converges
-    * in O(component diameter) rounds. Near-dup clusters are shallow (dup
-    * families, not long chains), so rounds stay single-digit at any corpus
-    * size. Per round: one shuffle join on doc_id + one hash agg — no
-    * driver-side graph state; the driver sees only the converged/changed
-    * COUNT per round (same contract as MLlib iterations). The label
-    * relation is [[graft.tables.Layout.materialize]]d per round to cut the
-    * exponentially growing lineage.
+    * Components via [[Graph.connectedComponents]] (iterative hash-min
+    * label propagation — GraphX/Pregel CC shape; see its scaladoc for the
+    * per-round shuffle/driver contract). The same primitive clusters any
+    * other pair relation (banded embeddings, minhash) — asserted in
+    * VectorDedupSpec.
     *
     * Oracle: recursive reachability closure + min — exact on the same
     * pairs CTE the pair query uses. Closure is Σ|component|², fine for an
     * oracle at verification SF (the Spark side never builds it). */
   def dedupCluster(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
-    val adj = graft.tables.Layout.materialize(
-      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    // seed = round 1 fused into initialization: label(v) = min(v, min nbr)
-    var labels = adj.groupBy($"src").agg(min($"dst").as("_m"))
-      .select($"src".as("doc_id"), least($"src", $"_m").as("label"))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 25) {
-      val cur = graft.tables.Layout.materialize(labels)
-      val nbrMin = adj.join(cur, adj("dst") === cur("doc_id"))
-        .groupBy($"src").agg(min($"label").as("nbr_min"))
-      val next = graft.tables.Layout.materialize(
-        cur.join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
-          .select(cur("doc_id"),
-            least(cur("label"), coalesce($"nbr_min", cur("label"))).as("label")))
-      changed = next.as("n").join(cur.as("c"), $"n.doc_id" === $"c.doc_id")
-        .where($"n.label" =!= $"c.label").count()
-      labels = next
-      rounds += 1
-    }
-    require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    val labels = Graph.connectedComponents(
+        jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
+      .select($"vertex".as("doc_id"), $"component".as("label"))
     val withLen = labels.join(
       documents(s, dir).select($"doc_id", length($"text").cast(LongType).as("len")),
       Seq("doc_id"))

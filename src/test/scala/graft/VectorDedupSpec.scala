@@ -50,4 +50,21 @@ class VectorDedupSpec extends SparkTestBase {
     info(f"banded recall = $recall%.3f (${banded.size}/${exact.size})")
     assert(recall >= 0.7, f"recall $recall%.3f collapsed — banding layout broken?")
   }
+
+  test("Graph.connectedComponents clusters the banded embedding pairs (shared CC primitive)") {
+    val pairs = LlmVector.dedupEmbedBanded(spark, sf("sf0.01")).select("vec_a", "vec_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(edges.nonEmpty)
+    val got = graft.ops.Graph.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference union-find over the collected (tiny) edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // canonical min-id per component
+    val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+    val expected = verts.map(v => v -> minOf(find(v))).toMap
+    assert(got === expected)
+  }
 }
