@@ -22,7 +22,11 @@ object Graph {
     * Scale: per round one shuffle join + one hash agg; no driver-side
     * graph state — the driver sees only the changed COUNT per round
     * (MLlib iteration contract). Labels are [[graft.tables.Layout
-    * .materialize]]d per round to cut the growing lineage.
+    * .materialize]]d per round to cut the growing lineage. Convergence is
+    * detected from a `_chg` flag computed IN the label-update join (a
+    * vertex changed iff a neighbor label undercut its own), so the check
+    * is a count over the already-materialized round output — no extra
+    * next⋈cur join, no extra shuffle.
     *
     * @param pairs two numeric columns naming an undirected edge each
     *              (column names are taken positionally)
@@ -45,10 +49,10 @@ object Graph {
       val next = graft.tables.Layout.materialize(
         cur.join(nbrMin, cur("vertex") === nbrMin("src"), "left")
           .select(cur("vertex"),
-            least(cur("component"), coalesce(col("_nbr"), cur("component"))).as("component")))
-      changed = next.as("n").join(cur.as("c"), col("n.vertex") === col("c.vertex"))
-        .where(col("n.component") =!= col("c.component")).count()
-      labels = next
+            least(cur("component"), coalesce(col("_nbr"), cur("component"))).as("component"),
+            (coalesce(col("_nbr"), cur("component")) < cur("component")).as("_chg")))
+      changed = next.where(col("_chg")).count()
+      labels = next.drop("_chg")
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")

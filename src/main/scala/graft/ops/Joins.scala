@@ -224,7 +224,42 @@ object Joins {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
+  /** Null-safe equality join (`<=>` / SQL `IS NOT DISTINCT FROM`): NULL
+    * keys MATCH each other instead of silently dropping, the semantic a
+    * pipeline needs when "unknown" is itself a join category (e.g. docs
+    * with no detected language joined to per-language configs with a NULL
+    * default row). Both sides derive a nullable key from lineitem
+    * (`nullif(l_returnflag,'N')`), the right side being its distinct
+    * image with a display label — so the NULL group's survival (it would
+    * vanish under `===`, asserted in JoinsSpec) is exactly what the
+    * oracle hash checks. Plans as a plain hash equi-join: Catalyst treats
+    * `<=>` as an equality predicate, no nested-loop fallback. */
+  def joinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val left = lineitem(s, dir)
+      .select(nullif($"l_returnflag", lit("N")).as("k"), $"l_quantity")
+    val dim = left.select($"k").distinct()
+      .select($"k".as("dk"), coalesce($"dk", lit("none")).as("flag_label"))
+    left.join(dim, $"k" <=> $"dk")
+      .groupBy($"flag_label")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"flag_label")
+  }
+
+  val joinNullsafeSql: String =
+    """WITH l AS (
+      |  SELECT nullif(l_returnflag, 'N') AS k, l_quantity FROM lineitem),
+      |d AS (
+      |  SELECT k AS dk, coalesce(k, 'none') AS flag_label
+      |  FROM (SELECT DISTINCT k FROM l))
+      |SELECT flag_label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM l JOIN d ON l.k IS NOT DISTINCT FROM d.dk
+      |GROUP BY flag_label ORDER BY flag_label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_nullsafe"  -> (joinNullsafe _),
     "q_join_range_bucket" -> (joinRangeBucket _),
     "q_join_salted"    -> (joinSalted _),
     "q_join_right"     -> (joinRight _),
@@ -238,6 +273,7 @@ object Joins {
     "q_join_interval"  -> (joinInterval _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_nullsafe"  -> joinNullsafeSql,
     "q_join_salted"    -> joinSaltedSql,
     "q_join_right"     -> joinRightSql,
     "q_join_inner"     -> joinInnerSql,

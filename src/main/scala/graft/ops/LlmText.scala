@@ -703,7 +703,78 @@ object LlmText {
       |  FROM documents)
       |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin
 
+  // ---------------------------------------------------------------- quality: repetition
+  /** Gopher-style repetition signals per document — the quality rule that
+    * catches boilerplate and template spam (duplicate-word mass and
+    * most-common-word share), complementing q_text_quality's length/
+    * stopword gates. Two hash aggregations, both with map-side partials:
+    * explode → count per (doc, word) → fold per doc; nothing row-global,
+    * nothing quadratic — the same plan shape at any corpus size. The
+    * repetitive flag derives from the UNROUNDED share, so rounding for
+    * display can't flip the verdict. */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perWord = documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val nw = $"n_words".cast("double")
+    perWord.groupBy($"doc_id")
+      .agg(sum($"c").as("n_words"), count(lit(1)).as("n_uniq"), max($"c").as("top_n"))
+      .select($"doc_id", $"n_words", $"n_uniq", $"top_n",
+        round(lit(1.0) - $"n_uniq".cast("double") / nw, 4).as("dup_ratio"),
+        round($"top_n".cast("double") / nw, 4).as("top_share"),
+        ($"top_n".cast("double") / nw > 0.2).as("flag_repetitive"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |c AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM w
+      |  WHERE length(w) > 0 GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_uniq,
+      |  CAST(MAX(c) AS BIGINT) AS top_n,
+      |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS dup_ratio,
+      |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 4) AS top_share,
+      |  (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.2) AS flag_repetitive
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- corpus mix
+  /** Training-mixture report: per (lang, source) document/char/token mass
+    * and each cell's share of total corpus chars — the table a data-mixing
+    * run reads to set sampling weights. Token counts are row-local
+    * (size(split), no explode); the share divides by a windowed global
+    * sum computed over the ALREADY-AGGREGATED frame (≤ |langs|·|sources|
+    * rows), so the empty-partition window — a single reducer — sees only
+    * the tiny summary, never raw data. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy()
+    documents(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        sum(size(toks($"text")).cast(LongType)).as("words"))
+      .withColumn("share_chars",
+        round($"chars".cast("double") / sum($"chars").over(wAll).cast("double"), 6))
+      .orderBy($"lang", $"source")
+  }
+
+  val corpusMixSql: String =
+    """WITH g AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |    CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS words
+      |  FROM documents GROUP BY lang, source)
+      |SELECT lang, source, n_docs, chars, words,
+      |  ROUND(CAST(chars AS DOUBLE) / CAST(SUM(chars) OVER () AS DOUBLE), 6) AS share_chars
+      |FROM g ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_repetition"  -> (qualityRepetition _),
+    "q_corpus_mix"          -> (corpusMix _),
     "q_text_tfidf"          -> (textTfidf _),
     "q_text_normalize"      -> (textNormalize _),
     "q_sample_stratified"   -> (sampleStratified _),
@@ -724,6 +795,8 @@ object LlmText {
     "q_pack_sequences"      -> (packSequences _))
 
   def oracle: Map[String, String] = Map(
+    "q_quality_repetition"  -> qualityRepetitionSql,
+    "q_corpus_mix"          -> corpusMixSql,
     "q_text_tfidf"          -> textTfidfSql,
     "q_text_normalize"      -> textNormalizeSql,
     "q_sample_stratified"   -> sampleStratifiedSql,

@@ -100,19 +100,57 @@ object SetOps {
       |EXCEPT SELECT s_nationkey FROM supplier
       |ORDER BY nk""".stripMargin
 
+  /** Multiset intersection (INTERSECT ALL): per key, min(multiplicity in
+    * customer, multiplicity in supplier) — duplicates survive, unlike
+    * [[intersectKeys]]. Folded to per-key counts so the multiplicity
+    * arithmetic itself is what the oracle verifies. Plans as a single
+    * hash aggregation per side + one shuffle on the row key — the same
+    * scale shape as distinct, NOT a join. */
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (c, su) = nationKeys(s, dir)
+    c.intersectAll(su).groupBy($"nk").agg(count(lit(1)).as("n")).orderBy($"nk")
+  }
+
+  val intersectAllSql: String =
+    """SELECT nk, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nk ORDER BY nk""".stripMargin
+
+  /** Multiset difference (EXCEPT ALL): per key, multiplicity in customer
+    * minus multiplicity in supplier (floored at 0) — the "how many extra
+    * copies does the left side have" semantics bag algebra defines and
+    * [[exceptKeys]]'s set form cannot express. */
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (c, su) = nationKeys(s, dir)
+    c.exceptAll(su).groupBy($"nk").agg(count(lit(1)).as("n")).orderBy($"nk")
+  }
+
+  val exceptAllSql: String =
+    """SELECT nk, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+      |GROUP BY nk ORDER BY nk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sort_multi"     -> (sortMulti _),
-    "q_distinct_rows"  -> (distinctRows _),
-    "q_union_all"      -> (unionAll _),
-    "q_union_distinct" -> (unionDistinct _),
-    "q_intersect"      -> (intersectKeys _),
-    "q_except"         -> (exceptKeys _))
+    "q_sort_multi"      -> (sortMulti _),
+    "q_distinct_rows"   -> (distinctRows _),
+    "q_union_all"       -> (unionAll _),
+    "q_union_distinct"  -> (unionDistinct _),
+    "q_intersect"       -> (intersectKeys _),
+    "q_except"          -> (exceptKeys _),
+    "q_intersect_all"   -> (intersectAllKeys _),
+    "q_except_all"      -> (exceptAllKeys _))
 
   def oracle: Map[String, String] = Map(
-    "q_sort_multi"     -> sortMultiSql,
-    "q_distinct_rows"  -> distinctRowsSql,
-    "q_union_all"      -> unionAllSql,
-    "q_union_distinct" -> unionDistinctSql,
-    "q_intersect"      -> intersectSql,
-    "q_except"         -> exceptSql)
+    "q_sort_multi"      -> sortMultiSql,
+    "q_distinct_rows"   -> distinctRowsSql,
+    "q_union_all"       -> unionAllSql,
+    "q_union_distinct"  -> unionDistinctSql,
+    "q_intersect"       -> intersectSql,
+    "q_except"          -> exceptSql,
+    "q_intersect_all"   -> intersectAllSql,
+    "q_except_all"      -> exceptAllSql)
 }

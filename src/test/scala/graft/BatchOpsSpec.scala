@@ -119,6 +119,41 @@ class BatchOpsSpec extends SparkTestBase {
       .as[(Int, String)].collect().toSeq
     assert(rows === Seq((1, "a"), (1, "b"), (2, "c")))
   }
+
+  test("q_join_nullsafe: NULL keys match under <=> but vanish under ===") {
+    val dir = sf("sf0.001")
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    val nNull = li.where($"l_returnflag" === "N").count()
+    val out = graft.ops.Joins.joinNullsafe(spark, dir)
+      .select("flag_label", "n").as[(String, Long)].collect().toMap
+    assert(out.getOrElse("none", 0L) === nNull,
+      "null-safe join must keep every NULL-keyed row in the 'none' group")
+    // the same join under plain equality drops the NULL group entirely
+    val left = li.select(nullif($"l_returnflag", lit("N")).as("k"))
+    val dim = left.distinct().select($"k".as("dk"))
+    val eqGroups = left.join(dim, $"k" === $"dk").where($"k".isNull).count()
+    assert(eqGroups === 0L, "=== should not match NULL = NULL")
+  }
+
+  test("q_intersect_all/q_except_all: multiset arithmetic = least / floored difference of per-key counts") {
+    val dir = sf("sf0.001")
+    val c = graft.tables.Tables.customer(spark, dir)
+      .groupBy($"c_nationkey".as("nk")).count()
+      .as[(Long, Long)].collect().toMap
+    val su = graft.tables.Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey".as("nk")).count()
+      .as[(Long, Long)].collect().toMap
+    val gotI = graft.ops.SetOps.intersectAllKeys(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val expI = (c.keySet intersect su.keySet).map(k => k -> math.min(c(k), su(k)))
+      .filter(_._2 > 0).toMap
+    assert(gotI === expI, "INTERSECT ALL multiplicity != min(left, right)")
+    val gotE = graft.ops.SetOps.exceptAllKeys(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val expE = c.map { case (k, n) => k -> (n - su.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    assert(gotE === expE, "EXCEPT ALL multiplicity != max(left - right, 0)")
+  }
 }
 
 object BatchOpsSpec {

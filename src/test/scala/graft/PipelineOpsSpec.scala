@@ -178,4 +178,39 @@ class PipelineOpsSpec extends SparkTestBase {
     }
     assert(got === exp)
   }
+
+  test("q_quality_repetition: signal bounds, and the flag follows the UNROUNDED share") {
+    val rows = LlmText.qualityRepetition(spark, dir)
+      .select("doc_id", "n_words", "n_uniq", "top_n", "dup_ratio", "top_share",
+        "flag_repetitive")
+      .as[(Long, Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nWords, nUniq, topN, dup, share, flag) =>
+      assert(nUniq >= 1 && nUniq <= nWords, s"doc $id: uniq outside [1, n_words]")
+      assert(topN >= 1 && topN <= nWords, s"doc $id: top_n outside [1, n_words]")
+      assert(dup >= 0.0 && dup < 1.0, s"doc $id: dup_ratio out of range: $dup")
+      assert(share > 0.0 && share <= 1.0, s"doc $id: top_share out of range: $share")
+      assert(flag === (topN.toDouble / nWords > 0.2),
+        s"doc $id: flag diverges from unrounded top-share")
+    }
+    // every doc with a non-empty token list is present (no silent drops)
+    val expected = graft.tables.Tables.documents(spark, dir)
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim($"text")) > 0).count()
+    assert(rows.length.toLong === expected)
+  }
+
+  test("q_corpus_mix: shares sum to 1 and char mass reconciles with documents") {
+    val rows = LlmText.corpusMix(spark, dir)
+      .select("lang", "source", "n_docs", "chars", "share_chars")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3,
+      "per-cell shares must sum to ~1 (up to 6dp rounding per cell)")
+    val totalChars = graft.tables.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum($"n_chars")).as[Long].head()
+    assert(rows.map(_._4).sum === totalChars, "char mass lost between cells")
+    val totalDocs = graft.tables.Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum === totalDocs, "doc mass lost between cells")
+  }
 }

@@ -178,4 +178,18 @@ class PlanSpec extends SparkTestBase {
       "banded dedup must not plan an O(n²) join")
     assert(p.contains("ExistingRDD"), "band table not materialized pre-self-join")
   }
+
+  test("q_join_nullsafe: <=> plans as a hash equi-join, not nested-loop") {
+    val p = planOf(SparkEntry.queries("q_join_nullsafe")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "null-safe equality fell back to a nested-loop join")
+    assert(p.contains("HashJoin"), "null-safe join not planned as a hash join")
+  }
+
+  test("q_quality_repetition: both aggregations have map-side partials") {
+    val p = planOf(SparkEntry.queries("q_quality_repetition")(spark, dir))
+    assert(p.contains("partial_count"), "no partial on the (doc, word) count")
+    assert(p.contains("partial_sum"), "no partial on the per-doc fold")
+    assert(!p.contains("CartesianProduct"), "repetition scoring must stay linear")
+  }
 }
