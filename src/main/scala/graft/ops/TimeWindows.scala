@@ -354,7 +354,78 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** Guarded CEP batch contract (r6): signup NOT-followed-by error,
+    * followed by click, within 24 h — the `notFollowedBy` modifier run
+    * through the same builder + matcher core as q_cep_pattern_seq, with a
+    * DuckDB oracle extending the recursive-CTE replay with the abort
+    * semantics: a head matches iff its earliest unconsumed click exists in
+    * the window AND no error lies strictly between head and that click in
+    * (t, id) scan order.
+    *
+    * Oracle validity: the monotone-picks argument carries over with
+    * guards — an aborted head consumes nothing, matched heads/clicks stay
+    * strictly increasing (a click between head_k and b_k would have BEEN
+    * b_k, so head_{k+1}'s earliest click is > b_k) — so the CTE's
+    * last-pick state still replays the engine exactly; errors are never
+    * consumed (guard-only type), so the NOT EXISTS scans the raw stream.
+    * Cross-validated by PatternModifierSpec's independent anchors and the
+    * randomized seal property. */
+  def cepGuarded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern
+      .begin("signup")(_.event_type == "signup")
+      .notFollowedBy("err")(_.event_type == "error")
+      .followedBy("click")(_.event_type == "click")
+      .within(86400000L)
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click", "error"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepGuardedSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click','error')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS b_t, CAST(-1 AS BIGINT) AS b_id
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1, nxt.h_t, nxt.h_id, nxt.b_t, nxt.b_id
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |           b2.t AS b_t, b2.id AS b_id
+      |    FROM ev e1,
+      |      LATERAL (
+      |        SELECT e2.t, e2.event_id AS id FROM ev e2
+      |        WHERE e2.user_id = e1.user_id AND e2.event_type = 'click'
+      |          AND (e2.t > e1.t OR (e2.t = e1.t AND e2.event_id > e1.event_id))
+      |          AND (e2.t > m.b_t OR (e2.t = m.b_t AND e2.event_id > m.b_id))
+      |          AND e2.t <= e1.t + 86400000
+      |        ORDER BY e2.t, e2.event_id LIMIT 1) b2
+      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |      AND NOT EXISTS (
+      |        SELECT 1 FROM ev x
+      |        WHERE x.user_id = e1.user_id AND x.event_type = 'error'
+      |          AND (x.t > e1.t OR (x.t = e1.t AND x.event_id > e1.event_id))
+      |          AND (x.t < b2.t OR (x.t = b2.t AND x.event_id < b2.id))
+      |          AND x.t <= e1.t + 86400000)
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, b_t AS last_ms,
+      |  CAST(h_id AS VARCHAR) || '/' || CAST(b_id AS VARCHAR) AS ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cep_guarded"       -> (cepGuarded _),
     "q_cep_pattern_seq"   -> (cepPatternSeq _),
     "q_time_downsample"   -> (timeDownsample _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
@@ -367,6 +438,7 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_cep_guarded"      -> cepGuardedSql,
     "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
     "q_gap_fill_daily"   -> gapFillDailySql,

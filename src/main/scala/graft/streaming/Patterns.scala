@@ -2,6 +2,12 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 
+/** One declared positive stage of a [[Pattern]]: name, predicate, the
+  * flink-cep `optional` flag, and the `notFollowedBy` gap guards declared
+  * between the previous positive stage and this one. */
+final case class StageDef(name: String, pred: Event => Boolean,
+    optional: Boolean, negsBefore: Seq[(String, Event => Boolean)])
+
 /** Flink-CEP-style pattern builder — the `Pattern.begin(..).followedBy(..)
   * .within(..)` surface over the generic linear matcher, so a reference
   * user's CEP program maps 1:1 onto this engine:
@@ -9,7 +15,10 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * {{{
   * val pat = Pattern
   *   .begin("signup")(_.event_type == "signup")
+  *   .notFollowedBy("churn")(_.event_type == "cancel")
   *   .followedBy("click")(_.event_type == "click")
+  *   .followedBy("promo")(_.event_type == "promo").optional
+  *   .followedBy("purchase")(_.event_type == "purchase")
   *   .within(24L * 3600 * 1000)
   * stream.groupByKey(_.user_id)
   *   .transformWithState(pat.processor, TimeMode.EventTime(), OutputMode.Append())
@@ -19,10 +28,22 @@ import org.apache.spark.sql.{Dataset, Encoders}
   *
   * Semantics are [[PatternMatcher]]'s: relaxed contiguity (followedBy),
   * leftmost-greedy, no event reuse (AFTER MATCH SKIP PAST LAST ROW-style
-  * consumption), each match completing within `within` of its head. The
-  * streaming and batch surfaces share the matcher core, so a bounded replay
-  * of any stream yields identical matches (asserted in ProcessorsSpec; the
-  * batch surface is additionally oracle-checked as q_cep_pattern_seq).
+  * consumption), each match completing within `within` of its head.
+  * `notFollowedBy` guards the gap before the NEXT positive stage: an event
+  * matching the guard while that gap is open invalidates the head's
+  * attempt (flink-cep NOT-next-relaxed). `optional` marks the last
+  * declared stage skippable; greedy — a matching event is still consumed
+  * in preference to skipping. The streaming and batch surfaces share the
+  * matcher core, so a bounded replay of any stream yields identical
+  * matches (asserted in ProcessorsSpec; the all-required batch surface is
+  * additionally oracle-checked as q_cep_pattern_seq).
+  *
+  * Shape rules (enforced at build time, keeping greedy matching
+  * unambiguous): the head stage is required and unguarded; the final
+  * stage is required; a pattern cannot end on a dangling `notFollowedBy`;
+  * a guarded gap sits between two REQUIRED stages (no `optional`
+  * adjacent to a guard — whether a skipped optional's guards apply to
+  * the merged gap would otherwise be ambiguous).
   *
   * Scale posture (batch): one shuffle on the key; per-key work is a sort +
   * linear scan of that key's events — the inherent MATCH_RECOGNIZE
@@ -30,25 +51,77 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * the corpus by user with no driver involvement.
   */
 final case class Pattern private (
-    stages: Seq[(String, Event => Boolean)],
+    stages: Seq[StageDef],
+    pendingNegs: Seq[(String, Event => Boolean)],
     horizonMs: Option[Long]) {
 
   def followedBy(name: String)(pred: Event => Boolean): Pattern =
-    copy(stages = stages :+ (name -> pred))
+    copy(stages = stages :+ StageDef(name, pred, optional = false, pendingNegs),
+      pendingNegs = Nil)
+
+  /** flink-cep `.notFollowedBy(..)`: no event matching `pred` may occur
+    * between the previous positive stage and the next one. Attaches to
+    * the NEXT `followedBy`; a pattern may not end on one. */
+  def notFollowedBy(name: String)(pred: Event => Boolean): Pattern = {
+    require(stages.nonEmpty, "notFollowedBy needs a preceding stage")
+    require(!stages.last.optional,
+      "notFollowedBy after an optional stage is ambiguous (merged-gap guards); " +
+        "make the previous stage required")
+    copy(pendingNegs = pendingNegs :+ (name -> pred))
+  }
+
+  /** flink-cep `.optional()`: the last declared stage may be skipped.
+    * Greedy: an event matching it is still consumed in preference to
+    * skipping ahead. Not allowed on the head, on a guarded stage, or
+    * with gap guards pending (see shape rules). */
+  def optional: Pattern = {
+    require(stages.length >= 2, "the head stage cannot be optional")
+    require(stages.last.negsBefore.isEmpty,
+      "optional on a guarded stage is ambiguous (merged-gap guards); " +
+        "guards must sit between two required stages")
+    require(pendingNegs.isEmpty,
+      "declare notFollowedBy AFTER optional's followedBy, not before it")
+    copy(stages = stages.init :+ stages.last.copy(optional = true))
+  }
 
   /** flink-cep `.times(n)` — the LAST stage must occur n times total
     * (relaxed contiguity between occurrences), desugared to n chained
-    * followedBy stages sharing the predicate. */
+    * followedBy stages sharing the predicate. Gap guards and optionality
+    * do not replicate (guards keep guarding only the first occurrence's
+    * gap; a repeated stage is required). */
   def times(n: Int): Pattern = {
     require(n >= 1, s"times($n): need n >= 1")
     require(stages.nonEmpty, "times(n) needs a stage to repeat")
-    val (name, pred) = stages.last
-    copy(stages = stages ++ (2 to n).map(i => s"$name#$i" -> pred))
+    require(!stages.last.optional, "times(n) on an optional stage is ambiguous")
+    require(pendingNegs.isEmpty, "dangling notFollowedBy before times(n)")
+    val last = stages.last
+    copy(stages = stages ++
+      (2 to n).map(i => StageDef(s"${last.name}#$i", last.pred, optional = false, Nil)))
   }
 
   def within(ms: Long): Pattern = copy(horizonMs = Some(ms))
 
-  def predicates: Seq[Event => Boolean] = stages.map(_._2)
+  /** Positive-stage predicates in order (all-required patterns only need
+    * these; kept for the original surface and tests). */
+  def predicates: Seq[Event => Boolean] = stages.map(_.pred)
+
+  /** Compile to the matcher's stage model, enforcing the shape rules. */
+  def compiled: Seq[PosStage] = {
+    require(stages.nonEmpty, "empty pattern")
+    require(pendingNegs.isEmpty,
+      s"pattern ends on dangling notFollowedBy(${pendingNegs.map(_._1).mkString(",")}); " +
+        "a guard needs a following stage")
+    require(!stages.head.optional && stages.head.negsBefore.isEmpty,
+      "the head stage must be required and unguarded")
+    require(!stages.last.optional, "the final stage must be required")
+    stages.zipWithIndex.foreach { case (st, i) =>
+      if (st.negsBefore.nonEmpty) {
+        require(!st.optional && !stages(i - 1).optional,
+          s"stage ${st.name}: guards must sit between two required stages")
+      }
+    }
+    stages.map(st => PosStage(st.pred, st.optional, st.negsBefore.map(_._2)))
+  }
 
   private def horizon: Long = horizonMs.getOrElse(
     throw new IllegalArgumentException("Pattern requires .within(ms)"))
@@ -56,13 +129,13 @@ final case class Pattern private (
   /** Streaming surface: a state processor for
     * `groupByKey(_.user_id).transformWithState`. */
   def processor: PatternSequenceProcessor =
-    new PatternSequenceProcessor(predicates, horizon)
+    new PatternSequenceProcessor(compiled, horizon)
 
   /** Batch surface: one-shot matching per user over a bounded Dataset —
     * equivalent to replaying it through [[processor]] and sealing every
     * window (PatternMatcher's property-tested invariant). */
   def matchBatch(evs: Dataset[Event]): Dataset[PatternMatch] = {
-    val preds = predicates
+    val stgs = compiled
     val h = horizon
     implicit val enc = Encoders.product[PatternMatch]
     implicit val keyEnc = Encoders.scalaLong
@@ -70,7 +143,7 @@ final case class Pattern private (
       val buf = it.map(e => BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)).toSeq
       // wm = MaxValue seals every head's window in one shot (event epochs
       // are ~2^41 ms; head.ts + within stays far from overflow)
-      val (matches, rest) = PatternMatcher.seal(uid, buf, preds, h, Long.MaxValue)
+      val (matches, rest) = PatternMatcher.seal(uid, buf, stgs, h, Long.MaxValue)
       assert(rest.isEmpty, "final seal must drain the buffer")
       matches.iterator
     }
@@ -80,5 +153,5 @@ final case class Pattern private (
 object Pattern {
   /** Start a pattern with its first stage predicate. */
   def begin(name: String)(pred: Event => Boolean): Pattern =
-    Pattern(Seq(name -> pred), None)
+    Pattern(Seq(StageDef(name, pred, optional = false, Nil)), Nil, None)
 }

@@ -280,19 +280,51 @@ case class BufEv(event_id: Long, ts_ms: Long, event_type: String, value: Double)
   * event ids in stage order. */
 case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids: Seq[Long])
 
+/** A compiled positive pattern stage: its predicate, whether the stage may
+  * be skipped (flink-cep `optional`), and the negative gap guards between
+  * the previous positive stage and this one (flink-cep `notFollowedBy` —
+  * an event matching any guard while the gap is open invalidates the
+  * head's attempt). The [[Pattern]] builder enforces the shape rules that
+  * keep greedy matching unambiguous: the head and last stages are
+  * required, and guarded gaps sit between two required stages. */
+final case class PosStage(pred: Event => Boolean, optional: Boolean,
+    negs: Seq[Event => Boolean])
+
 /** The pure matcher core of [[PatternSequenceProcessor]], factored out so
   * its central invariant — incremental matching at successive watermark
   * seals ≡ one-shot matching over the fully sorted stream — is
   * property-testable without a streaming harness (PropertySpec exercises
-  * random streams × random seal schedules). */
+  * random streams × random seal schedules, including optional and negated
+  * stages). */
 object PatternMatcher {
+  /** All-required convenience overload (the original surface). */
+  def seal(key: Long, buffer: Seq[BufEv], stages: Seq[Event => Boolean],
+      withinMs: Long, wm: Long): (Seq[PatternMatch], Seq[BufEv]) =
+    seal(key, buffer, stages.map(p => PosStage(p, optional = false, Nil)), withinMs, wm)
+
   /** Run leftmost-greedy matching over `buffer` for every head whose
     * window the watermark seals (head.ts + within ≤ wm). Returns
     * (matches in head order, surviving buffer). `buffer` need not be
     * sorted; `key` is echoed into the emitted rows and the predicates'
-    * Event view. */
-  def seal(key: Long, buffer: Seq[BufEv], stages: Seq[Event => Boolean],
-      withinMs: Long, wm: Long): (Seq[PatternMatch], Seq[BufEv]) = {
+    * Event view.
+    *
+    * Stage semantics per gap event, in precedence order:
+    *   1. negative guard hit → the head's attempt is invalidated (no
+    *      match from this head; nothing consumed). Negatives outrank
+    *      positives when an event matches both — documented tie-break.
+    *   2. greedy-earliest positive: the event consumes the FIRST stage it
+    *      matches among the reachable ones (the pointer stage, plus any
+    *      directly following stages reachable by skipping optionals; a
+    *      required stage is never skipped).
+    *   3. no match → relaxed contiguity, event ignored.
+    *
+    * Seal safety with negatives: every event that can decide a head's
+    * verdict (consume a stage OR invalidate the attempt) lies inside
+    * [head, head+within] — gaps close no later than the window — so a
+    * sealed window's verdict is final, and the incremental ≡ one-shot
+    * property is preserved (PropertySpec). */
+  def seal(key: Long, buffer: Seq[BufEv], stages: Seq[PosStage],
+      withinMs: Long, wm: Long)(implicit d: DummyImplicit): (Seq[PatternMatch], Seq[BufEv]) = {
     def toEvent(b: BufEv): Event =
       Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
     val events = buffer.sortBy(e => (e.ts_ms, e.event_id)).toArray
@@ -301,20 +333,38 @@ object PatternMatcher {
     var i = 0
     while (i < events.length && events(i).ts_ms + withinMs <= wm) { // sealing is ts-monotone
       val head = events(i)
-      if (!consumed(head.event_id) && stages.head(toEvent(head))) {
+      if (!consumed(head.event_id) && stages.head.pred(toEvent(head))) {
         val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
         var stage = 1
         var lastMs = head.ts_ms
+        var aborted = false
         var j = i + 1
-        while (stage < stages.length && j < events.length
+        while (!aborted && stage < stages.length && j < events.length
             && events(j).ts_ms <= head.ts_ms + withinMs) {
           val e = events(j)
-          if (!consumed(e.event_id) && stages(stage)(toEvent(e))) {
-            ids += e.event_id; lastMs = e.ts_ms; stage += 1
+          if (!consumed(e.event_id)) {
+            val ev = toEvent(e)
+            if (stages(stage).negs.exists(n => n(ev))) {
+              aborted = true // gap guard hit: this head can never match
+            } else {
+              // greedy-earliest among reachable stages: pointer stage,
+              // then onward while stages are optional (required blocks)
+              var t = stage
+              var hit = -1
+              var scanning = true
+              while (scanning && t < stages.length) {
+                if (stages(t).pred(ev)) { hit = t; scanning = false }
+                else if (stages(t).optional) t += 1
+                else scanning = false
+              }
+              if (hit >= 0) { ids += e.event_id; lastMs = e.ts_ms; stage = hit + 1 }
+            }
           }
           j += 1
         }
-        if (stage == stages.length) {
+        // builder guarantees the last stage is required, so completion ⇔
+        // every remaining stage is a skippable optional
+        if (!aborted && (stage until stages.length).forall(stages(_).optional)) {
           ids.foreach(consumed += _)
           out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)
         }
@@ -323,8 +373,10 @@ object PatternMatcher {
     }
     // prune: consumed events are spent; an unconsumed sealed event can
     // neither head a future match (just tried) nor join a later head
-    // (later heads seal later and were also just tried) — only the
-    // undecided tail survives
+    // (later heads seal later and were also just tried) nor invalidate
+    // one (a gap event follows its head, but unsealed heads start at
+    // ts > wm − within ≥ any sealed event's ts) — only the undecided
+    // tail survives
     val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
     (out.toSeq, keep.toSeq)
   }
@@ -355,9 +407,14 @@ object PatternMatcher {
   * State per key: the unconsumed buffer, pruned every fire to events whose
   * window the watermark has not sealed — bounded by horizon × per-key event
   * rate (the login-fail prune contract); plus one sliding timer. Events no
-  * stage predicate accepts are never buffered. */
-class PatternSequenceProcessor(stages: Seq[Event => Boolean], withinMs: Long)
+  * stage predicate accepts are never buffered — negative gap guards count
+  * as acceptors (an invalidating event must survive to its seal). */
+class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
     extends StatefulProcessor[Long, Event, PatternMatch] {
+
+  /** All-required convenience constructor (the original surface). */
+  def this(preds: Seq[Event => Boolean], withinMs: Long)(implicit d: DummyImplicit) =
+    this(preds.map(p => PosStage(p, optional = false, Nil)), withinMs)
   @transient private var buf: ListState[BufEv] = _
   @transient private var timerTs: ValueState[Long] = _
 
@@ -380,7 +437,9 @@ class PatternSequenceProcessor(stages: Seq[Event => Boolean], withinMs: Long)
       timers: TimerValues): Iterator[PatternMatch] = {
     rows.foreach { e =>
       val b = BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)
-      if (stages.exists(p => p(toEvent(key, b)))) buf.appendValue(b)
+      val ev = toEvent(key, b)
+      if (stageDefs.exists(s => s.pred(ev) || s.negs.exists(n => n(ev))))
+        buf.appendValue(b)
     }
     // fire just past the current watermark: each advance re-runs sealing
     slideTimer(timers.getCurrentWatermarkInMs() + 1)
@@ -391,7 +450,7 @@ class PatternSequenceProcessor(stages: Seq[Event => Boolean], withinMs: Long)
       expired: ExpiredTimerInfo): Iterator[PatternMatch] = {
     timerTs.clear()
     val wm = timers.getCurrentWatermarkInMs()
-    val (out, keep) = PatternMatcher.seal(key, buf.get().toSeq, stages, withinMs, wm)
+    val (out, keep) = PatternMatcher.seal(key, buf.get().toSeq, stageDefs, withinMs, wm)
     buf.clear()
     keep.foreach(buf.appendValue)
     if (keep.nonEmpty) slideTimer(wm + 1)

@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import graft.streaming._
+
+/** Semantics anchors for the flink-cep stage modifiers (r6): `optional`
+  * and `notFollowedBy` — hand-computed expected matches for each semantic
+  * corner, builder shape-rule enforcement, and a streaming ≡ batch
+  * equivalence replay for a guarded + optional pattern over real events.
+  */
+class PatternModifierSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+  private def mk(id: Long, min: Int, tp: String, user: Long = 1L): Event =
+    Event(id, ts(min), user, tp, 1.0)
+  private val h = 60L * 60000 // 1-hour horizon
+
+  private def matchIds(pat: Pattern, evs: Seq[Event]): Seq[Seq[Long]] =
+    pat.matchBatch(spark.createDataset(evs)).collect()
+      .sortBy(m => (m.first_ms, m.event_ids.head)).map(_.event_ids).toSeq
+
+  private val optPat = Pattern
+    .begin("a")(_.event_type == "A")
+    .followedBy("b")(_.event_type == "B").optional
+    .followedBy("c")(_.event_type == "C")
+    .within(h)
+
+  test("optional: consumed when present (greedy), skipped when absent") {
+    assert(matchIds(optPat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "C")))
+      === Seq(Seq(1L, 2L, 3L)))
+    assert(matchIds(optPat, Seq(mk(1, 1, "A"), mk(2, 2, "C"))) === Seq(Seq(1L, 2L)))
+  }
+
+  test("optional: C arriving before any B closes the match without waiting") {
+    // at t=2 the scan sees C; B? is skippable, so the match closes as [1,2];
+    // the leftover B(3), C(4) have no A head and match nothing
+    assert(matchIds(optPat, Seq(mk(1, 1, "A"), mk(2, 2, "C"), mk(3, 3, "B"), mk(4, 4, "C")))
+      === Seq(Seq(1L, 2L)))
+  }
+
+  private val negPat = Pattern
+    .begin("a")(_.event_type == "A")
+    .notFollowedBy("x")(_.event_type == "X")
+    .followedBy("b")(_.event_type == "B")
+    .within(h)
+
+  test("notFollowedBy: a guard hit invalidates the head; nothing is consumed") {
+    assert(matchIds(negPat, Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "B"))) === Seq())
+    // the invalidated head's events stay free for later heads
+    assert(matchIds(negPat, Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "B"),
+      mk(4, 4, "A"), mk(5, 5, "B"))) === Seq(Seq(4L, 5L)))
+  }
+
+  test("notFollowedBy: the guard closes once the next stage is consumed") {
+    // X after B is outside the guarded gap — irrelevant
+    assert(matchIds(negPat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "X")))
+      === Seq(Seq(1L, 2L)))
+  }
+
+  test("tie-break: negative outranks positive when an event matches both") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .notFollowedBy("noB")(_.event_type == "B")
+      .followedBy("b")(_.event_type == "B")
+      .within(h)
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"))) === Seq())
+  }
+
+  test("an aborting event can still head its own later attempt") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .notFollowedBy("a2")(_.event_type == "A")
+      .followedBy("b")(_.event_type == "B")
+      .within(h)
+    // head A(1): gap event A(2) hits the guard, attempt aborts; head A(2):
+    // B(3) completes — the guard event was never consumed
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "A"), mk(3, 3, "B")))
+      === Seq(Seq(2L, 3L)))
+  }
+
+  test("guards are per-attempt: an aborted head does not block later disjoint matches") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .notFollowedBy("x")(_.event_type == "X")
+      .followedBy("b")(_.event_type == "B")
+      .within(h)
+    // match [1,2] closes before X; head A(3) aborts on X(4); A(5)+B(6) match
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "A"),
+      mk(4, 4, "X"), mk(5, 5, "A"), mk(6, 6, "B")))
+      === Seq(Seq(1L, 2L), Seq(5L, 6L)))
+  }
+
+  test("builder shape rules reject ambiguous patterns") {
+    intercept[IllegalArgumentException] {
+      Pattern.begin("a")(_ => true).optional
+    }
+    intercept[IllegalArgumentException] { // dangling guard at the end
+      Pattern.begin("a")(_ => true).notFollowedBy("x")(_ => true).within(h).compiled
+    }
+    intercept[IllegalArgumentException] { // guard declared after an optional stage
+      Pattern.begin("a")(_ => true).followedBy("b")(_ => true).optional
+        .notFollowedBy("x")(_ => true)
+    }
+    intercept[IllegalArgumentException] { // optional on a guarded stage
+      Pattern.begin("a")(_ => true).notFollowedBy("x")(_ => true)
+        .followedBy("b")(_ => true).optional
+    }
+    intercept[IllegalArgumentException] { // optional tail
+      Pattern.begin("a")(_ => true).followedBy("b")(_ => true).optional
+        .within(h).compiled
+    }
+    intercept[IllegalArgumentException] { // times on an optional stage
+      Pattern.begin("a")(_ => true).followedBy("b")(_ => true).optional.times(2)
+    }
+  }
+
+  test("streaming processor == matchBatch for a guarded + optional pattern (reversed replay)") {
+    val pat = Pattern
+      .begin("signup")(_.event_type == "signup")
+      .notFollowedBy("err")(_.event_type == "error")
+      .followedBy("click")(_.event_type == "click")
+      .followedBy("view")(_.event_type == "view").optional
+      .followedBy("purchase")(_.event_type == "purchase")
+      .within(7L * 24 * 3600000)
+    val evs = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val expected = pat.matchBatch(spark.createDataset(evs.toSeq)).collect()
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+    assert(expected.nonEmpty, "guarded pattern should match on sf0.001 events")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = "pat_mod_snk"
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processor, TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def streamed() = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+        .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+      while (streamed().size < expected.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(streamed() === expected)
+    } finally q.stop()
+  }
+}

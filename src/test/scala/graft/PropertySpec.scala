@@ -183,4 +183,57 @@ class PropertySpec extends AnyFunSuite {
         s"incremental != one-shot for pat=$pat within=$within seals=$seals")
     }
   }
+
+  test("CEP sealing with optional/negated stages: incremental == one-shot at any schedule") {
+    import graft.streaming.{BufEv, Event, PatternMatcher, PosStage}
+    def tp(t: String): Event => Boolean = (e: Event) => e.event_type == t
+    val evGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", "D", "X"))
+    } yield ts.zip(tp).zipWithIndex.map { case ((t, y), i) => BufEv(i.toLong, t, y, 0.0) }
+    // every builder-legal modifier shape over 2-4 positive stages: head and
+    // last required, middles optional, guards between required neighbors
+    val patGen = Gen.oneOf(
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Seq(tp("X")))),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), true, Nil),
+        PosStage(tp("C"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Seq(tp("X"))),
+        PosStage(tp("C"), true, Nil), PosStage(tp("D"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), true, Nil),
+        PosStage(tp("C"), true, Nil), PosStage(tp("D"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Seq.empty), PosStage(tp("B"), false, Seq(tp("A"))),
+        PosStage(tp("C"), false, Seq(tp("X"), tp("B")))),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("A"), true, Nil),
+        PosStage(tp("B"), false, Nil)))
+    val caseGen = for {
+      evs <- evGen
+      pat <- patGen
+      within <- Gen.chooseNum(1L, 800L)
+      nSeals <- Gen.chooseNum(1, 5)
+      seals <- Gen.listOfN(nSeals, Gen.chooseNum(0L, 3000L))
+      arrivals <- Gen.listOfN(evs.length, Gen.chooseNum(0, nSeals - 1))
+    } yield (evs, pat, within, seals.sorted, arrivals)
+    forAllN(caseGen, n = 500) { case (evs, pat, within, seals, arrivals) =>
+      val fin = seals.last + 5000
+      val (oneShot, rest) = PatternMatcher.seal(1L, evs, pat, within, fin)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      def effectiveBatch(e: BufEv, a: Int): Int = {
+        val firstCovering = seals.indexWhere(_ >= e.ts_ms)
+        if (firstCovering < 0) a else a min firstCovering
+      }
+      var buffer = Seq.empty[BufEv]
+      var emitted = Seq.empty[graft.streaming.PatternMatch]
+      (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
+        val due = evs.zip(arrivals).collect {
+          case (e, a) if effectiveBatch(e, a) == batch => e
+        }
+        val (m, keep) = PatternMatcher.seal(1L, buffer ++ due, pat, within, wm)
+        emitted ++= m
+        buffer = keep
+      }
+      assert(emitted.toSet === oneShot.toSet,
+        s"incremental != one-shot (modifiers) for within=$within seals=$seals")
+    }
+  }
 }
