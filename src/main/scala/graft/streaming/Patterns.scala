@@ -39,11 +39,14 @@ final case class StageDef(name: String, pred: Event => Boolean,
   * additionally oracle-checked as q_cep_pattern_seq).
   *
   * Shape rules (enforced at build time, keeping greedy matching
-  * unambiguous): the head stage is required and unguarded; the final
-  * stage is required; a pattern cannot end on a dangling `notFollowedBy`;
-  * a guarded gap sits between two REQUIRED stages (no `optional`
-  * adjacent to a guard — whether a skipped optional's guards apply to
-  * the merged gap would otherwise be ambiguous).
+  * unambiguous): the head stage is required and unguarded; a pattern
+  * cannot end on a dangling `notFollowedBy`; a guarded gap sits between
+  * two REQUIRED stages (no `optional` adjacent to a guard — whether a
+  * skipped optional's guards apply to the merged gap would otherwise be
+  * ambiguous). Trailing OPTIONAL stages are legal (`times(from, to)`
+  * desugars to them): a match completes when every unsatisfied remaining
+  * stage is optional, its extent decided by the events inside the head's
+  * sealed window.
   *
   * Scale posture (batch): one shuffle on the key; per-key work is a sort +
   * linear scan of that key's events — the inherent MATCH_RECOGNIZE
@@ -89,14 +92,24 @@ final case class Pattern private (
     * followedBy stages sharing the predicate. Gap guards and optionality
     * do not replicate (guards keep guarding only the first occurrence's
     * gap; a repeated stage is required). */
-  def times(n: Int): Pattern = {
-    require(n >= 1, s"times($n): need n >= 1")
-    require(stages.nonEmpty, "times(n) needs a stage to repeat")
-    require(!stages.last.optional, "times(n) on an optional stage is ambiguous")
-    require(pendingNegs.isEmpty, "dangling notFollowedBy before times(n)")
+  def times(n: Int): Pattern = times(n, n)
+
+  /** flink-cep `.times(from, to)` — the LAST stage occurs between `from`
+    * and `to` times (greedy: extra occurrences inside the window are
+    * consumed), desugared to `from` required + `to - from` optional
+    * replicas. Trailing optional replicas are legal: a match's verdict —
+    * including how many optionals filled — is decided by the events inside
+    * the head's window, all present at seal time. */
+  def times(from: Int, to: Int): Pattern = {
+    require(from >= 1 && to >= from, s"times($from, $to): need 1 <= from <= to")
+    require(stages.nonEmpty, "times needs a stage to repeat")
+    require(!stages.last.optional, "times on an optional stage is ambiguous")
+    require(pendingNegs.isEmpty, "dangling notFollowedBy before times")
     val last = stages.last
     copy(stages = stages ++
-      (2 to n).map(i => StageDef(s"${last.name}#$i", last.pred, optional = false, Nil)))
+      (2 to from).map(i => StageDef(s"${last.name}#$i", last.pred, optional = false, Nil)) ++
+      (from + 1 to to).map(i =>
+        StageDef(s"${last.name}#$i", last.pred, optional = true, Nil)))
   }
 
   def within(ms: Long): Pattern = copy(horizonMs = Some(ms))
@@ -113,7 +126,6 @@ final case class Pattern private (
         "a guard needs a following stage")
     require(!stages.head.optional && stages.head.negsBefore.isEmpty,
       "the head stage must be required and unguarded")
-    require(!stages.last.optional, "the final stage must be required")
     stages.zipWithIndex.foreach { case (st, i) =>
       if (st.negsBefore.nonEmpty) {
         require(!st.optional && !stages(i - 1).optional,

@@ -362,8 +362,9 @@ object PatternMatcher {
           }
           j += 1
         }
-        // builder guarantees the last stage is required, so completion ⇔
-        // every remaining stage is a skippable optional
+        // completion: every remaining stage is a skippable optional
+        // (trailing optionals — e.g. times(from, to) tails — fill greedily
+        // from the window's events and close unfilled at the window edge)
         if (!aborted && (stage until stages.length).forall(stages(_).optional)) {
           ids.foreach(consumed += _)
           out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)

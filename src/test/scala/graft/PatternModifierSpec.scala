@@ -109,13 +109,36 @@ class PatternModifierSpec extends SparkTestBase {
       Pattern.begin("a")(_ => true).notFollowedBy("x")(_ => true)
         .followedBy("b")(_ => true).optional
     }
-    intercept[IllegalArgumentException] { // optional tail
-      Pattern.begin("a")(_ => true).followedBy("b")(_ => true).optional
-        .within(h).compiled
-    }
     intercept[IllegalArgumentException] { // times on an optional stage
       Pattern.begin("a")(_ => true).followedBy("b")(_ => true).optional.times(2)
     }
+    intercept[IllegalArgumentException] { // inverted range
+      Pattern.begin("a")(_ => true).times(3, 2)
+    }
+  }
+
+  test("trailing optional: match closes with or without the tail event") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .followedBy("b")(_.event_type == "B").optional
+      .within(h)
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"))) === Seq(Seq(1L, 2L)))
+    assert(matchIds(pat, Seq(mk(1, 1, "A"))) === Seq(Seq(1L)))
+  }
+
+  test("times(from, to): greedy between-range occurrence count") {
+    val pat = Pattern.begin("e")(_.event_type == "E").times(2, 3).within(h)
+    assert(pat.stages.length === 3, "times(2,3) desugars to 2 required + 1 optional")
+    // three E's in window: greedy takes all three
+    assert(matchIds(pat, Seq(mk(1, 1, "E"), mk(2, 2, "E"), mk(3, 3, "E")))
+      === Seq(Seq(1L, 2L, 3L)))
+    // exactly two: the optional third is skipped
+    assert(matchIds(pat, Seq(mk(1, 1, "E"), mk(2, 2, "E"))) === Seq(Seq(1L, 2L)))
+    // one alone: below the minimum, no match
+    assert(matchIds(pat, Seq(mk(1, 1, "E"))) === Seq())
+    // four: greedy [1,2,3]; the leftover E(4) cannot reach two occurrences
+    assert(matchIds(pat, Seq(mk(1, 1, "E"), mk(2, 2, "E"), mk(3, 3, "E"), mk(4, 4, "E")))
+      === Seq(Seq(1L, 2L, 3L)))
   }
 
   test("streaming processor == matchBatch for a guarded + optional pattern (reversed replay)") {

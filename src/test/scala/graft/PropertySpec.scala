@@ -205,7 +205,11 @@ class PropertySpec extends AnyFunSuite {
       Seq(PosStage(tp("A"), false, Seq.empty), PosStage(tp("B"), false, Seq(tp("A"))),
         PosStage(tp("C"), false, Seq(tp("X"), tp("B")))),
       Seq(PosStage(tp("A"), false, Nil), PosStage(tp("A"), true, Nil),
-        PosStage(tp("B"), false, Nil)))
+        PosStage(tp("B"), false, Nil)),
+      // trailing optionals (times(from, to) tails)
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), true, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("A"), false, Nil),
+        PosStage(tp("A"), true, Nil)))
     val caseGen = for {
       evs <- evGen
       pat <- patGen
