@@ -65,6 +65,38 @@ object Curation {
       |WHERE substring(md5(text), 1, 1) = '0'
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- weighted sample
+  /** Deterministic IMPORTANCE sampling: keep each doc with probability
+    * proportional to its length (the "sample long documents more" mixing
+    * rule), using a content-hash uniform draw — u = first 24 md5 bits /
+    * 2²⁴ — instead of rand(), so the sample is reproducible across runs,
+    * engines, and partitionings (same contract as q_sample_hash, which is
+    * the UNIFORM twin). The normalizing max(n_chars) is a one-row
+    * aggregate broadcast to the filter — the only global state, O(1) at
+    * any corpus size. u and the threshold are computed from exact
+    * integers via identical operand paths in both engines, so the float
+    * comparison is bit-identical. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mx = documents(s, dir).agg(max($"n_chars").cast("double").as("mx"))
+    documents(s, dir)
+      .crossJoin(broadcast(mx))
+      .withColumn("u",
+        conv(substring(md5($"text".cast("binary")), 1, 6), 16, 10).cast(LongType)
+          / lit(16777216.0))
+      .where($"u" < $"n_chars" / $"mx")
+      .select($"doc_id", $"lang", $"n_chars", round($"n_chars" / $"mx", 6).as("p"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleWeightedSql: String =
+    """WITH mx AS (SELECT CAST(MAX(n_chars) AS DOUBLE) AS mx FROM documents)
+      |SELECT doc_id, lang, n_chars, ROUND(n_chars / mx, 6) AS p
+      |FROM documents, mx
+      |WHERE CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) / 16777216.0
+      |      < n_chars / mx
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- salted agg
   /** Skew-safe aggregation as a contract query: two-phase salted sum over
     * lineitem (the hot-key pattern from tables.Layout) must equal the
@@ -388,6 +420,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
+    "q_sample_weighted" -> (sampleWeighted _),
     "q_agg_salted"     -> (aggSalted _),
     "q_win_cume_dist"  -> (winCumeDist _),
     "q_stats_corr"     -> (statsCorr _),
@@ -403,6 +436,7 @@ object Curation {
   def oracle: Map[String, String] = Map(
     "q_text_pii_mask"  -> piiMaskSql,
     "q_sample_hash"    -> sampleHashSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_agg_salted"     -> aggSaltedSql,
     "q_win_cume_dist"  -> winCumeDistSql,
     "q_stats_corr"     -> statsCorrSql,

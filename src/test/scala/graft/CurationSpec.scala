@@ -129,6 +129,24 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_sample_weighted: kept set is biased long and every keep satisfies the draw") {
+    val dir = sf("sf0.001")
+    val kept = Curation.sampleWeighted(spark, dir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val all = graft.tables.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    assert(kept.nonEmpty && kept.length < all.length)
+    // importance sampling by length must pull the kept mean above the corpus mean
+    val keptMean = kept.map(_._2).sum.toDouble / kept.length
+    val allMean = all.map(_._2).sum.toDouble / all.length
+    assert(keptMean > allMean,
+      s"length-weighted sample not biased long: kept=$keptMean corpus=$allMean")
+    // acceptance rate ≈ E[n_chars]/max (binomial tolerance)
+    val expRate = allMean / all.map(_._2).max
+    val rate = kept.length.toDouble / all.length
+    assert(math.abs(rate - expRate) < 0.15, s"rate=$rate expected≈$expRate")
+  }
+
   test("q_topk_agg matches window-rank formulation") {
     val dir = sf("sf0.001")
     val ours = Curation.topkAgg(spark, dir)
