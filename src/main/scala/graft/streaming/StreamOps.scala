@@ -209,6 +209,20 @@ object StreamOps {
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
+  /** File-monitoring source (Flink FileSource / FileProcessingMode
+    * .PROCESS_CONTINUOUSLY analog): stream new parquet files landing in a
+    * directory — the standard "data lands in object storage" ingestion
+    * path. Each discovered file becomes part of exactly one micro-batch
+    * (checkpoint-tracked), so a 1000-executor deployment gets
+    * exactly-once file ingestion with no extra bookkeeping. The schema
+    * must be declared up front — streaming readers cannot infer it. */
+  def fileSource(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(dir)
+
   /** Kafka consumer source — API surface only: no broker and no Kafka
     * connector jar ship in this offline environment, so this merely
     * declares the reader; building `.load()` is the caller's (gated)

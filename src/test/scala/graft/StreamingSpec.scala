@@ -194,6 +194,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_source_file: new parquet files in a directory stream exactly once") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    val sink = nextSink()
+    // land the first file BEFORE the query starts, the second while it runs:
+    // both must arrive, each exactly once
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    val src = StreamOps.fileSource(spark, dir,
+      spark.read.parquet(dir).schema)
+    val q = src.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((3L, "c")).toDF("id", "tag")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table(sink).as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("s_source_socket: local socket server feeds streaming wordcount") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort

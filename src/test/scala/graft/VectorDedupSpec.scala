@@ -67,4 +67,32 @@ class VectorDedupSpec extends SparkTestBase {
     val expected = verts.map(v => v -> minOf(find(v))).toMap
     assert(got === expected)
   }
+
+  test("Graph.connectedComponents: chain + seeded random graphs vs union-find (multi-round convergence)") {
+    import spark.implicits._
+    // a 10-vertex chain needs ~9 hash-min rounds — the multi-round path the
+    // shallow real-pair families never exercise
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(chain) ++ (1 to 4).map { _ =>
+      val n = 2 + rnd.nextInt(14)
+      (0 until (1 + rnd.nextInt(20)))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+    }.filter(_.nonEmpty)
+    cases.foreach { edges =>
+      val got = graft.ops.Graph.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+      assert(got === verts.map(v => v -> minOf(find(v))).toMap, s"edges=$edges")
+    }
+  }
 }
