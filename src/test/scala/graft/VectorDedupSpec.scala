@@ -70,11 +70,13 @@ class VectorDedupSpec extends SparkTestBase {
 
   test("Graph.connectedComponents: chain + seeded random graphs vs union-find (multi-round convergence)") {
     import spark.implicits._
-    // a 10-vertex chain needs ~9 hash-min rounds — the multi-round path the
-    // shallow real-pair families never exercise
+    // a 10-vertex chain needs ~9 propagate-only rounds; the 100-vertex path
+    // (diameter 99) would abort a pure hash-min loop at maxRounds=25 — it
+    // passes only because pointer jumping makes rounds O(log diameter)
     val chain = (0L until 9L).map(i => (i, i + 1))
+    val longPath = (0L until 99L).map(i => (i, i + 1))
     val rnd = new scala.util.Random(7)
-    val cases = Seq(chain) ++ (1 to 4).map { _ =>
+    val cases = Seq(chain, longPath) ++ (1 to 4).map { _ =>
       val n = 2 + rnd.nextInt(14)
       (0 until (1 + rnd.nextInt(20)))
         .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
