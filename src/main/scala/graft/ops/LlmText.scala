@@ -487,11 +487,12 @@ object LlmText {
     * leaked document).
     *
     * Scale shape: inverted-index semi-join — explode grams on both sides,
-    * equi-join on the gram string, aggregate per doc. The eval side is
-    * benchmark-sized (≪ corpus) so AQE broadcasts it at runtime; the train
-    * side shuffles map-side-combined (doc, gram) distinct rows only. Never
-    * quadratic: work = gram co-occurrence, same family as the jaccard
-    * prefix index. */
+    * equi-join on `xxhash64(gram)` (8-byte key, not the ~30-50-byte gram
+    * string; collision bound in the body comment), aggregate per doc. The
+    * eval side is benchmark-sized (≪ corpus) so AQE broadcasts it at
+    * runtime; the train side shuffles map-side-combined (doc, ghash)
+    * distinct rows only. Never quadratic: work = gram co-occurrence, same
+    * family as the jaccard prefix index. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def grams(df: DataFrame): DataFrame = {
@@ -506,12 +507,23 @@ object LlmText {
     val g = grams(documents(s, dir))
     // no explicit distinct on either side: left-semi only tests existence
     // (right-side dups are free) and the per-doc dedup folds into the
-    // countDistinct's own partial aggregation — two fewer exchanges
-    val eval_ = g.where($"source" === "src0").select($"gram")
-    val train = g.where($"source" =!= "src0").select($"doc_id", $"gram")
-    train.join(eval_, Seq("gram"), "left_semi")
+    // countDistinct's own partial aggregation — two fewer exchanges.
+    // Both the join key and the distinct key are xxhash64(gram): a 5-gram
+    // string averages ~30-50 shuffle bytes, the hash is 8 — the projection
+    // below drops the string before the exchange, cutting shuffle bytes
+    // ~5× on the train side (the corpus-sized one). Exactness: a false
+    // n_grams contribution needs two DISTINCT grams sharing a 64-bit
+    // hash across (or within) the joined sides; with G_t train and G_e
+    // eval distinct grams the expected count is ≈ G_t·G_e/2^64 — the eval
+    // side is benchmark-sized (~10^6), so even a 10^13-gram train corpus
+    // expects ≪ 1 collision; the DuckDB oracle compares on raw strings
+    // and stays green.
+    val eval_ = g.where($"source" === "src0").select(xxhash64($"gram").as("ghash"))
+    val train = g.where($"source" =!= "src0")
+      .select($"doc_id", xxhash64($"gram").as("ghash"))
+    train.join(eval_, Seq("ghash"), "left_semi")
       .groupBy($"doc_id")
-      .agg(countDistinct($"gram").as("n_grams"))
+      .agg(countDistinct($"ghash").as("n_grams"))
       .orderBy($"doc_id")
   }
 

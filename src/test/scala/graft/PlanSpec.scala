@@ -155,12 +155,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q_decontaminate: existence test plans as a semi-join with partial aggregation") {
+  test("q_decontaminate: existence test plans as a semi-join on the hashed gram with partial aggregation") {
     val p = planOf(SparkEntry.queries("q_decontaminate")(spark, dir))
     assert(p.contains("LeftSemi"), "eval-overlap must be a semi-join, not inner+distinct")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "gram join degenerated to O(n²)")
     assert(p.contains("partial_count"), "no map-side partial on the per-doc gram count")
+    // the semi-join key must be the 8-byte xxhash64(gram), and the gram
+    // string must be projected away before the exchange: the join/exchange
+    // key lines mention ghash, and no exchange hashes the raw gram column
+    assert(p.contains("xxhash64"), "gram join key is not hashed")
+    val keyLines = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") || l.contains("LeftSemi")).toSeq
+    assert(keyLines.exists(_.contains("ghash")),
+      s"semi-join/exchange not keyed on ghash:\n${keyLines.mkString("\n")}")
+    assert(!keyLines.exists(_.contains("gram#")),
+      s"raw gram string still shuffles:\n${keyLines.mkString("\n")}")
   }
 
   test("q_pack_sequences: running sum partitions by (lang, stream) — never a single reducer") {
