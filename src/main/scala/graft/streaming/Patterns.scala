@@ -166,4 +166,87 @@ object Pattern {
   /** Start a pattern with its first stage predicate. */
   def begin(name: String)(pred: Event => Boolean): Pattern =
     Pattern(Seq(StageDef(name, pred, optional = false, Nil)), Nil, None)
+
+  private val DurRe = """(\d+)(ms|s|m|h|d)""".r
+  private val NegRe = """!([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val SymRe = """([A-Za-z_][A-Za-z0-9_]*)(\?|\{(\d+)\}|\{(\d+),(\d+)\})?""".r
+
+  /** MATCH_RECOGNIZE-lite: compile a SQL-PATTERN-clause-flavored string
+    * spec to a [[Pattern]], with the symbol→predicate map playing the
+    * DEFINE clause — the Flink Table-API entry point for users who reach
+    * for the SQL form before the builder:
+    *
+    * {{{
+    * val pat = Pattern.matchRecognize("signup !error click{1,3} promo? within 24h")(
+    *   "signup" -> (_.event_type == "signup"),
+    *   "error"  -> (_.event_type == "error"),
+    *   "click"  -> (_.event_type == "click"),
+    *   "promo"  -> (_.event_type == "promo"))
+    * }}}
+    *
+    * Grammar (whitespace-separated tokens, left to right):
+    *   - `sym`          required stage       (builder `followedBy`)
+    *   - `sym?`         optional stage       (builder `.optional`)
+    *   - `sym{n}`       exactly n            (builder `.times(n)`)
+    *   - `sym{a,b}`     between a and b      (builder `.times(a, b)`)
+    *   - `!sym`         gap guard before the next positive stage
+    *                    (builder `notFollowedBy`)
+    *   - `within <n><ms|s|m|h|d>`  horizon, must be the final two tokens
+    *
+    * Unbounded `+` / `*` quantifiers are rejected with a pointer to
+    * `{a,b}` — the matcher's greedy bounded-desugar model (see `times`)
+    * has no unbounded form. Everything funnels through the public builder
+    * methods, so every shape rule (head required/unguarded, no dangling
+    * guard, no guard adjacent to an optional) is enforced identically to
+    * hand-built patterns, and the compiled [[PosStage]] model — hence
+    * matcher semantics, streaming processor, and batch surface — is
+    * byte-for-byte the builder's. */
+  def matchRecognize(spec: String)(define: (String, Event => Boolean)*): Pattern = {
+    val defs = define.toMap
+    require(defs.size == define.size,
+      s"duplicate DEFINE symbol among ${define.map(_._1).mkString(", ")}")
+    def predOf(sym: String): Event => Boolean = defs.getOrElse(sym,
+      throw new IllegalArgumentException(
+        s"symbol '$sym' has no DEFINE entry (defined: ${defs.keys.toSeq.sorted.mkString(", ")})"))
+    val toks = spec.trim.split("""\s+""").toList.filter(_.nonEmpty)
+    val (patToks, horizon) = toks.indexOf("within") match {
+      case -1 => (toks, None)
+      case i =>
+        require(i == toks.length - 2,
+          "'within' must be the penultimate token: ... within <n><ms|s|m|h|d>")
+        val ms = toks(i + 1) match {
+          case DurRe(n, u) =>
+            n.toLong * (u match {
+              case "ms" => 1L; case "s" => 1000L; case "m" => 60000L
+              case "h" => 3600000L; case "d" => 86400000L
+            })
+          case bad => throw new IllegalArgumentException(
+            s"bad duration '$bad' (want <n><ms|s|m|h|d>)")
+        }
+        (toks.take(i), Some(ms))
+    }
+    require(patToks.nonEmpty, "empty pattern spec")
+    var pat: Pattern = null
+    patToks.foreach {
+      case NegRe(sym) =>
+        require(pat != null, "a pattern cannot start with a !guard")
+        pat = pat.notFollowedBy(sym)(predOf(sym))
+      case SymRe(sym, quant, n, from, to) =>
+        pat = if (pat == null) begin(sym)(predOf(sym))
+              else pat.followedBy(sym)(predOf(sym))
+        quant match {
+          case null => ()
+          case "?" => pat = pat.optional
+          case _ if n != null => pat = pat.times(n.toInt)
+          case _ => pat = pat.times(from.toInt, to.toInt)
+        }
+      case t if t.exists(c => c == '+' || c == '*') =>
+        throw new IllegalArgumentException(
+          s"unbounded quantifier in '$t': the bounded-desugar matcher has no +/* form — use {a,b}")
+      case t => throw new IllegalArgumentException(s"unparseable pattern token '$t'")
+    }
+    val built = horizon.fold(pat)(pat.within)
+    built.compiled // eager shape validation: a bad spec fails at parse, not first use
+    built
+  }
 }
