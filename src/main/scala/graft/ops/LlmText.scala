@@ -554,17 +554,24 @@ object LlmText {
     * packed dataset.
     *
     * Scale shape: packing is inherently sequential per STREAM, so streams
-    * must be the parallelism unit — `part = doc_id mod 32` gives 32
-    * deterministic streams per lang (a cluster run sizes this to its
-    * writer parallelism). The running sum is a window over (lang, part):
-    * corpus/|streams| rows per partition, never a single global reducer. */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    * must be the parallelism unit — `part = doc_id mod streams` gives
+    * `streams` deterministic streams per lang. The running sum is a window
+    * over (lang, part): corpus/|streams| rows per partition, never a
+    * single global reducer.
+    *
+    * @param streams streams per lang (default 32 — the contract value the
+    *                oracle pins). Size it to the run's writer parallelism:
+    *                enough that corpus/(|langs|·streams) rows fit one
+    *                task's memory, small enough that each output shard
+    *                still packs densely — executor-cores × a small factor
+    *                on a real cluster. */
+  def packSequences(s: SparkSession, dir: String, streams: Int = 32): DataFrame = {
     import s.implicits._
     val n = size(toks($"text")).cast(LongType)
     val w = Window.partitionBy($"lang", $"part").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     documents(s, dir)
-      .select($"doc_id", $"lang", pmod($"doc_id", lit(32L)).as("part"), n.as("n_tok"))
+      .select($"doc_id", $"lang", pmod($"doc_id", lit(streams.toLong)).as("part"), n.as("n_tok"))
       .withColumn("cum", sum($"n_tok").over(w))
       .withColumn("bin", (($"cum" - $"n_tok") / lit(2048L)).cast(LongType))
       .groupBy($"lang", $"part", $"bin")
@@ -804,7 +811,7 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_cluster"       -> (dedupCluster _),
     "q_decontaminate"       -> (decontaminate _),
-    "q_pack_sequences"      -> (packSequences _))
+    "q_pack_sequences"      -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   def oracle: Map[String, String] = Map(
     "q_quality_repetition"  -> qualityRepetitionSql,

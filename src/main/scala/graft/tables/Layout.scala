@@ -75,18 +75,30 @@ object Layout {
   }
 
   /** Materialize an intermediate relation exactly once before it fans out
-    * to multiple consumers (self-join sides, repeated verify attaches).
-    * Catalyst plans no ReusedExchange across different-alias subtrees, so
-    * without this every consumer recomputes the producing pipeline
-    * (verified via ExplainAudit on the banded dedups).
+    * to multiple consumers (self-join sides, repeated verify attaches) or
+    * anchors an iteration (the CC loop). Catalyst plans no ReusedExchange
+    * across different-alias subtrees, so without this every consumer
+    * recomputes the producing pipeline (verified via ExplainAudit on the
+    * banded dedups).
     *
-    * Local implementation: eager `localCheckpoint` — it cuts lineage and
-    * pins the (small, doc-count-sized) relation in executor block storage.
-    * On a real cluster the same step is a persisted table / `CACHE TABLE`
-    * (localCheckpoint blocks the driver and ties the data to executor
-    * lifetimes, which a 1000-executor job must not do); this helper is the
-    * single seam where that substitution happens. */
-  def materialize(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    * Two modes, selected by the session conf
+    * `spark.graft.materialize.mode`:
+    *   - `local` (default): eager `localCheckpoint` — cuts lineage and
+    *     pins the (small, doc-count-sized) relation in executor block
+    *     storage. Right call single-JVM, but it ties the data to executor
+    *     lifetimes: with lineage truncated, losing an executor means
+    *     losing the job. Fine on local[32]; not on 1000 executors.
+    *   - `reliable`: eager `checkpoint` to the configured
+    *     `SparkContext.setCheckpointDir` (HDFS/object store on a real
+    *     cluster) — survives executor loss, which the iterative CC loop
+    *     (this helper's heaviest user) needs for lineage-safe multi-round
+    *     runs. Costs a distributed write per call, so it's opt-in.
+    * This helper is the single seam where that substitution happens. */
+  def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.materialize.mode") match {
+      case Some("reliable") => df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
 
   /** Salted high-skew aggregation: two-phase groupBy with a random-free,
     * deterministic salt — the standard fix when one hot key would otherwise

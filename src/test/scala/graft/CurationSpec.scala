@@ -147,6 +147,27 @@ class CurationSpec extends SparkTestBase {
     assert(math.abs(rate - expRate) < 0.15, s"rate=$rate expected≈$expRate")
   }
 
+  test("packSequences: stream count is a free parameter — same corpus totals, streams-bounded parts") {
+    // the parallelism knob a real run sizes to writer parallelism: any
+    // stream count must repartition the same docs/tokens, only the
+    // (part, bin) layout moves
+    val dir = sf("sf0.001")
+    def totals(streams: Int) =
+      graft.ops.LlmText.packSequences(spark, dir, streams)
+        .groupBy($"lang").agg(
+          sum($"n_docs").as("docs"), sum($"sum_tokens").as("toks"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(totals(8) === totals(32))
+    val eight = graft.ops.LlmText.packSequences(spark, dir, 8)
+    assert(eight.agg(max($"part")).head.getLong(0) < 8L)
+    // default overload = the 32-stream contract the oracle pins
+    val viaDefault = graft.ops.LlmText.packSequences(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val via32 = graft.ops.LlmText.packSequences(spark, dir, 32)
+      .collect().map(_.toSeq).toSet
+    assert(viaDefault === via32)
+  }
+
   test("q_topk_agg matches window-rank formulation") {
     val dir = sf("sf0.001")
     val ours = Curation.topkAgg(spark, dir)

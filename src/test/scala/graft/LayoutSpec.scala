@@ -81,6 +81,29 @@ class LayoutSpec extends SparkTestBase {
       s"materialize did not cut lineage: $plan")
   }
 
+  test("materialize: reliable mode checkpoints to the configured dir and survives conf reset") {
+    // the opt-in cluster mode: spark.graft.materialize.mode=reliable routes
+    // the same seam through a reliable checkpoint (HDFS/object store on a
+    // real cluster) so the CC loop's truncated lineage survives executor
+    // loss. Same rows, same lineage-cut contract as local mode.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.materialize.mode", "reliable")
+    try {
+      val src = spark.range(0, 100).select($"id", ($"id" * 3).as("v"))
+      val mat = Layout.materialize(src)
+      assert(mat.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        === src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val plan = mat.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") || plan.contains("Scan"),
+        s"reliable materialize did not cut lineage: $plan")
+      // the checkpoint physically landed in the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset("spark.graft.materialize.mode")
+  }
+
   test("salted join resolves same-name join keys unambiguously") {
     val fact = spark.range(0, 100).select(($"id" % 10).as("k"), $"id".as("v"))
     val dim = spark.range(0, 10).select($"id".as("k"), concat(lit("d"), $"id").as("name"))
