@@ -9,8 +9,14 @@ final case class StageDef(name: String, pred: Event => Boolean,
     optional: Boolean, negsBefore: Seq[(String, Event => Boolean)])
 
 /** Flink-CEP-style pattern builder — the `Pattern.begin(..).followedBy(..)
-  * .within(..)` surface over the generic linear matcher, so a reference
-  * user's CEP program maps 1:1 onto this engine:
+  * .within(..)` surface over the generic linear matcher, mapping a
+  * reference user's CEP program onto this engine's SKIP-PAST-LAST-ROW
+  * greedy semantics. Two deliberate deviations from flink-cep:
+  * `optional` emits only the single greedy match (flink-cep's default
+  * NO_SKIP strategy branches and emits both the with- and
+  * without-optional variants), and an event matching both a gap guard and
+  * a positive stage counts as the guard — negatives outrank positives, a
+  * local tie-break flink-cep leaves unspecified:
   *
   * {{{
   * val pat = Pattern

@@ -322,9 +322,28 @@ object PatternMatcher {
     * verdict (consume a stage OR invalidate the attempt) lies inside
     * [head, head+within] — gaps close no later than the window — so a
     * sealed window's verdict is final, and the incremental ≡ one-shot
-    * property is preserved (PropertySpec). */
+    * property is preserved (PropertySpec).
+    *
+    * Shape precondition (asserted): head required and unguarded; a
+    * guarded stage and its predecessor both required. The gap-guard check
+    * below consults only the POINTER stage's negs, which is sound only
+    * under these shapes — with a guard reachable across a skipped
+    * optional, the guard would be silently ignored. The [[Pattern]]
+    * builder can't produce such shapes; direct [[PosStage]] callers get
+    * the same rules enforced here rather than a silent semantic hole. */
   def seal(key: Long, buffer: Seq[BufEv], stages: Seq[PosStage],
       withinMs: Long, wm: Long)(implicit d: DummyImplicit): (Seq[PatternMatch], Seq[BufEv]) = {
+    require(stages.nonEmpty, "empty stage list")
+    require(!stages.head.optional && stages.head.negs.isEmpty,
+      "shape: the head stage must be required and unguarded")
+    var k = 1
+    while (k < stages.length) {
+      if (stages(k).negs.nonEmpty)
+        require(!stages(k).optional && !stages(k - 1).optional,
+          s"shape: guarded stage $k must sit between two required stages " +
+            "(a guard across a skipped optional would be silently ignored)")
+      k += 1
+    }
     def toEvent(b: BufEv): Event =
       Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
     val events = buffer.sortBy(e => (e.ts_ms, e.event_id)).toArray

@@ -169,14 +169,15 @@ class PatternModifierSpec extends SparkTestBase {
       val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
       in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
       in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
-      val deadline = System.currentTimeMillis() + 10000
-      def streamed() = spark.table(sink).as[PatternMatch].collect()
+      // deterministic: sentinel 1 raises the batch's max event time,
+      // sentinel 2's batch then runs with the advanced watermark and
+      // seals every window; processAllAvailable is synchronous — no
+      // wall-clock poll needed, and a mismatch reports the actual diff
+      val streamed = spark.table(sink).as[PatternMatch].collect()
         .filter(_.user_id != -99L)
         .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
-      while (streamed().size < expected.size && System.currentTimeMillis() < deadline) {
-        Thread.sleep(200); q.processAllAvailable()
-      }
-      assert(streamed() === expected)
+      assert(streamed === expected,
+        s"streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
     } finally q.stop()
   }
 }
