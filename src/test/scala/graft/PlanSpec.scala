@@ -202,4 +202,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum"), "no partial on the per-doc fold")
     assert(!p.contains("CartesianProduct"), "repetition scoring must stay linear")
   }
+
+  test("q_join_bucketed: co-located buckets — the join itself shuffles NEITHER side") {
+    // Disable auto-broadcast to expose the fact⋈fact shape bucketing is
+    // for (at sf0.001 the dim side would otherwise broadcast and the
+    // bucket layout would be moot).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = planOf(SparkEntry.queries("q_join_bucketed")(spark, dir))
+      assert(p.contains("SortMergeJoin"), "bucketed equi-join not planned as sort-merge")
+      assert(p.split("Bucketed: true", -1).length - 1 == 2, "both scans must read bucketed layout")
+      // in the plan tree, everything printed BELOW the join line is its
+      // subtree (agg/sort exchanges sit above it) — the join's inputs must
+      // go scan→join with no Exchange between
+      val treeEnd = p.indexOf("\n\n")
+      val tree = if (treeEnd < 0) p else p.take(treeEnd)
+      val below = tree.substring(tree.indexOf("SortMergeJoin"))
+      assert(!below.contains("Exchange"), s"a join input re-shuffled — bucket co-location lost:\n$below")
+    } finally spark.conf.set(key, prev)
+  }
 }
