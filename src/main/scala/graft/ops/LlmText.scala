@@ -493,18 +493,21 @@ object LlmText {
     * runtime; the train side shuffles map-side-combined (doc, ghash)
     * distinct rows only. Never quadratic: work = gram co-occurrence, same
     * family as the jaccard prefix index. */
+  /** Token-5-gram explosion shared by the decontamination family: one row
+    * per (doc, gram), empty for docs under 5 tokens. */
+  private def fiveGrams(df: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    df.select(col("doc_id"), col("source"),
+      explode(when(n >= 5,
+        transform(sequence(lit(1), n - 4),
+          i => array_join(slice(t, i, lit(5)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+  }
+
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def grams(df: DataFrame): DataFrame = {
-      val t = toks($"text")
-      val n = size(t)
-      df.select($"doc_id", $"source",
-        explode(when(n >= 5,
-          transform(sequence(lit(1), n - 4),
-            i => array_join(slice(t, i, lit(5)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-    }
-    val g = grams(documents(s, dir))
+    val g = fiveGrams(documents(s, dir))
     // no explicit distinct on either side: left-semi only tests existence
     // (right-side dups are free) and the per-doc dedup folds into the
     // countDistinct's own partial aggregation — two fewer exchanges.
@@ -543,6 +546,45 @@ object LlmText {
       |FROM tr WHERE gram IN (SELECT gram FROM ev)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Decontamination behind a distributed-built Bloom prefilter — the shape
+    * that survives a 100 TB train side. [[decontaminate]] semi-joins EVERY
+    * train gram against the eval index: correct, but the train side (the
+    * corpus-sized one) still shuffles all its gram hashes. Here the eval
+    * grams are first folded into an m-bit Bloom filter ([[org.apache.spark
+    * .util.sketch.BloomFilter]] via `df.stat.bloomFilter` — built by a
+    * distributed tree aggregation; the driver holds only the merged m-bit
+    * array, the same bounded-driver-state contract as a broadcast join's
+    * build side). Broadcast to every task, the filter kills the ~99.99% of
+    * train grams that cannot match BEFORE any exchange, so the shuffle +
+    * semi-join run over hits only (|contaminated grams| ≪ |corpus grams|).
+    *
+    * EXACTNESS is preserved: a Bloom filter has no false negatives, and
+    * every false positive dies in the exact hash semi-join that follows —
+    * so the result, and the oracle, are identical to [[decontaminate]]
+    * (equivalence also unit-asserted in LlmTextSpec). The membership probe
+    * is a scala UDF over the broadcast sketch: a row-local boolean gate
+    * ahead of the exchange, not arithmetic in the aggregation hot path —
+    * Spark's own runtime row-level filtering injects the same
+    * BloomFilterMightContain shape, but its Catalyst expression is not
+    * public API. fpp 0.03 at 2^20 expected items keeps the filter ~1 MB;
+    * at real scale m is sized to the eval benchmark (always
+    * benchmark-sized), never to the corpus. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = fiveGrams(documents(s, dir))
+    val eval_ = g.where($"source" === "src0").select(xxhash64($"gram").as("ghash"))
+    val train = g.where($"source" =!= "src0")
+      .select($"doc_id", xxhash64($"gram").as("ghash"))
+    val bloom = eval_.stat.bloomFilter("ghash", 1 << 20, 0.03)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    train.where(mightContain($"ghash"))
+      .join(eval_, Seq("ghash"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"ghash").as("n_grams"))
+      .orderBy($"doc_id")
+  }
 
   // ---------------------------------------------------------- sequence packing
   /** Token-budget shard assignment — the concatenate-then-chunk packing a
@@ -811,6 +853,7 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_cluster"       -> (dedupCluster _),
     "q_decontaminate"       -> (decontaminate _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -830,5 +873,6 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_cluster"       -> dedupClusterSql,
     "q_decontaminate"       -> decontaminateSql,
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_pack_sequences"      -> packSequencesSql)
 }

@@ -183,4 +183,15 @@ class CurationSpec extends SparkTestBase {
       }
     assert(ours === ref)
   }
+
+  test("q_decontaminate_bloom ≡ q_decontaminate: the Bloom prefilter changes the plan, never the rows") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val exact = graft.ops.LlmText.decontaminate(spark, d)
+        .as[(Long, Long)].collect().toSeq
+      val bloom = graft.ops.LlmText.decontaminateBloom(spark, d)
+        .as[(Long, Long)].collect().toSeq
+      assert(bloom === exact, s"bloom-prefiltered result diverged at $d")
+      assert(exact.nonEmpty, s"degenerate equivalence (no contamination found) at $d")
+    }
+  }
 }
