@@ -414,6 +414,68 @@ object LlmText {
       |SELECT doc_a, doc_b, n_shared, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- dedup: incremental
+  /** Incremental near-dup ADMISSION — the daily-ingest gate a standing
+    * corpus needs: yesterday's corpus is immutable (base = doc_id below
+    * the cut, cut = ⌊max(doc_id)·4/5⌋ — ids are ingest order, so the top
+    * 20% of ids model "today's batch"); a delta doc is rejected iff some
+    * BASE doc sits at 3-gram Jaccard ≥ 0.5. Emits the rejections:
+    * (doc_id, n_dups base partners, best_jaccard).
+    *
+    * Why this is its own shape and not q_dedup_ngram_jaccard re-run: full
+    * self-dedup re-pairs base×base every day — O(corpus·co-occurrence)
+    * work on 100 TB that was already done. Here the prefix inverted index
+    * is built over BASE once (in production: maintained as a persisted
+    * bucketed table keyed by shingle, appended on each admission day) and
+    * only DELTA probes it — work is delta-sized, base is touched once per
+    * shingle, base×base pairs are never formed. The prefix-filter lemma
+    * holds unchanged across the two sides (the shingle order is global),
+    * as does the length-ratio prune; verification stays the codegen'd
+    * sorted-merge intersect. The cut itself is a one-row aggregate
+    * broadcast (same pattern as q_sample_weighted's normalizer); integer
+    * `div` keeps it bit-identical to the oracle's `//`. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("cut"))
+    val docSh = graft.tables.Layout.materialize(
+      docs.crossJoin(broadcast(cut))
+        .select($"doc_id", $"cut",
+          graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+        .where(size($"sh_arr") > 0)
+        .select($"doc_id", $"cut",
+          size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr"))
+    def prefix(df: DataFrame, id: String, n: String): DataFrame =
+      df.select(col("doc_id").as(id), col("n_sh").as(n),
+        explode(slice(col("sh_arr"), lit(1), (col("n_sh") / 2 + 1).cast("int"))).as("shingle"))
+    val baseIdx  = prefix(docSh.where($"doc_id" < $"cut"), "doc_a", "n_a")
+    val deltaIdx = prefix(docSh.where($"doc_id" >= $"cut"), "doc_b", "n_b")
+    val cands = baseIdx.join(deltaIdx, Seq("shingle"))
+      .where($"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
+      .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
+      .drop("_c")
+    cands
+      .join(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
+      .join(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
+      .withColumn("jacc_raw",
+        $"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared"))
+      .where($"jacc_raw" >= 0.5) // filter UNROUNDED, round for display — as the oracle does
+      .groupBy($"doc_b".as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"), max(round($"jacc_raw", 4)).as("best_jaccard"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH $jaccardPairsCte,
+      |cut AS (SELECT MAX(doc_id) * 4 // 5 AS c FROM documents)
+      |SELECT doc_b AS doc_id, COUNT(*) AS n_dups, MAX(jaccard) AS best_jaccard
+      |FROM pairs
+      |WHERE doc_b >= (SELECT c FROM cut) AND doc_a < (SELECT c FROM cut)
+      |GROUP BY doc_b
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup: clusters
   /** Near-dup CLUSTERS + canonical-doc selection — the step that actually
     * dedups a corpus: pairwise similarity (q_dedup_ngram_jaccard's verified
@@ -851,6 +913,7 @@ object LlmText {
     "q_dedup_minhash"       -> (dedupMinhash _),
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_cluster"       -> (dedupCluster _),
     "q_decontaminate"       -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
@@ -871,6 +934,7 @@ object LlmText {
     "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_incremental"   -> dedupIncrementalSql,
     "q_dedup_cluster"       -> dedupClusterSql,
     "q_decontaminate"       -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TopKKeys
-import graft.ops.Curation
+import graft.ops.{Curation, LlmText}
 
 /** Round-2 curation extensions: PII masking, hash sampling, salted agg
   * equivalence, distribution windows, closed-form correlation, n-gram
@@ -182,6 +182,27 @@ class CurationSpec extends SparkTestBase {
         c -> rs.sortBy { case (_, p, k) => (-p, k) }.take(3).map(_._3).mkString("/")
       }
     assert(ours === ref)
+  }
+
+  test("q_dedup_incremental ≡ cut-restricted q_dedup_ngram_jaccard (delta×base probes only)") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val cut = graft.tables.Tables.documents(spark, d)
+        .agg(expr("max(doc_id) * 4 div 5"))
+        .as[Long].head()
+      // the full pair query restricted to pairs crossing the cut must
+      // reproduce the incremental gate exactly (ids are ingest order, so
+      // doc_a < cut <= doc_b is precisely base×delta)
+      val expected = LlmText.dedupNgramJaccard(spark, d)
+        .where($"doc_a" < cut && $"doc_b" >= cut)
+        .groupBy($"doc_b".as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"), max($"jaccard").as("best_jaccard"))
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val got = LlmText.dedupIncremental(spark, d)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got === expected, s"incremental gate diverged at $d")
+      assert(got.nonEmpty, s"degenerate (no cross-cut near-dups) at $d")
+      assert(got.forall(_._1 >= cut), "a rejection fell below the cut")
+    }
   }
 
   test("q_decontaminate_bloom ≡ q_decontaminate: the Bloom prefilter changes the plan, never the rows") {
