@@ -396,7 +396,71 @@ object Advanced {
       |GROUP BY cohort, week - cohort
       |ORDER BY cohort, offset_w""".stripMargin
 
+  /** Changelog → SCD2 dimension build — the batch analog of Flink's
+    * dynamic-table / retract-stream semantics: each user's event_type
+    * stream (a changelog of their "current activity" attribute) collapses
+    * into versioned validity intervals [valid_from, valid_to), the
+    * type-2 slowly-changing-dimension a warehouse keeps for "what was
+    * the attribute at time t" joins (which q_join_asof then answers).
+    *
+    * Shape: one shuffle on user_id; the run-collapse is lag→flag→running
+    * count inside the per-user window, the interval close is a lead over
+    * the ≤|runs| collapsed frame. Epoch-seconds arithmetic (R3) keeps
+    * boundaries engine-exact; (ts, event_id) ordering is total so runs
+    * are deterministic. At 100 TB: windows partition by user — millions
+    * of small partitions, no global sort, no skew beyond the busiest
+    * user's event count. */
+  def cdcScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val runs = events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", epochS($"ts").as("t"))
+      .withColumn("_chg",
+        when(lag($"event_type", 1).over(wOrd).isNull ||
+             lag($"event_type", 1).over(wOrd) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("version", sum($"_chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"version")
+      .agg(min($"event_type").as("event_type"), // constant within the run (min = any, deterministically)
+        min($"t").as("valid_from"), count(lit(1)).as("n_events"))
+    val wVer = Window.partitionBy($"user_id").orderBy($"version")
+    runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(wVer))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"version", $"event_type", $"valid_from",
+        $"valid_to", $"n_events", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+
+  val cdcScd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                   OR lag(event_type) OVER w <> event_type
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS version,
+      |    t
+      |  FROM flagged),
+      |collapsed AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    MIN(event_type) AS event_type,
+      |    MIN(t) AS valid_from, COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, version)
+      |SELECT user_id, version, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |  n_events,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+      |FROM collapsed
+      |ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_scd2"        -> (cdcScd2 _),
     "q_funnel_order"    -> (funnelOrder _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_win_nth_value"   -> (winNthValue _),
@@ -411,6 +475,7 @@ object Advanced {
     "q_array_agg"       -> (arrayAgg _))
 
   def oracle: Map[String, String] = Map(
+    "q_cdc_scd2"        -> cdcScd2Sql,
     "q_funnel_order"    -> funnelOrderSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_win_nth_value"   -> winNthValueSql,

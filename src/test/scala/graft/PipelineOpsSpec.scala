@@ -213,4 +213,30 @@ class PipelineOpsSpec extends SparkTestBase {
     val totalDocs = graft.tables.Tables.documents(spark, dir).count()
     assert(rows.map(_._3).sum === totalDocs, "doc mass lost between cells")
   }
+
+  test("q_cdc_scd2: versioned intervals tile each user's timeline exactly") {
+    val rows = Advanced.cdcScd2(spark, dir)
+      .select("user_id", "version", "event_type", "valid_from", "valid_to", "n_events", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length), s"user $u: versions not 1..n")
+      // intervals abut: valid_to == next valid_from; exactly one open (current)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $u v${a._2}: interval gap")
+          assert(a._3 != b._3, s"user $u v${a._2}: adjacent runs share event_type — not collapsed")
+        case _ => ()
+      }
+      assert(sorted.count(_._7) === 1 && sorted.last._7, s"user $u: current-row flag wrong")
+    }
+    // no event lost: run sizes sum to the user's event count
+    val counts = graft.tables.Tables.events(spark, dir)
+      .groupBy($"user_id").count().as[(Long, Long)].collect().toMap
+    byUser.foreach { case (u, ivs) =>
+      assert(ivs.map(_._6).sum === counts(u), s"user $u: events lost in run collapse") }
+  }
 }
