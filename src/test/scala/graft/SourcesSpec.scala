@@ -67,4 +67,19 @@ class SourcesSpec extends SparkTestBase {
       assert(seen.get() > 0, "listener should observe at least one progress event")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("q_layout_zorder: z-prefix blocks bound BOTH dimension spans (≤ 63) — the skipping guarantee") {
+    val rows = graft.ops.Scans.layoutZorder(spark, sf("sf0.001"))
+      .select("zblock", "n", "min_part", "max_part", "min_supp", "max_supp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length > 1, "degenerate: a single z-block proves nothing")
+    rows.foreach { case (zb, _, mnP, mxP, mnS, mxS) =>
+      // fixing all but the low 12 z-bits leaves 6 free bits per dimension
+      assert(mxP - mnP <= 63, s"block $zb: partkey span ${mxP - mnP} breaks the z guarantee")
+      assert(mxS - mnS <= 63, s"block $zb: suppkey span ${mxS - mnS} breaks the z guarantee")
+    }
+    // mass conservation: blocks partition the table
+    assert(rows.map(_._2).sum === graft.tables.Tables.lineitem(spark, sf("sf0.001")).count())
+  }
 }
