@@ -477,3 +477,58 @@ class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
     out.iterator
   }
 }
+
+/** SCD2 retract-stream changelog (the streaming twin of ops.Advanced
+  * .cdcScd2): each user's event_type stream is a changelog of their
+  * "current activity" attribute; this processor emits the Flink
+  * toRetractStream view of the type-2 dimension — `+I` opens a version,
+  * and every in-run event or run change emits a `-U`/`+U` retract pair
+  * (Flink RowKind UPDATE_BEFORE/UPDATE_AFTER), so a downstream sink
+  * folding the changelog always holds exactly the batch SCD2 table
+  * (equivalence asserted in ProcessorsSpec by folding the full stream).
+  *
+  * Rows are processed in (ts, event_id) order within each batch; cross-
+  * batch order is the replay's responsibility (the batch query is the
+  * arbiter for out-of-order history — same contract as Flink's
+  * changelog-source assumption). State per key is ONE open-run record —
+  * O(1), no buffers, no timers. */
+case class Scd2Change(user_id: Long, kind: String, version: Long,
+    event_type: String, valid_from_s: Long, valid_to_s: Option[Long],
+    n_events: Long)
+case class Scd2Open(version: Long, event_type: String, from_s: Long, n: Long)
+
+class Scd2Processor extends StatefulProcessor[Long, Event, Scd2Change] {
+  @transient private var open: ValueState[Scd2Open] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    open = getHandle.getValueState[Scd2Open]("open", Encoders.product[Scd2Open], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[Scd2Change] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Change]
+    // epoch-SECOND granularity + event_id tiebreak — the exact total order
+    // the batch query uses (R3), so sub-second timestamps cannot split
+    // runs differently across the two engines
+    rows.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id)).foreach { e =>
+      val t = e.ts.getTime / 1000
+      if (!open.exists()) {
+        open.update(Scd2Open(1L, e.event_type, t, 1L))
+        out += Scd2Change(key, "+I", 1L, e.event_type, t, None, 1L)
+      } else {
+        val cur = open.get()
+        if (cur.event_type == e.event_type) {
+          out += Scd2Change(key, "-U", cur.version, cur.event_type, cur.from_s, None, cur.n)
+          out += Scd2Change(key, "+U", cur.version, cur.event_type, cur.from_s, None, cur.n + 1)
+          open.update(cur.copy(n = cur.n + 1))
+        } else {
+          out += Scd2Change(key, "-U", cur.version, cur.event_type, cur.from_s, None, cur.n)
+          out += Scd2Change(key, "+U", cur.version, cur.event_type, cur.from_s, Some(t), cur.n)
+          out += Scd2Change(key, "+I", cur.version + 1, e.event_type, t, None, 1L)
+          open.update(Scd2Open(cur.version + 1, e.event_type, t, 1L))
+        }
+      }
+    }
+    out.iterator
+  }
+}

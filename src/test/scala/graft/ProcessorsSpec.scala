@@ -555,4 +555,41 @@ class ProcessorsSpec extends SparkTestBase {
       assert(batch === Set(Seq(1L, 2L, 4L), Seq(6L, 7L, 8L)))
     } finally q.stop()
   }
+
+  test("s_stream_scd2: folded retract changelog == batch q_cdc_scd2 on replayed real events") {
+    val dir = sf("sf0.001")
+    // in-order replay — the changelog-source contract the processor documents
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime / 1000, e.event_id))
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor, TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (a, rest) = evs.splitAt(evs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { batch => in.addData(batch); q.processAllAvailable() }
+      val changes = spark.table(sink).as[Scd2Change].collect()
+      // fold the changelog: every -U retracts an identical prior payload,
+      // so the net multiset is order-independent — exactly one surviving
+      // row per (user, version) if the retract discipline is correct
+      val ms = scala.collection.mutable.Map
+        .empty[(Long, Long, String, Long, Option[Long], Long), Int].withDefaultValue(0)
+      changes.foreach { ch =>
+        val k = (ch.user_id, ch.version, ch.event_type, ch.valid_from_s, ch.valid_to_s, ch.n_events)
+        ms(k) += (if (ch.kind == "-U") -1 else 1)
+      }
+      val folded = ms.filter(_._2 != 0)
+      assert(folded.values.forall(_ == 1), s"unbalanced changelog: ${folded.filter(_._2 != 1)}")
+      val streamed = folded.keysIterator
+        .map(k => (k._1, k._2, k._3, k._4, k._5, k._6, k._5.isEmpty)).toSet
+      val batchTbl = graft.ops.Advanced.cdcScd2(spark, dir).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5), r.getBoolean(6))).toSet
+      assert(streamed === batchTbl, "folded changelog diverged from the batch SCD2 table")
+    } finally q.stop()
+  }
 }
