@@ -635,7 +635,13 @@ object LlmText {
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val g = fiveGrams(documents(s, dir))
-    val eval_ = g.where($"source" === "src0").select(xxhash64($"gram").as("ghash"))
+    // eval gram hashes are consumed twice (bloom build + semi-join build
+    // side): materialize the BENCHMARK-sized relation once instead of
+    // re-scanning + re-exploding documents per consumer. The train side
+    // stays streamed — persisting a corpus-sized gram intermediate is
+    // exactly what must NOT happen at 100 TB.
+    val eval_ = graft.tables.Layout.materialize(
+      g.where($"source" === "src0").select(xxhash64($"gram").as("ghash")))
     val train = g.where($"source" =!= "src0")
       .select($"doc_id", xxhash64($"gram").as("ghash"))
     val bloom = eval_.stat.bloomFilter("ghash", 1 << 20, 0.03)
