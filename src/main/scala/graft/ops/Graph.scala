@@ -59,25 +59,27 @@ object Graph {
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       // A. hash-min propagate one hop along edges
-      val nbrMin = adj.join(labels, adj("dst") === labels("vertex"))
-        .groupBy(adj("src")).agg(min(col("component")).as("_nbr"))
       val prop = graft.tables.Layout.materialize(
-        labels.join(nbrMin, labels("vertex") === nbrMin("src"), "left")
+        labels.join(
+          adj.join(labels, adj("dst") === labels("vertex"))
+            .groupBy(adj("src")).agg(min(col("component")).as("_nbr")),
+          labels("vertex") === col("src"), "left")
           .select(labels("vertex"),
             least(labels("component"), coalesce(col("_nbr"), labels("component"))).as("component"),
             (coalesce(col("_nbr"), labels("component")) < labels("component")).as("_chg")))
-      val chgA = prop.where(col("_chg")).count()
-      val cur = prop.drop("_chg")
       // B. pointer jump through the label relation (label values are
-      // vertices, so the inner self-join keeps every row)
-      val byVertex = cur.select(col("vertex").as("_jv"), col("component").as("_jc"))
+      // vertices, so the inner self-join keeps every row). The propagate
+      // half's change flag rides through the jump join, so ONE count per
+      // round detects convergence of both halves — each count is a full
+      // job, and on shallow graphs (2-3 rounds typical for near-dup
+      // clusters) the driver round-trips are a visible share of the query.
+      val byVertex = prop.select(col("vertex").as("_jv"), col("component").as("_jc"))
       val jumped = graft.tables.Layout.materialize(
-        cur.join(byVertex, cur("component") === col("_jv"))
-          .select(cur("vertex"), col("_jc").as("component"),
-            (col("_jc") < cur("component")).as("_chg")))
-      val chgB = jumped.where(col("_chg")).count()
+        prop.join(byVertex, prop("component") === col("_jv"))
+          .select(prop("vertex"), col("_jc").as("component"),
+            (prop("_chg") || (col("_jc") < prop("component"))).as("_chg")))
+      changed = jumped.where(col("_chg")).count()
       labels = jumped.drop("_chg")
-      changed = chgA + chgB
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
