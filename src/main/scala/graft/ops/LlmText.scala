@@ -870,6 +870,49 @@ object LlmText {
       |  (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) > 0.2) AS flag_repetitive
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- rare mass
+  /** Corpus-frequency quality gate — the cross-corpus complement of
+    * [[qualityRepetition]]'s within-doc signals: a doc whose token mass is
+    * dominated by corpus-RARE tokens (frequency ≤ 2 over the whole corpus)
+    * is likely OCR noise, mojibake, or hash-like garbage; one dominated by
+    * ultra-common tokens is boilerplate. Emits per-doc token count, rare
+    * mass, and the rare ratio — the knobs a Gopher/C4-style filter
+    * thresholds on.
+    *
+    * Shape: token frequencies are ONE hash agg over the exploded corpus
+    * (map-side partials); re-joining docs to the frequency table is a
+    * shuffle on the token — both linear in corpus tokens, nothing
+    * quadratic, no driver state. The frequency table (≤ |vocab| rows) is
+    * the natural broadcast candidate at real scale, which AQE applies
+    * size-gated. Ratios are single divisions of exact ints (IEEE-identical
+    * both engines), rounded for display. */
+  def qualityRareMass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toksOf = documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .where(length($"w") > 0)
+    val tf = toksOf.groupBy($"w").agg(count(lit(1)).as("cf"))
+    toksOf.join(tf, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"cf" <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select($"doc_id", $"n_tokens", $"n_rare",
+        round($"n_rare".cast("double") / $"n_tokens".cast("double"), 4).as("rare_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityRareMassSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |t AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+      |tf AS (SELECT w, COUNT(*) AS cf FROM t GROUP BY w)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  ROUND(CAST(SUM(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE), 4) AS rare_ratio
+      |FROM t JOIN tf USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- corpus mix
   /** Training-mixture report: per (lang, source) document/char/token mass
     * and each cell's share of total corpus chars — the table a data-mixing
@@ -903,6 +946,7 @@ object LlmText {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition"  -> (qualityRepetition _),
+    "q_quality_rare_mass"   -> (qualityRareMass _),
     "q_corpus_mix"          -> (corpusMix _),
     "q_text_tfidf"          -> (textTfidf _),
     "q_text_normalize"      -> (textNormalize _),
@@ -927,6 +971,7 @@ object LlmText {
 
   def oracle: Map[String, String] = Map(
     "q_quality_repetition"  -> qualityRepetitionSql,
+    "q_quality_rare_mass"   -> qualityRareMassSql,
     "q_corpus_mix"          -> corpusMixSql,
     "q_text_tfidf"          -> textTfidfSql,
     "q_text_normalize"      -> textNormalizeSql,
