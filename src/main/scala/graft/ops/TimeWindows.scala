@@ -370,6 +370,31 @@ object TimeWindows {
     * consumed (guard-only type), so the NOT EXISTS scans the raw stream.
     * Cross-validated by PatternModifierSpec's independent anchors and the
     * randomized seal property. */
+  /** The MATCH_RECOGNIZE-lite STRING surface as a first-class contract
+    * query: the same guarded pattern as [[cepGuarded]], but compiled from
+    * the `"signup !error click within 24h"` spec via
+    * [[graft.streaming.Pattern.matchRecognize]] instead of the builder —
+    * so the parser+compiler path (the Flink Table-API SQL analog) is
+    * itself DuckDB-oracle-checked every round, not just unit-tested. The
+    * oracle is cepGuarded's recursive CTE verbatim: if parse or compile
+    * ever drifts from builder semantics, the hash gate goes red. */
+  def cepMatchRecognize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern.matchRecognize("signup !error click within 24h")(
+      "signup" -> ((e: Event) => e.event_type == "signup"),
+      "error"  -> ((e: Event) => e.event_type == "error"),
+      "click"  -> ((e: Event) => e.event_type == "click"))
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click", "error"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
   def cepGuarded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.{Event, Pattern}
@@ -426,6 +451,7 @@ object TimeWindows {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cep_guarded"       -> (cepGuarded _),
+    "q_cep_match_recognize" -> (cepMatchRecognize _),
     "q_cep_pattern_seq"   -> (cepPatternSeq _),
     "q_time_downsample"   -> (timeDownsample _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
@@ -439,6 +465,7 @@ object TimeWindows {
 
   def oracle: Map[String, String] = Map(
     "q_cep_guarded"      -> cepGuardedSql,
+    "q_cep_match_recognize" -> cepGuardedSql,
     "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
