@@ -609,6 +609,59 @@ object LlmText {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-EVAL-doc contamination coverage — the benchmark-integrity view
+    * that [[decontaminate]] (which reports per-TRAIN-doc hits, the "what
+    * do I drop" side) doesn't give: for each doc of the held-out source,
+    * how many of its distinct 5-grams, and what fraction, leak into the
+    * training corpus. An eval doc with high coverage is a compromised
+    * benchmark item regardless of which train docs carry the overlap.
+    *
+    * Shape: the direction flips — train grams collapse to a DISTINCT hash
+    * set (the inverted index), the benchmark-sized eval side semi-joins
+    * INTO it, and per-eval-doc totals come from one hash agg with
+    * partials. The left-semi probe side is eval (small); the train side
+    * is build-side only and never carries doc_ids, so its shuffle rows
+    * are 8-byte hashes. The gram-total denominator reuses the same
+    * countDistinct partial aggregation. Ratio = division of exact ints. */
+  def decontaminateReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = fiveGrams(documents(s, dir))
+    val trainGrams = g.where($"source" =!= "src0").select(xxhash64($"gram").as("ghash"))
+    val eval_ = g.where($"source" === "src0")
+      .select($"doc_id", xxhash64($"gram").as("ghash"))
+    val hits = eval_.join(trainGrams, Seq("ghash"), "left_semi")
+      .groupBy($"doc_id").agg(countDistinct($"ghash").as("n_hit"))
+    eval_.groupBy($"doc_id").agg(countDistinct($"ghash").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)).cast("double") / $"n_grams".cast("double"), 4)
+          .as("coverage"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateReportSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(CASE WHEN len(t) >= 5
+      |      THEN list_transform(generate_series(1, len(t) - 4),
+      |             i -> array_to_string(t[i:i+4], ' '))
+      |      ELSE [] END) AS gram
+      |  FROM tk),
+      |tr AS (SELECT DISTINCT gram FROM g WHERE source <> 'src0'),
+      |ev AS (SELECT DISTINCT doc_id, gram FROM g WHERE source = 'src0'),
+      |h AS (
+      |  SELECT doc_id, COUNT(*) AS n_hit FROM ev
+      |  WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id)
+      |SELECT ev.doc_id, COUNT(*) AS n_grams,
+      |  COALESCE(MIN(h.n_hit), 0) AS n_hit,
+      |  ROUND(CAST(COALESCE(MIN(h.n_hit), 0) AS DOUBLE) / COUNT(*), 4) AS coverage
+      |FROM ev LEFT JOIN h ON ev.doc_id = h.doc_id
+      |GROUP BY ev.doc_id
+      |ORDER BY ev.doc_id""".stripMargin
+
   /** Decontamination behind a distributed-built Bloom prefilter — the shape
     * that survives a 100 TB train side. [[decontaminate]] semi-joins EVERY
     * train gram against the eval index: correct, but the train side (the
@@ -967,6 +1020,7 @@ object LlmText {
     "q_dedup_cluster"       -> (dedupCluster _),
     "q_decontaminate"       -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
+    "q_decontaminate_report" -> (decontaminateReport _),
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   def oracle: Map[String, String] = Map(
@@ -989,5 +1043,6 @@ object LlmText {
     "q_dedup_cluster"       -> dedupClusterSql,
     "q_decontaminate"       -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,
+    "q_decontaminate_report" -> decontaminateReportSql,
     "q_pack_sequences"      -> packSequencesSql)
 }
