@@ -324,6 +324,135 @@ object LlmVector {
       .orderBy($"probe_id", $"rk")
   }
 
+  // ---------------------------------------------------------------- PQ ANN
+  /** Product-quantization ANN with exact re-ranking (rows-only; recall@5
+    * vs the brute-force top-k asserted in VectorDedupSpec).
+    *
+    * The memory-compression ANN path IVF doesn't cover: m=8 subspaces ×
+    * 8 dims, 16 centroids per subspace (the same deterministic Lloyd loop
+    * as [[annIvf]], run per subspace on L2-NORMALIZED vectors so inner
+    * product == cosine), so each corpus vector compresses to 8 × 4-bit
+    * codes — 4 bytes against 256 float bytes. At billions of vectors that
+    * is the difference between codes resident in executor memory and a
+    * disk-bound scan; full-precision vectors are touched only for the
+    * shortlist.
+    *
+    * Query = ADC + re-rank, the standard PQ shape: each probe precomputes
+    * its 8×16 subspace dot-product table at the DRIVER (query-time
+    * constants — probes×128 flops, same contract as the IVF probe
+    * assignment); a corpus vector's approximate score is then 8 literal-
+    * array lookups on its codes, expressed as `element_at` columns so
+    * scoring is row-local codegen and the corpus never shuffles for it.
+    * The 50-candidate ADC shortlist per probe is re-ranked with the exact
+    * codegen cosine; only the window rank over per-probe shortlists
+    * shuffles, and that frame is ≤ probes × corpus rows pre-limit with a
+    * WindowGroupLimit. Empty-centroid slots index as -1e9 so a vanished
+    * Lloyd cluster can never be preferred. */
+  /** All m per-subspace PQ codebooks in ONE Lloyd loop: the corpus
+    * explodes once into (sub_id, subvector) rows, assignment is an
+    * m-way CASE over the codegen [[graft.functions.NearestCentroid]]
+    * kernels, and the centroid update is a single (sub_id, code) hash
+    * aggregate of quantized int64 dim-sums — so each iteration is ONE
+    * pass / ONE driver action over the corpus instead of m separate
+    * k-means fits (m× fewer passes at 100 TB, 8× fewer driver
+    * round-trips locally; same order-independent integer-sum
+    * determinism as [[kmeansCentroids]]). Driver state: m×k×(sub)
+    * floats — the aggregate-step contract. */
+  private def pqCodebooks(en: DataFrame, m: Int, sub: Int, k: Int,
+      iters: Int): Seq[Seq[(Int, Seq[Float])]] = {
+    val s = en.sparkSession
+    import s.implicits._
+    val subStructs = array((0 until m).map { si =>
+      struct(lit(si).as("sub_id"), slice($"embedding", si * sub + 1, sub).as("sv"))
+    }: _*)
+    val sliced = en.select($"vec_id", explode(subStructs).as("x"))
+      .select($"vec_id", $"x.sub_id".as("sub_id"), $"x.sv".cast("array<float>").as("sv"))
+    sliced.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var books: Seq[Seq[(Int, Seq[Float])]] = {
+        val init = sliced.where($"vec_id" < k)
+          .select($"sub_id", $"vec_id".cast("int"), $"sv")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+        (0 until m).map(si =>
+          init.filter(_._1 == si).map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+      }
+      for (_ <- 0 until iters) {
+        val assign = (1 until m).foldLeft(
+          when($"sub_id" === 0,
+            graft.functions.CentroidFunctions.nearest_centroid($"sv", books(0)))) {
+          (acc, si) => acc.when($"sub_id" === si,
+            graft.functions.CentroidFunctions.nearest_centroid($"sv", books(si)))
+        }
+        val dimSums = (0 until sub).map(i =>
+          sum(floor(element_at($"sv", i + 1).cast("double") * 10000000.0)
+            .cast(LongType)).as(s"s$i"))
+        val rows = sliced.select($"sub_id", assign.as("code"), $"sv")
+          .groupBy($"sub_id", $"code")
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+          .collect()
+        books = (0 until m).map { si =>
+          rows.filter(_.getAs[Int]("sub_id") == si).map { r =>
+            val n = r.getAs[Long]("n")
+            r.getAs[Int]("code") -> (0 until sub).map(i =>
+              (r.getAs[Long](s"s$i").toDouble / 1e7 / n).toFloat)
+          }.toSeq.sortBy(_._1)
+        }
+      }
+      books
+    } finally sliced.unpersist(false)
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64; val m = 8; val sub = dim / m; val k = 16
+    // row-local L2 normalization (ordered fold, R4): dot == cosine below
+    val nrm = sqrt(aggregate(
+      transform($"embedding", x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val en = graft.tables.Layout.materialize( // reused: m codebook fits + encode + probes
+      embeddings(s, dir).select($"vec_id",
+        when(nrm > 0.0,
+          transform($"embedding", x => (x.cast("double") / nrm).cast("float")))
+          .otherwise($"embedding").as("embedding")))
+    val books = pqCodebooks(en, m, sub, k, iters = 2)
+    val codeCols = (0 until m).map { si =>
+      graft.functions.CentroidFunctions
+        .nearest_centroid(slice($"embedding", si * sub + 1, sub), books(si)).as(s"c$si")
+    }
+    val encoded = en.select(($"vec_id" +: $"embedding" +: codeCols): _*)
+    val probeRows = en.where($"vec_id" < 5)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    def dotD(x: Seq[Float], y: Seq[Float]): Double = {
+      var d = 0.0; var i = 0; val n = math.min(x.length, y.length)
+      while (i < n) { d += x(i).toDouble * y(i).toDouble; i += 1 }; d
+    }
+    // per-probe ADC column: Σ_s table_s[code_s] via literal-array lookups
+    val adcStructs = probeRows.map { case (pid, pe) =>
+      val adc = (0 until m).map { si =>
+        val byId = books(si).map { case (cid, cv) =>
+          cid -> dotD(pe.slice(si * sub, si * sub + sub), cv) }.toMap
+        val table = (0 to books(si).map(_._1).max).map(byId.getOrElse(_, -1e9))
+        element_at(typedLit(table), $"c$si" + 1)
+      }.reduce(_ + _)
+      struct(lit(pid).as("probe_id"), adc.as("adc"))
+    }
+    val wAdc = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    val shortlist = encoded
+      .select($"vec_id", $"embedding", explode(array(adcStructs: _*)).as("pa"))
+      .select($"vec_id", $"embedding", $"pa.probe_id".as("probe_id"), $"pa.adc".as("adc"))
+      .withColumn("ark", row_number().over(wAdc))
+      .where($"ark" <= 50)
+    val probesDf = s.createDataset(probeRows).toDF("probe_id", "pe")
+    val wTop = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    shortlist.join(broadcast(probesDf), Seq("probe_id"))
+      .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where($"rk" <= 5)
+      .select($"probe_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rk")
+  }
+
   // ---------------------------------------------------------------- LSH buckets
   /** Random-hyperplane LSH bucketing (rows-only): 16 fixed Gaussian planes
     * (seeded, deterministic) → 16-bit signature per vector. The bucket id is
@@ -477,6 +606,7 @@ object LlmVector {
     "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
     "q_dedup_embed_banded" -> (dedupEmbedBanded _),
     "q_ann_ivf"            -> (annIvf _),
+    "q_ann_pq"             -> (annPq _),
     "q_sim_lsh_bucket"     -> (simLshBucket _),
     "q_mm_binary_meta"     -> (mmBinaryMeta _),
     "q_mm_decode_stub"     -> (mmDecodeStub _))

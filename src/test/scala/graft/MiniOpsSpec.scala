@@ -50,6 +50,23 @@ class MiniOpsSpec extends SparkTestBase {
     assert(self.subsetOf(approx))
   }
 
+  test("ann pq: ADC shortlist + exact re-rank recall@5 >= 0.8 vs brute force (sf0.01: shortlist = 10% of corpus)") {
+    // sf0.01 deliberately: 500 vectors vs the 50-candidate shortlist — at
+    // sf0.001 the shortlist covers the whole corpus and recall is trivially 1
+    val d = sf("sf0.01")
+    val exact = LlmVector.simCosineTopk(spark, d).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = LlmVector.annPq(spark, d).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.3f")
+    assert(recall >= 0.8, s"PQ recall too low: $recall")
+    // the probe itself survives ADC + re-rank: its codes ARE its own
+    // nearest-centroid codes, so its ADC self-score is maximal
+    val self = exact.filter { case (p, v) => p == v }
+    assert(self.subsetOf(approx), "a probe failed to find itself")
+  }
+
   test("approx_count_distinct within 5% of exact on events") {
     val rows = graft.ops.Aggregations.aggApproxDistinct(spark, dir).collect()
     rows.foreach { r =>
