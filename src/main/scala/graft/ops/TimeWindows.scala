@@ -64,6 +64,50 @@ object TimeWindows {
       |GROUP BY win_start, event_type
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** Cumulative (expanding) windows — Flink's CUMULATE window TVF: within
+    * each day, every hour step emits the running aggregate of the day SO
+    * FAR ([day 00:00, hour+1)), the early-firing daily-total pattern a
+    * dashboard reads ("today's count, updated hourly"). Spark has no
+    * CUMULATE primitive; the scalable composition is hour-bucket hash agg
+    * FIRST (map-side partials over raw events), then a running-sum window
+    * over the ≤24 bucket rows per day — the window never sees raw events,
+    * so the sort behind it is over day×24 rows, not the corpus. Steps
+    * with no events emit no row (sparse form; the dense form is a
+    * gap-fill join, q_gap_fill_daily's shape). Money math in DECIMAL
+    * (R2), buckets by epoch arithmetic (R3). */
+  def cumulateWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .select((epochS($"ts") - pmod(epochS($"ts"), lit(86400L))).as("day_start"),
+        floor(pmod(epochS($"ts"), lit(86400L)) / 3600L).cast(LongType).as("hr"),
+        $"value")
+      .groupBy($"day_start", $"hr")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sv"))
+    val w = Window.partitionBy($"day_start").orderBy($"hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .select($"day_start", ($"day_start" + ($"hr" + 1L) * 3600L).as("win_end"),
+        sum($"n").over(w).as("n_cum"),
+        sum($"sv").over(w).cast("double").as("sum_value_cum"))
+      .orderBy($"day_start", $"win_end")
+  }
+
+  val cumulateWindowSql: String =
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value FROM events),
+      |hourly AS (
+      |  SELECT sec - (sec % 86400) AS day_start,
+      |    (sec % 86400) // 3600 AS hr,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS sv
+      |  FROM e GROUP BY 1, 2)
+      |SELECT day_start, day_start + (hr + 1) * 3600 AS win_end,
+      |  CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+      |  CAST(SUM(sv) OVER w AS DOUBLE) AS sum_value_cum
+      |FROM hourly
+      |WINDOW w AS (PARTITION BY day_start ORDER BY hr
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY day_start, win_end""".stripMargin
+
   /** Session windows per user, 30-minute inactivity gap, via Spark's native
     * session_window. Timestamps are floored to whole seconds FIRST so the
     * gap comparison is identical to the oracle's integer arithmetic (an
@@ -452,6 +496,7 @@ object TimeWindows {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cep_guarded"       -> (cepGuarded _),
     "q_cep_match_recognize" -> (cepMatchRecognize _),
+    "q_cumulate_window"   -> (cumulateWindow _),
     "q_cep_pattern_seq"   -> (cepPatternSeq _),
     "q_time_downsample"   -> (timeDownsample _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
@@ -466,6 +511,7 @@ object TimeWindows {
   def oracle: Map[String, String] = Map(
     "q_cep_guarded"      -> cepGuardedSql,
     "q_cep_match_recognize" -> cepGuardedSql,
+    "q_cumulate_window"  -> cumulateWindowSql,
     "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
