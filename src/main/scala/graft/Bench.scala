@@ -13,6 +13,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // absolute warehouse path (see Verify.scala) — bucketed-table writes
+      // must not depend on the invoking process's CWD
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/FS caches are infrastructure, not query

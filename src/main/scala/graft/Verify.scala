@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // absolute warehouse path: q_join_bucketed writes managed bucketed
+      // tables, and the default CWD-relative spark-warehouse would land
+      // wherever the driver happens to invoke the JVM from
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_verify")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
