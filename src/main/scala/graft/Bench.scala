@@ -13,9 +13,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // absolute warehouse path (see Verify.scala) — bucketed-table writes
-      // must not depend on the invoking process's CWD
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
+      // absolute per-process warehouse path (see Verify.scala) — bucketed-
+      // table writes must not depend on the CWD or collide across runs
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_bench_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/FS caches are infrastructure, not query

@@ -74,7 +74,12 @@ object TimeWindows {
     * so the sort behind it is over day×24 rows, not the corpus. Steps
     * with no events emit no row (sparse form; the dense form is a
     * gap-fill join, q_gap_fill_daily's shape). Money math in DECIMAL
-    * (R2), buckets by epoch arithmetic (R3). */
+    * (R2), buckets by epoch arithmetic (R3). Bucketing uses Spark `pmod`
+    * vs the oracle's `%`/`//`: these agree only for ts ≥ epoch (pmod(-100,
+    * 86400)=86300 but DuckDB -100%86400=-100), so the R3 equivalence here
+    * assumes post-1970 timestamps — true of the events table and of any
+    * sane event-time corpus; pre-epoch data would need a floor-division
+    * formulation on both sides. */
   def cumulateWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hourly = events(s, dir)

@@ -3,8 +3,11 @@ package graft.streaming
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming._
 
-/** SURVEY.md §2.8 — transformWithState StatefulProcessors: the 1:1 Spark 4
-  * analog of Flink's KeyedProcessFunction + keyed state + timers. Each
+/** SURVEY.md §2.8 — transformWithState StatefulProcessors: the closest
+  * Spark 4 analog of Flink's KeyedProcessFunction + keyed state + timers
+  * (near- but not 1:1 — the CEP builder's two documented deviations, greedy
+  * single-match `optional` and negatives-outrank-positives, are in
+  * [[graft.streaming.Pattern]]'s scaladoc). Each
   * processor below is a classic from the Flink-training canon, re-expressed
   * on Spark's arbitrary-state API.
   *
