@@ -97,6 +97,48 @@ object Curation {
       |      < n_chars / mx
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- ratio split
+  /** Deterministic train/val/test split, 90/5/5 by content hash — the
+    * ratio-based sibling of [[sampleHash]] (membership twin) and
+    * [[sampleWeighted]] (importance twin): each doc's 24-bit md5 prefix is
+    * a uniform draw u ∈ [0, 2²⁴), and the split is the interval u falls in.
+    * Content-hash assignment is reproducible across runs, engines, and
+    * partitionings, and stable under corpus append (a doc's split never
+    * changes when other docs arrive) — the properties a held-out split
+    * must have or eval contaminates train on the next ingest. The
+    * interval test is pure integer arithmetic (h·20 < 18·2²⁴ ⇔ h/2²⁴ <
+    * 0.90 exactly), so no float boundary can disagree between engines.
+    * Hash uniformity is lang-independent, so each lang splits ~90/5/5
+    * without stratified bookkeeping; the emitted per-(lang, split) counts
+    * are the audit a pipeline runs to confirm that. One map-side-combined
+    * aggregation over the corpus — nothing here is harder at 100 TB. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(md5($"text".cast("binary")), 1, 6), 16, 10).cast(LongType)
+    documents(s, dir)
+      .select($"lang", $"n_chars",
+        when(h * 20L < lit(18L * 16777216L), "train")
+          .when(h * 20L < lit(19L * 16777216L), "val")
+          .otherwise("test").as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+      .orderBy($"lang", $"split")
+  }
+
+  val sampleSplitSql: String =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN h * 20 < 18 * 16777216 THEN 'train'
+      |       WHEN h * 20 < 19 * 16777216 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM d
+      |GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
   // ---------------------------------------------------------------- salted agg
   /** Skew-safe aggregation as a contract query: two-phase salted sum over
     * lineitem (the hot-key pattern from tables.Layout) must equal the
@@ -421,6 +463,7 @@ object Curation {
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
     "q_sample_weighted" -> (sampleWeighted _),
+    "q_sample_split"   -> (sampleSplit _),
     "q_agg_salted"     -> (aggSalted _),
     "q_win_cume_dist"  -> (winCumeDist _),
     "q_stats_corr"     -> (statsCorr _),
@@ -437,6 +480,7 @@ object Curation {
     "q_text_pii_mask"  -> piiMaskSql,
     "q_sample_hash"    -> sampleHashSql,
     "q_sample_weighted" -> sampleWeightedSql,
+    "q_sample_split"   -> sampleSplitSql,
     "q_agg_salted"     -> aggSaltedSql,
     "q_win_cume_dist"  -> winCumeDistSql,
     "q_stats_corr"     -> statsCorrSql,

@@ -85,6 +85,48 @@ object LlmText {
       |  CAST(LENGTH(trim(text)) AS BIGINT) AS n_chars_trim
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- subwords
+  /** Subword token counting — the cost model a pretraining pipeline runs
+    * before tokenizing 100 TB for real: GPT-2-style regex pre-tokenization
+    * (runs-of-letters | runs-of-digits | single other char, the same
+    * class split real BPE pre-tokenizers use), then a fixed-width
+    * segmentation of each pre-token into ⌈len/4⌉ subword units — the
+    * "every merge table saturates around ~4 chars/unit" approximation
+    * that prices a corpus in tokens without shipping a merges file.
+    * Emits per doc: pre-token count, subword count, and fertility
+    * (subwords per whitespace word — the metric tokenizer evaluations
+    * report). Pure integer arithmetic per row (⌈len/4⌉ as (len+3) div 4),
+    * map-only over the corpus, integer-exact oracle; fertility is one
+    * float division on identical integer operands (R2-adjacent). */
+  def textSubwords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pre = regexp_extract_all(trim($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    val nSub = aggregate(transform(pre, t => floor((length(t) + lit(3)) / lit(4)).cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    documents(s, dir)
+      .select(
+        $"doc_id",
+        size(pre).cast(LongType).as("n_pretokens"),
+        nSub.as("n_subwords"),
+        size(toks($"text")).cast(LongType).as("n_words"))
+      .withColumn("fertility",
+        round($"n_subwords".cast("double") / $"n_words", 4))
+      .orderBy($"doc_id")
+  }
+
+  val textSubwordsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(trim(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pre,
+      |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(pre) AS BIGINT) AS n_pretokens,
+      |  CAST(COALESCE(list_sum(list_transform(pre, x -> (LENGTH(x) + 3) // 4)), 0) AS BIGINT) AS n_subwords,
+      |  n_words,
+      |  ROUND(CAST(COALESCE(list_sum(list_transform(pre, x -> (LENGTH(x) + 3) // 4)), 0) AS DOUBLE) / n_words, 4) AS fertility
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- quality
   /** Quality scoring: token count, mean token length, stopword ratio, and a
     * deterministic composite score (pure ±×÷ on identical operands — exact
@@ -448,8 +490,15 @@ object LlmText {
     def prefix(df: DataFrame, id: String, n: String): DataFrame =
       df.select(col("doc_id").as(id), col("n_sh").as(n),
         explode(slice(col("sh_arr"), lit(1), (col("n_sh") / 2 + 1).cast("int"))).as("shingle"))
-    val baseIdx  = prefix(docSh.where($"doc_id" < $"cut"), "doc_a", "n_a")
     val deltaIdx = prefix(docSh.where($"doc_id" >= $"cut"), "doc_b", "n_b")
+    // The base index is corpus-sized, the delta day-sized: a Bloom over the
+    // DELTA's probe shingles (Layout.bloomPrefilter — the decontamination
+    // prefilter generalized) kills base postings no delta doc can touch
+    // BEFORE the candidate exchange. False positives only, so the exact
+    // equi-join below is row-for-row unchanged (hash-matched oracle).
+    val baseIdx = graft.tables.Layout.bloomPrefilter(
+      prefix(docSh.where($"doc_id" < $"cut"), "doc_a", "n_a"),
+      deltaIdx.select($"shingle"), "shingle", 1L << 20, 0.03)
     val cands = baseIdx.join(deltaIdx, Seq("shingle"))
       .where($"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
       .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
@@ -677,7 +726,7 @@ object LlmText {
     * EXACTNESS is preserved: a Bloom filter has no false negatives, and
     * every false positive dies in the exact hash semi-join that follows —
     * so the result, and the oracle, are identical to [[decontaminate]]
-    * (equivalence also unit-asserted in LlmTextSpec). The membership probe
+    * (equivalence also unit-asserted in CurationSpec). The membership probe
     * is a scala UDF over the broadcast sketch: a row-local boolean gate
     * ahead of the exchange, not arithmetic in the aggregation hot path —
     * Spark's own runtime row-level filtering injects the same
@@ -697,11 +746,7 @@ object LlmText {
       g.where($"source" === "src0").select(xxhash64($"gram").as("ghash")))
     val train = g.where($"source" =!= "src0")
       .select($"doc_id", xxhash64($"gram").as("ghash"))
-    val bloom = eval_.stat.bloomFilter("ghash", 1 << 20, 0.03)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
-    train.where(mightContain($"ghash"))
-      .join(eval_, Seq("ghash"), "left_semi")
+    graft.tables.Layout.bloomSemiJoin(train, eval_, "ghash", 1L << 20, 0.03)
       .groupBy($"doc_id")
       .agg(countDistinct($"ghash").as("n_grams"))
       .orderBy($"doc_id")
@@ -1009,6 +1054,7 @@ object LlmText {
     "q_text_stats"          -> (textStats _),
     "q_text_search"         -> (textSearch _),
     "q_text_tokens"         -> (textTokens _),
+    "q_text_subwords"       -> (textSubwords _),
     "q_text_quality"        -> (textQuality _),
     "q_text_langid"         -> (textLangid _),
     "q_text_fingerprint"    -> (textFingerprint _),
@@ -1035,6 +1081,7 @@ object LlmText {
     "q_text_stats"          -> textStatsSql,
     "q_text_search"         -> textSearchSql,
     "q_text_tokens"         -> textTokensSql,
+    "q_text_subwords"       -> textSubwordsSql,
     "q_text_quality"        -> textQualitySql,
     "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,

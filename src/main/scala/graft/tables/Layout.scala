@@ -100,6 +100,44 @@ object Layout {
       case _ => df.localCheckpoint(true)
     }
 
+  /** Broadcast-Bloom probe prefilter — the general form of the
+    * decontamination prefilter (see LlmText.decontaminateBloom): build a
+    * Bloom sketch over `build`'s `keyCol` DISTRIBUTED (each partition
+    * builds a partial sketch, partials OR-merge at the driver — the
+    * `DataFrameStatFunctions.bloomFilter` contract, never a row collect),
+    * broadcast the m-bit array, and drop `probe` rows whose key cannot be
+    * in `build` BEFORE they reach any exchange. False positives only
+    * (fpp-bounded), never false negatives — so any exact join placed
+    * after this filter returns exactly its unfiltered rows, while the
+    * shuffle moves only the candidate fraction. `keyCol` must be a
+    * LongType key; hash wider keys with xxhash64 first (8-byte keys keep
+    * the sketch insert/probe a single integer op, and both call sites
+    * already join on hashes). The probe is a Scala UDF because Spark's own
+    * BloomFilterMightContain expression (its runtime row-level filtering
+    * injects this exact shape) is not public API — the UDF is a row-local
+    * boolean gate below the exchange, not hot-path arithmetic.
+    * `expectedItems`/`fpp` size the sketch to the BUILD side — which must
+    * be the benchmark/delta-sized relation, never the corpus. */
+  def bloomPrefilter(probe: DataFrame, build: DataFrame, keyCol: String,
+                     expectedItems: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val bloom = build.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val b = probe.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => b.value.mightContainLong(h))
+    probe.where(mightContain(col(keyCol)))
+  }
+
+  /** Bloom-accelerated exact semi-join: `probe ⋉ build` on `keyCol`, with
+    * [[bloomPrefilter]] ahead of the exchange. Row-for-row identical to
+    * `probe.join(build, Seq(keyCol), "left_semi")` (equivalence
+    * unit-asserted in LayoutSpec and, end-to-end, in CurationSpec's
+    * bloom≡exact decontamination test); the Bloom pass only reduces what
+    * shuffles. */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+                    expectedItems: Long, fpp: Double): DataFrame =
+    bloomPrefilter(probe, build, keyCol, expectedItems, fpp)
+      .join(build, Seq(keyCol), "left_semi")
+
   /** Salted high-skew aggregation: two-phase groupBy with a random-free,
     * deterministic salt — the standard fix when one hot key would otherwise
     * pin a single reducer at scale. The salt hashes the ROW CONTENT

@@ -223,4 +223,78 @@ class PlanSpec extends SparkTestBase {
       assert(!below.contains("Exchange"), s"a join input re-shuffled — bucket co-location lost:\n$below")
     } finally spark.conf.set(key, prev)
   }
+
+  test("q_ann_pq: ADC shortlist rank plans WindowGroupLimit — no corpus-sized full sort per probe") {
+    val p = planOf(SparkEntry.queries("q_ann_pq")(spark, dir))
+    // two rank filters (ark<=50 shortlist over corpus×probes, rk<=5 re-rank
+    // over the 50-row shortlist) — both must push into the sort as group
+    // limits, the shortlist one is the scale claim
+    assert(nodeIds(p, "WindowGroupLimit").size >= 2,
+      "ADC shortlist / re-rank row_number filters not planned as WindowGroupLimit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "probe attach degenerated to a nested-loop join")
+  }
+
+  test("q_cdc_scd2: one hash shuffle on user_id serves both windows and the run collapse") {
+    val p = planOf(SparkEntry.queries("q_cdc_scd2")(spark, dir))
+    // formatted mode puts the partitioning in the "(n) Exchange" detail
+    // block's Arguments line, not on the tree line — count detail blocks
+    val hashEx = p.split("""\n\n""").count(b =>
+      b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly 1 hashpartitioning Exchange (user_id reused by lag/sum windows, groupBy, lead window); got $hashEx")
+    assert(!p.contains("Exchange SinglePartition"), "a stage collapsed to one reducer")
+  }
+
+  test("q_decontaminate_bloom: Bloom probe filters the train side BELOW its shuffle") {
+    val p = planOf(SparkEntry.queries("q_decontaminate_bloom")(spark, dir))
+    assert(p.contains("LeftSemi"), "exactness verify must stay a semi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gram join degenerated")
+    // the UDF gate is a Filter; its node id must precede every Exchange id
+    // ABOVE it on the train branch — i.e. the smallest Exchange id in the
+    // plan is still larger than the bloom Filter's id (leaves number first)
+    val bloomFilter = """\((\d+)\) Filter""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val udfFilterIds = p.split("""\n\n""").toSeq.collect {
+      case block if block.matches("""(?s)\(\d+\) Filter.*""") && block.contains("UDF") =>
+        """\((\d+)\)""".r.findFirstMatchIn(block).get.group(1).toInt
+    }
+    val exs = nodeIds(p, "Exchange")
+    assert(bloomFilter.nonEmpty && udfFilterIds.nonEmpty, s"no UDF Filter block found:\n$p")
+    assert(exs.nonEmpty && udfFilterIds.min < exs.min,
+      s"bloom Filter(${udfFilterIds.headOption}) does not precede the first Exchange(${exs.headOption}) — non-matches shuffle")
+  }
+
+  test("q_cumulate_window: running sum windows over hour buckets, never raw events") {
+    val p = planOf(SparkEntry.queries("q_cumulate_window")(spark, dir))
+    val aggs = nodeIds(p, "HashAggregate")
+    val wins = nodeIds(p, "Window")
+    assert(aggs.nonEmpty && wins.nonEmpty, s"unexpected plan: $p")
+    assert(aggs.min < wins.min,
+      s"Window(${wins.min}) runs below the bucket HashAggregate(${aggs.min}) — the expanding sum would sort raw events")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "hour bucketing has no map-side partials")
+    assert(!p.contains("Exchange SinglePartition"), "day window collapsed to one reducer")
+  }
+
+  test("q_layout_zorder: z-blocks come from the value — no window, no corpus sort below the agg") {
+    val p = planOf(SparkEntry.queries("q_layout_zorder")(spark, dir))
+    assert(nodeIds(p, "Window").isEmpty && !p.contains("row_number("),
+      "block assignment regressed to a row_number layout (global sort)")
+    val aggs = nodeIds(p, "HashAggregate")
+    val sorts = nodeIds(p, "Sort")
+    assert(aggs.nonEmpty, s"unexpected plan: $p")
+    assert(sorts.forall(_ > aggs.min),
+      s"a Sort(${sorts.filter(_ < aggs.min)}) runs below the profile aggregate — corpus-wide sort")
+    assert(p.contains("partial_min") || p.contains("partial_count"), "no map-side partials on the profile")
+  }
+
+  test("q_dedup_incremental: delta probes the shared materialized index — equi-join, no base×base") {
+    val p = planOf(SparkEntry.queries("q_dedup_incremental")(spark, dir))
+    assert(p.contains("ExistingRDD"), "shingle table not materialized once for both sides")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to O(n²)")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "shingle probe is not an equi-join")
+  }
 }
