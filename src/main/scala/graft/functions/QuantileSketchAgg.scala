@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable quantile sketch as a typed Aggregator — the KLL shape
+  * (Karnin/Lang/Liberty 2016; uniform per-level capacity like the earlier
+  * Manku-Rajagopalan-Lindsay sketch): a stack of levels where level i
+  * holds items of weight 2^i, and an overfull level sorts itself, keeps
+  * alternate items, and promotes them one level up (halving count,
+  * doubling weight). State is O(k · log(n/k)) regardless of input size,
+  * reduce is O(1) amortized, and merge is level-wise concatenation +
+  * the same compaction — associative, so map-side partial aggregation
+  * reduces each partition to one sketch before the shuffle and only
+  * sketch-sized rows ever move. That is the 100 TB contract
+  * `percentile_approx`'s engine-opaque GK summary cannot make visible:
+  * this sketch is a value you can persist, ship, and merge across days.
+  *
+  * Determinism: the classic KLL compactor flips a random coin for the
+  * keep-offset; here the offset derives from the level's content (parity
+  * of the summed bit patterns), so a sketch is a pure function of the
+  * multiset of (value, weight) pairs it absorbed. Estimates can still
+  * vary within the rank-error bound when Spark merges partials in a
+  * different order (merge trees differ run to run — SPARK-23207
+  * territory), which is why the contract query is `oracle: no` and the
+  * unit layer asserts the ε rank bound + exactness below k instead
+  * (QuantileSketchSpec).
+  *
+  * Rank guarantee (KLL, uniform capacities): ε ≈ O(log(n/k)/k) rank
+  * error; k=128 over sf0.1's 6·10⁵-row groups keeps ε well under the
+  * 0.05 the spec asserts. When a group has fewer than k values nothing
+  * ever compacts and the returned quantiles are EXACT order statistics.
+  */
+case class KllBuf(levels: Seq[Seq[Double]])
+case class KllQuantiles(p50: Double, p90: Double, p99: Double)
+
+class QuantileSketch(k: Int) extends Aggregator[Double, KllBuf, KllQuantiles] {
+
+  /** Promote every overfull level: sort, keep alternate items at a
+    * content-derived offset, push them one level up. A promotion can
+    * overfill the next level; the ascending scan handles the cascade. */
+  private def compact(ls: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    var levels = ls.map(_.toVector).toVector
+    var i = 0
+    while (i < levels.length) {
+      if (levels(i).length >= k) {
+        val sorted = levels(i).sorted
+        val bits = sorted.foldLeft(0L)((a, v) => a ^ java.lang.Double.doubleToLongBits(v))
+        val off = (java.lang.Long.bitCount(bits) & 1)
+        val kept = sorted.indices.collect { case j if j % 2 == off => sorted(j) }.toVector
+        if (i + 1 >= levels.length) levels = levels :+ Vector.empty[Double]
+        levels = levels.updated(i, Vector.empty[Double])
+          .updated(i + 1, levels(i + 1) ++ kept)
+      }
+      i += 1
+    }
+    levels
+  }
+
+  override def zero: KllBuf = KllBuf(Seq(Vector.empty[Double]))
+
+  override def reduce(b: KllBuf, x: Double): KllBuf = {
+    val l0 = b.levels.head :+ x
+    val ls = l0 +: b.levels.tail
+    KllBuf(if (l0.length >= k) compact(ls) else ls)
+  }
+
+  override def merge(b1: KllBuf, b2: KllBuf): KllBuf = {
+    val n = math.max(b1.levels.length, b2.levels.length)
+    val merged = (0 until n).map { i =>
+      b1.levels.lift(i).getOrElse(Nil) ++ b2.levels.lift(i).getOrElse(Nil)
+    }
+    KllBuf(compact(merged))
+  }
+
+  /** Weighted order statistics over the surviving items: item at level i
+    * carries weight 2^i; the q-quantile is the first item (by value) whose
+    * cumulative weight exceeds q·(W−1). With no compactions every weight
+    * is 1 and this is the exact order statistic. */
+  override def finish(r: KllBuf): KllQuantiles = {
+    val weighted = r.levels.zipWithIndex.flatMap { case (items, lvl) =>
+      val w = 1L << lvl
+      items.map(v => (v, w))
+    }.sortBy(_._1)
+    if (weighted.isEmpty) KllQuantiles(Double.NaN, Double.NaN, Double.NaN)
+    else {
+      val total = weighted.iterator.map(_._2).sum
+      def at(q: Double): Double = {
+        val target = q * (total - 1).toDouble
+        var cum = 0L
+        var res = weighted.last._1
+        val it = weighted.iterator
+        var found = false
+        while (it.hasNext && !found) {
+          val (v, w) = it.next()
+          cum += w
+          if (cum.toDouble > target) { res = v; found = true }
+        }
+        res
+      }
+      KllQuantiles(at(0.5), at(0.9), at(0.99))
+    }
+  }
+
+  override def bufferEncoder: Encoder[KllBuf] = Encoders.product[KllBuf]
+  override def outputEncoder: Encoder[KllQuantiles] = Encoders.product[KllQuantiles]
+}

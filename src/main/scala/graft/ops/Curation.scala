@@ -459,7 +459,30 @@ object Curation {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- quantile sketch
+  /** Mergeable KLL-style quantile sketch as a typed Aggregator (see
+    * graft.functions.QuantileSketch for the algorithm and determinism
+    * notes) — the first-class replacement for [[aggApproxQuantile]]'s
+    * engine-opaque GK summary: partial sketches build map-side, merge
+    * associatively across partitions/days, and only sketch-sized state
+    * ever moves or lives on the driver. `oracle: no` like every sketch
+    * (merge-order wiggle within the rank-ε bound); QuantileSketchSpec
+    * bounds every estimate's true rank within ε=0.05 of its target and
+    * asserts exactness for below-capacity groups; PlanSpec asserts the
+    * map-side partial_quantilesketch. */
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = udaf(new graft.functions.QuantileSketch(128))
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(sk($"l_extendedprice").as("q"), count(lit(1)).as("n"))
+      .select($"l_returnflag", $"q.p50".as("p50"), $"q.p90".as("p90"),
+        $"q.p99".as("p99"), $"n")
+      .orderBy($"l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
     "q_sample_weighted" -> (sampleWeighted _),

@@ -289,6 +289,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_min") || p.contains("partial_count"), "no map-side partials on the profile")
   }
 
+  test("q_quantile_sketch: partial sketches build map-side before the shuffle") {
+    val p = planOf(SparkEntry.queries("q_quantile_sketch")(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), "sketch not planned as object hash agg")
+    assert(p.contains("partial_quantilesketch"),
+      "no map-side partial sketch — raw rows would shuffle")
+  }
+
   test("q_dedup_incremental: delta probes the shared materialized index — equi-join, no base×base") {
     val p = planOf(SparkEntry.queries("q_dedup_incremental")(spark, dir))
     assert(p.contains("ExistingRDD"), "shingle table not materialized once for both sides")
