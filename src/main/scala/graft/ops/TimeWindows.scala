@@ -80,9 +80,16 @@ object TimeWindows {
     * assumes post-1970 timestamps — true of the events table and of any
     * sane event-time corpus; pre-epoch data would need a floor-division
     * formulation on both sides. */
-  def cumulateWindow(s: SparkSession, dir: String): DataFrame = {
+  def cumulateWindow(s: SparkSession, dir: String): DataFrame =
+    cumulateOf(s, events(s, dir))
+
+  /** The CUMULATE computation over an arbitrary bounded events frame —
+    * shared seam with the streaming twin (StreamOps.cumulateCounts),
+    * whose final frame must fold to exactly this result
+    * (equivalence asserted in StreamingSpec's s_cumulate_window test). */
+  def cumulateOf(s: SparkSession, ev: DataFrame): DataFrame = {
     import s.implicits._
-    val hourly = events(s, dir)
+    val hourly = ev
       .select((epochS($"ts") - pmod(epochS($"ts"), lit(86400L))).as("day_start"),
         floor(pmod(epochS($"ts"), lit(86400L)) / 3600L).cast(LongType).as("hr"),
         $"value")

@@ -48,6 +48,41 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("sess_start"), col("user_id"), col("n"))
 
+  /** CUMULATE windows (Flink's CUMULATE TVF), streaming form — the
+    * early-firing day-so-far aggregate q_cumulate_window computes in
+    * batch: within each day, hour-step windows [day 00:00, hour·h) carry
+    * the running aggregate of the day so far, revised in update mode as
+    * events arrive. Implementation is Flink's own CUMULATE window
+    * assignment: an event at hour h belongs to every step window ending
+    * (h+1)·3600 .. 24·3600 — a bounded ≤24-way row-local `sequence` +
+    * `explode` — after which each (day_start, win_end) group aggregates
+    * independently, so a new event revises exactly the step rows it
+    * participates in. DECIMAL value sums (R2) keep the fold equal to the
+    * batch twin's bit-for-bit.
+    *
+    * Emits the DENSE frame (an empty hour still gets a step row carrying
+    * the day-so-far total forward); the batch twin emits the sparse form
+    * (only steps whose own bucket is nonempty) — the equivalence test
+    * folds one onto the other. State is 24 step keys per (day, executor
+    * shard) — structurally tiny; it accrues 24 keys per calendar day, so
+    * a long-running deployment TTLs old days in the state store (Spark
+    * only auto-evicts native `window()` groupings, which cannot express
+    * CUMULATE — same trade Flink resolves with its own window GC). */
+  def cumulateCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val sec = col("ts").cast("long")
+    events.withWatermark("ts", delay)
+      .select((sec - pmod(sec, lit(86400L))).as("day_start"),
+        floor(pmod(sec, lit(86400L)) / 3600L).cast("long").as("hr"),
+        col("value"))
+      .select(col("day_start"), col("value"),
+        explode(sequence(col("hr") + 1L, lit(24L))).as("step"))
+      .select(col("day_start"),
+        (col("day_start") + col("step") * 3600L).as("win_end"), col("value"))
+      .groupBy(col("day_start"), col("win_end"))
+      .agg(count(lit(1)).as("n_cum"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value_cum"))
+  }
+
   /** Keyed dedup keep-first with bounded state: duplicates of (user, type)
     * arriving within the watermark are dropped; state evicts after it. */
   def dedupFirst(events: DataFrame, delay: String = "10 minutes"): DataFrame =

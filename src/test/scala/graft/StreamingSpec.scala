@@ -60,6 +60,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_cumulate_window: update-mode day-so-far steps; final frame folds to the batch CUMULATE") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.cumulateCounts(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    val all = Seq(
+      ev(1, 65, v = 1.5), ev(2, 70, v = 2.0),   // day 0, hour 1
+      ev(3, 185, v = 3.25),                      // day 0, hour 3 (hour 2 empty)
+      ev(4, 200, v = 1.0),                       // day 0, hour 3, second batch
+      ev(5, 1445, v = 4.5))                      // day 1, hour 0
+    try {
+      in.addData(all.take(3): _*)
+      q.processAllAvailable()
+      in.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val emitted = spark.table(sink)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // EARLY FIRING: the day-0 step ending 04:00 was revised upward when
+      // event 4 arrived — both the n=3 and the n=4 update rows are in the sink
+      assert(emitted.filter(r => r._1 == 0L && r._2 == 14400L).map(_._3).sorted === Seq(3L, 4L),
+        "step [0,4h) should fire early at n=3 and revise to n=4")
+      // final frame = latest revision per step; counts/sums only grow
+      val fin = emitted.groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> (rs.map(_._3).max, rs.map(_._4).max) }
+      // fold onto the batch twin: every sparse batch row appears with equal values
+      val batch = graft.ops.TimeWindows.cumulateOf(spark,
+        spark.createDataset(all).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      assert(batch.nonEmpty)
+      for ((k, v) <- batch)
+        assert(fin.get(k).contains(v), s"batch step $k=$v missing/diverged in streaming frame $fin")
+      // DENSE carry-forward: the empty hour-2 bucket still has a step row
+      // carrying hour-1's day-so-far total
+      assert(fin((0L, 10800L)) === fin((0L, 7200L)), "empty hour must carry the running total")
+    } finally q.stop()
+  }
+
   test("s_output_modes: complete mode re-emits the full result each trigger") {
     val in = MemoryStream[Event]
     val sink = nextSink()
