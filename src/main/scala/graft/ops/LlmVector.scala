@@ -279,10 +279,33 @@ object LlmVector {
   /** IVF approximate nearest neighbor (rows-only; recall cross-checked
     * against the brute-force top-k in unit tests). Coarse quantizer: 16
     * k-means centroids (2 deterministic Lloyd iterations, above). Probes
-    * search nprobe=4 nearest centroid buckets only. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    * search nprobe=4 nearest centroid buckets only.
+    *
+    * SKEW-AWARE: real embedding corpora cluster — one hot centroid can own
+    * a corpus-scale fraction of the vectors, and an unsharded plan would
+    * sort that whole invlist inside a single probe partition. See
+    * [[ivfSearch]] for the hash-sub-shard split that bounds every rank
+    * partition by `shardThreshold` with zero result change. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, embeddings(s, dir), shardThreshold = 2048L)
+
+  /** IVF search core, parameterized by the skew threshold (exposed for the
+    * VectorDedupSpec shard tests). Hot-invlist handling: a k-row bucket
+    * census goes to the driver (aggregate-step contract, like the
+    * centroids themselves), each centroid whose invlist exceeds
+    * `shardThreshold` is split into ⌈n/threshold⌉ hash sub-shards keyed by
+    * xxhash64(vec_id) (content hash — layout-independent, R-determinism),
+    * and probes score every sub-shard of each probed centroid, ranking
+    * top-k per shard FIRST (WindowGroupLimit over ≤ ~threshold-row
+    * partitions) before the final ≤ k·shards-row per-probe rank. The
+    * candidate set is untouched, and per-shard-top-k ∘ global-top-k =
+    * global-top-k, so results are row-identical to the unsharded plan —
+    * only the largest sort any single partition performs changes. Hash
+    * imbalance keeps a shard near, not exactly at, the threshold (the
+    * spec asserts a 2× slack bound). */
+  private[graft] def ivfSearch(s: SparkSession, e: DataFrame,
+                               shardThreshold: Long): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, dir)
     val cents = kmeansCentroids(e, k = 16, iters = 2)
     // invlist assignment: row-local reference-held argmax — the corpus is
     // labeled in its scan stage, zero shuffles (see NearestCentroid)
@@ -306,18 +329,38 @@ object LlmVector {
       if (m == 0 || na == 0.0 || nb == 0.0) Double.NegativeInfinity
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    // bucket census: k counts back to the driver (same bounded-state
+    // contract as the centroids) → sub-shard fan-out per hot invlist
+    val sizes = assigned.groupBy($"cent_id").agg(count(lit(1)).as("bn"))
+      .collect().map(r => r.getAs[Int]("cent_id") -> r.getAs[Long]("bn")).toMap
+    val nsub: Seq[(Int, Long)] = cents.map { case (cid, _) =>
+      cid -> math.max(1L, (sizes.getOrElse(cid, 0L) + shardThreshold - 1) / shardThreshold)
+    }
+    val subOf = nsub.foldLeft(lit(0L)) { case (acc, (cid, m)) =>
+      when($"cent_id" === cid, pmod(xxhash64($"vec_id"), lit(m))).otherwise(acc)
+    }
+    val sharded = assigned.withColumn("sub_id", subOf)
+    val nsubMap = nsub.toMap
     val buckets = probeRows.flatMap { case (pid, pe) =>
       cents.map { case (cid, cv) => (pid, pe, cid, cosD(pe, cv)) }
         .sortBy { case (_, _, cid, c) => (-c, cid) }
-        .take(4).map { case (p, v, cid, _) => (p, v, cid) }
+        .take(4).flatMap { case (p, v, cid, _) =>
+          (0L until nsubMap(cid)).map(sub => (p, v, cid, sub)) }
     }
     val probeBuckets = s.createDataset(buckets)
-      .toDF("probe_id", "pe", "cent_id")
+      .toDF("probe_id", "pe", "cent_id", "sub_id")
     // score only candidates in the selected buckets (probe side is tiny —
-    // broadcast it; the corpus side never moves)
+    // broadcast it; the corpus side never moves). Rank per shard first:
+    // no partition ever sorts more than ~shardThreshold candidate rows,
+    // however hot the centroid.
+    val wShard = Window.partitionBy($"probe_id", $"cent_id", $"sub_id")
+      .orderBy($"cos".desc, $"vec_id")
     val wTop = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
-    broadcast(probeBuckets).join(assigned, Seq("cent_id"))
-      .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
+    broadcast(probeBuckets).join(sharded, Seq("cent_id", "sub_id"))
+      .select($"probe_id", $"cent_id", $"sub_id", $"vec_id",
+        cosine($"pe", $"embedding").as("cos"))
+      .withColumn("srk", row_number().over(wShard))
+      .where($"srk" <= 5)
       .withColumn("rk", row_number().over(wTop))
       .where($"rk" <= 5)
       .select($"probe_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))

@@ -50,6 +50,41 @@ class MiniOpsSpec extends SparkTestBase {
     assert(self.subsetOf(approx))
   }
 
+  test("ann ivf skew shards: forced sub-sharding returns row-identical results") {
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    def run(t: Long): Seq[(Long, Int, Long, Double)] =
+      LlmVector.ivfSearch(spark, e, t).collect().toSeq
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    // threshold 20 forces every 16-centroid invlist of the ~100-vector
+    // corpus to split; per-shard-top-k ∘ global-top-k must not change rows
+    assert(run(20L) === run(Long.MaxValue),
+      "sub-sharding altered the top-k — it may only change partition sizes")
+  }
+
+  test("ann ivf skew shards: no scoring shard exceeds 2x the threshold") {
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val t = 20L
+    // recompute the shard layout from the same public pieces the engine
+    // uses (content-hash sub_id over ceil(n/t) shards per invlist) and
+    // bound the realized sizes: hash imbalance may overshoot the expected
+    // n/ceil(n/t) <= t rows per shard, but never past 2x at these counts
+    val cents = LlmVector.kmeansCentroids(e, k = 16, iters = 2)
+    val assigned = e.select($"vec_id",
+      graft.functions.CentroidFunctions.nearest_centroid($"embedding", cents).as("cent_id"))
+    val sizes = assigned.groupBy($"cent_id").agg(count(lit(1)).as("bn"))
+      .collect().map(r => r.getAs[Int]("cent_id") -> r.getAs[Long]("bn")).toMap
+    val nsub = cents.map { case (cid, _) =>
+      cid -> math.max(1L, (sizes.getOrElse(cid, 0L) + t - 1) / t) }
+    assert(nsub.exists(_._2 > 1L), "threshold failed to force any split — test is vacuous")
+    val subOf = nsub.foldLeft(lit(0L)) { case (acc, (cid, m)) =>
+      when($"cent_id" === cid, pmod(xxhash64($"vec_id"), lit(m))).otherwise(acc) }
+    val shardMax = assigned.withColumn("sub_id", subOf)
+      .groupBy($"cent_id", $"sub_id").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(shardMax <= 2 * t, s"hot shard of $shardMax rows exceeds 2x threshold $t")
+  }
+
   test("ann pq: ADC shortlist + exact re-rank recall@5 >= 0.8 vs brute force (sf0.01: shortlist = 10% of corpus)") {
     // sf0.01 deliberately: 500 vectors vs the 50-candidate shortlist — at
     // sf0.001 the shortlist covers the whole corpus and recall is trivially 1
