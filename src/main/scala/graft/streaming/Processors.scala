@@ -535,3 +535,74 @@ class Scd2Processor extends StatefulProcessor[Long, Event, Scd2Change] {
     out.iterator
   }
 }
+
+/** Event-time TEMPORAL (versioned-table) join — Flink's `FOR SYSTEM_TIME
+  * AS OF` probe ⋈ versioned-dimension join, the streaming twin of the
+  * batch as-of join (q_join_asof): each probe row joins the dimension
+  * version valid AT THE PROBE'S EVENT TIME (latest version ts ≤ probe
+  * ts, ties by event_id), NOT the latest version seen — a plain
+  * stream-static or broadcast join gets this wrong the moment either
+  * stream is out of order.
+  *
+  * Out-of-order safety is the watermark contract: a probe buffers until
+  * the watermark passes its timestamp (one event-time timer per pending
+  * probe ts), by which point every dimension version with ts ≤ probe_ts
+  * has arrived — so the emitted row equals the batch as-of join under
+  * ANY replay order within the watermark bound (asserted against an
+  * independent reference in ProcessorsSpec, reversed replay included).
+  * Probes with no version at-or-before their time emit matched=false
+  * (LEFT temporal join; drop them for the inner form).
+  *
+  * State GC on every timer fire — versions strictly older than the last
+  * one at-or-before the watermark are shadowed for every future probe
+  * (probes behind the watermark are late-dropped upstream) and deleted:
+  * Flink's temporal-join state cleanup. State per key: pruned version
+  * list + pending probes + their timers. */
+case class TemporalMatch(user_id: Long, probe_id: Long, t_probe_s: Long,
+    version_id: Long, version_value: Double, matched: Boolean)
+
+class TemporalJoinProcessor(dimType: String, probeType: String)
+    extends StatefulProcessor[Long, Event, TemporalMatch] {
+  @transient private var versions: ListState[(Long, Long, Double)] = _ // (ts_ms, event_id, value)
+  @transient private var pending: ListState[(Long, Long)] = _          // (ts_ms, probe_id)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    versions = getHandle.getListState[(Long, Long, Double)]("versions",
+      Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+    pending = getHandle.getListState[(Long, Long)]("pending",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[TemporalMatch] = {
+    rows.foreach { e =>
+      if (e.event_type == dimType)
+        versions.appendValue((e.ts.getTime, e.event_id, e.value))
+      else if (e.event_type == probeType) {
+        pending.appendValue((e.ts.getTime, e.event_id))
+        getHandle.registerTimer(e.ts.getTime)
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[TemporalMatch] = {
+    val wm = expired.getExpiryTimeInMs()
+    val vs = versions.get().toArray.sortBy(v => (v._1, v._2))
+    val (ready, rest) = pending.get().toArray.partition(_._1 <= wm)
+    val out = ready.sortBy(identity).iterator.map { case (pt, pid) =>
+      vs.filter(_._1 <= pt).lastOption match {
+        case Some((_, vid, vv)) => TemporalMatch(key, pid, pt / 1000L, vid, vv, matched = true)
+        case None => TemporalMatch(key, pid, pt / 1000L, -1L, Double.NaN, matched = false)
+      }
+    }
+    pending.clear(); rest.foreach(pending.appendValue)
+    // GC: keep the newest version at-or-before the watermark (still the
+    // as-of answer for any future probe) plus everything after it
+    val cutIdx = vs.lastIndexWhere(_._1 <= wm)
+    val kept = if (cutIdx > 0) vs.drop(cutIdx) else vs
+    versions.clear(); kept.foreach(versions.appendValue)
+    out
+  }
+}

@@ -123,6 +123,52 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dataflow equivalence: streaming temporal join settles to the as-of reference (reversed replay)") {
+    val dir = sf("sf0.001")
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    // independent as-of reference: each purchase joins the latest signup
+    // at-or-before its event time (ties by event_id) — LEFT form
+    val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val dims = es.filter(_.event_type == "signup").sortBy(e => (e.ts.getTime, e.event_id))
+      es.filter(_.event_type == "purchase").map { p =>
+        dims.filter(_.ts.getTime <= p.ts.getTime).lastOption match {
+          case Some(d) => (uid, p.event_id, p.ts.getTime / 1000L, d.event_id, true)
+          case None    => (uid, p.event_id, p.ts.getTime / 1000L, -1L, false)
+        }
+      }
+    }.toSet
+    assert(expected.nonEmpty && expected.exists(_._5) && expected.exists(!_._5),
+      "data must exercise both matched and unmatched probes")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(new TemporalJoinProcessor("signup", "purchase"),
+        TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // adversarial replay: fully reversed — probes arrive before the
+      // versions they must join; the watermark buffer has to fix it
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentinel = Event(-1L,
+        new Timestamp(maxMs + 40L * 24 * 3600000), -99L, "sentinel", 0.0)
+      in.addData(sentinel); q.processAllAvailable()
+      in.addData(sentinel.copy(event_id = -2L)); q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def streamed() = spark.table(sink).as[TemporalMatch].collect()
+        .map(m => (m.user_id, m.probe_id, m.t_probe_s, m.version_id, m.matched)).toSet
+      while (streamed().size < expected.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(streamed() === expected)
+    } finally q.stop()
+  }
+
   test("dataflow equivalence: streaming count-window over replayed events == batch q_count_window (order-free invariants)") {
     // CountWindow bucket MEMBERSHIP depends on arrival order (which Spark
     // does not guarantee within a micro-batch per key), so row-exact
