@@ -481,7 +481,29 @@ object Curation {
       .orderBy($"l_returnflag")
   }
 
+  // ---------------------------------------------------------------- heavy hitters
+  /** Mergeable Misra-Gries heavy-hitters per language over whitespace
+    * tokens (see graft.functions.HeavyHitters for the algorithm and the
+    * n/(k+1) error envelope) — the frequent-items member of the sketch
+    * family (HLL/Bloom/KLL/MG), and the bounded-state alternative to the
+    * exact q_ngram_freq count-then-rank when the vocabulary itself is too
+    * large to aggregate exactly: state is ≤ k counters per group however
+    * many distinct tokens flow by. `oracle: no` (counter set is
+    * merge-tree-dependent within the envelope); HeavyHittersSpec asserts
+    * the presence + estimate guarantees against exact counts and PlanSpec
+    * the map-side partials. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hh = udaf(new graft.functions.HeavyHitters(32, 5))
+    documents(s, dir)
+      .select($"lang", explode(split(trim($"text"), " ")).as("tok"))
+      .groupBy($"lang")
+      .agg(hh($"tok").as("top_tokens"), count(lit(1)).as("n_tokens"))
+      .orderBy($"lang")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),

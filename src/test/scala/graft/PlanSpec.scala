@@ -296,6 +296,13 @@ class PlanSpec extends SparkTestBase {
       "no map-side partial sketch — raw rows would shuffle")
   }
 
+  test("q_heavy_hitters: partial MG summaries build map-side before the shuffle") {
+    val p = planOf(SparkEntry.queries("q_heavy_hitters")(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), "MG not planned as object hash agg")
+    assert(p.contains("partial_heavyhitters"),
+      "no map-side partial summary — raw tokens would shuffle")
+  }
+
   test("q_dedup_incremental: delta probes the shared materialized index — equi-join, no base×base") {
     val p = planOf(SparkEntry.queries("q_dedup_incremental")(spark, dir))
     assert(p.contains("ExistingRDD"), "shingle table not materialized once for both sides")
