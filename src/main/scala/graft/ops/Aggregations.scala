@@ -195,6 +195,24 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** First-class mergeable HLL distinct sketch (see
+    * graft.functions.HllDistinct) — the persistable twin of
+    * [[aggApproxDistinct]]'s engine-internal HLL++: per event type, the
+    * sketch estimate of distinct users next to the exact count (so the
+    * rows-only dump is self-describing and the spec can assert the 3σ
+    * envelope). Register-max merge is associative/commutative/idempotent,
+    * so the estimate is a pure function of the input SET — deterministic
+    * across runs, merge trees, and layouts; `oracle: no` only because no
+    * cross-engine SQL reproduces the register/estimator formula. */
+  def aggDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hll = udaf(new graft.functions.HllDistinct(10))
+    events(s, dir).groupBy($"event_type")
+      .agg(hll($"user_id").as("sketch_uv"),
+        countDistinct($"user_id").as("exact_uv"))
+      .orderBy($"event_type")
+  }
+
   /** Conditional (filtered) aggregation — several predicates folded in one
     * pass over the fact table (Flink SQL FILTER / Table API agg with CASE).
     * One scan + one hash-aggregate regardless of predicate count: the
@@ -273,7 +291,8 @@ object Aggregations {
     "q_agg_cube"            -> (aggCube _),
     "q_agg_grouping_sets"   -> (aggGroupingSets _),
     "q_agg_having"          -> (aggHaving _),
-    "q_agg_approx_distinct" -> (aggApproxDistinct _))
+    "q_agg_approx_distinct" -> (aggApproxDistinct _),
+    "q_distinct_sketch"     -> (aggDistinctSketch _))
 
   def oracle: Map[String, String] = Map(
     "q_agg_histogram"      -> aggHistogramSql,

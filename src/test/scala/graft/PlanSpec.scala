@@ -303,6 +303,12 @@ class PlanSpec extends SparkTestBase {
       "no map-side partial summary — raw tokens would shuffle")
   }
 
+  test("q_distinct_sketch: partial HLL registers build map-side before the shuffle") {
+    val p = planOf(SparkEntry.queries("q_distinct_sketch")(spark, dir))
+    assert(p.contains("partial_hlldistinct"),
+      "no map-side partial HLL — raw rows would shuffle")
+  }
+
   test("q_dedup_incremental: delta probes the shared materialized index — equi-join, no base×base") {
     val p = planOf(SparkEntry.queries("q_dedup_incremental")(spark, dir))
     assert(p.contains("ExistingRDD"), "shingle table not materialized once for both sides")
