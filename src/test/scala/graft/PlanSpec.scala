@@ -303,6 +303,16 @@ class PlanSpec extends SparkTestBase {
       "no map-side partial summary — raw tokens would shuffle")
   }
 
+  test("q_join_asof: range-match runs as an equi-join on user, keep-latest as WindowGroupLimit") {
+    val p = planOf(SparkEntry.queries("q_join_asof")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of composition degenerated to a nested-loop join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "user equality not driving a hash/merge join")
+    assert(p.contains("WindowGroupLimit"),
+      "keep-latest rank not pushed into the sort — full match set would materialize per purchase")
+  }
+
   test("q_distinct_sketch: partial HLL registers build map-side before the shuffle") {
     val p = planOf(SparkEntry.queries("q_distinct_sketch")(spark, dir))
     assert(p.contains("partial_hlldistinct"),

@@ -58,6 +58,32 @@ class QuantileSketchSpec extends SparkTestBase {
       assert(rankOk(xs, v, q), s"right-assoc $q estimate $v outside band")
   }
 
+  test("sketch aggregates in streaming update mode: final revision passes the rank bound") {
+    // the same typed Aggregator drives an unbounded update-mode aggregate
+    // unchanged — the batch/streaming unification the mergeable-state
+    // design buys (partial sketches merge per micro-batch revision)
+    import org.apache.spark.sql.functions.{count, lit, udaf}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val xs = (1 to 4000).map(i => ((i * 2654435761L) % 9973L).toDouble)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val sk = udaf(new QuantileSketch(128))
+    val q = in.toDF().toDF("v")
+      .groupBy(lit(1).as("g"))
+      .agg(sk($"v").as("qs"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("qsk_stream").outputMode("update").start()
+    try {
+      val (h1, h2) = xs.splitAt(2000)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val fin = spark.table("qsk_stream").orderBy($"n".desc).head()
+      assert(fin.getLong(2) === xs.size.toLong)
+      val est = fin.getStruct(1)
+      for ((qq, v) <- Seq(0.5 -> est.getDouble(0), 0.9 -> est.getDouble(1), 0.99 -> est.getDouble(2)))
+        assert(rankOk(xs, v, qq), s"streaming quantile $qq estimate $v outside eps band")
+    } finally q.stop()
+  }
+
   test("q_quantile_sketch: every estimate's true rank is within eps of its target at sf0.001") {
     import org.apache.spark.sql.functions.col
     val dir = sf("sf0.001")
