@@ -162,6 +162,66 @@ object TimeWindows {
       |GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 
+  /** DYNAMIC-gap session windows — Flink's SessionWindowTimeGapExtractor
+    * (per-event inactivity timeout): purchases keep a session alive for
+    * 60 minutes, everything else 30 — the "a conversion buys you more
+    * attention" sessionization rule. Spark's `session_window(ts, gapCol)`
+    * takes the gap as an expression, so this stays one native session
+    * aggregate: one shuffle on user_id, interval-merge inside the
+    * aggregation, no self-join.
+    *
+    * Oracle is the gaps-and-islands form GENERALIZED: with variable gaps
+    * the session end is the RUNNING MAX of (t + gap) over the session so
+    * far (an early long-gap event can outlast later short-gap ones), not
+    * lag(t) + constant — a new session starts when t exceeds that
+    * running max (strictly: Spark merges an event landing exactly on the
+    * session end, same inclusive boundary [[sessionWindow]] documented).
+    * Seconds-floored timestamps (R3) keep every comparison integer. */
+  def sessionDynamic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gap = when($"event_type" === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    events(s, dir)
+      .select($"user_id", $"event_type", timestamp_seconds(epochS($"ts")).as("tsec"))
+      .groupBy(session_window($"tsec", gap), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"))
+      .select(
+        unix_timestamp($"session_window.start").as("sess_start"),
+        unix_timestamp($"session_window.end").as("sess_end"),
+        $"user_id", $"n_events", $"n_purchases")
+      .orderBy($"user_id", $"sess_start")
+  }
+
+  val sessionDynamicSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+      |    CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, sec, gap, event_type,
+      |    MAX(sec + gap) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM t),
+      |f AS (
+      |  SELECT user_id, event_id, sec, gap, event_type,
+      |    CASE WHEN prev_end IS NULL OR sec > prev_end THEN 1 ELSE 0 END AS new_sess,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn
+      |  FROM m),
+      |n AS (
+      |  SELECT user_id, sec, gap, event_type,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY rn
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM f)
+      |SELECT MIN(sec) AS sess_start,
+      |  CAST(MAX(sec + gap) AS BIGINT) AS sess_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+      |FROM n
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   /** Keyed dedup, keep-first by event time: the ValueState "seen" pattern.
     * Batch form: row_number over (user, type) ordered by (sec, event_id).
     * Ranking floors ts to whole seconds BEFORE ordering (like sessionWindow
@@ -517,6 +577,7 @@ object TimeWindows {
     "q_tumble_window"     -> (tumbleWindow _),
     "q_hop_window"        -> (hopWindow _),
     "q_session_window"    -> (sessionWindow _),
+    "q_session_dynamic"   -> (sessionDynamic _),
     "q_dedup_keep_first"  -> (dedupKeepFirst _),
     "q_hot_items"         -> (hotItems _))
 
@@ -532,6 +593,7 @@ object TimeWindows {
     "q_tumble_window"    -> tumbleWindowSql,
     "q_hop_window"       -> hopWindowSql,
     "q_session_window"   -> sessionWindowSql,
+    "q_session_dynamic"  -> sessionDynamicSql,
     "q_dedup_keep_first" -> dedupKeepFirstSql,
     "q_hot_items"        -> hotItemsSql)
 }

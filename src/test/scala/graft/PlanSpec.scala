@@ -313,6 +313,16 @@ class PlanSpec extends SparkTestBase {
       "keep-latest rank not pushed into the sort — full match set would materialize per purchase")
   }
 
+  test("q_session_dynamic: one shuffle on user — interval merge runs inside the session aggregate") {
+    val p = planOf(SparkEntry.queries("q_session_dynamic")(spark, dir))
+    val hashEx = p.split("""\n\n""").count(b =>
+      b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly 1 hashpartitioning Exchange (user_id drives the session merge); got $hashEx")
+    assert(!p.contains("Exchange SinglePartition"), "session merge collapsed to one reducer")
+    assert(!p.contains("Join"), "dynamic sessions must not plan a self-join")
+  }
+
   test("q_distinct_sketch: partial HLL registers build map-side before the shuffle") {
     val p = planOf(SparkEntry.queries("q_distinct_sketch")(spark, dir))
     assert(p.contains("partial_hlldistinct"),
