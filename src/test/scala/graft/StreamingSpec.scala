@@ -97,6 +97,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_session_dynamic: streaming dynamic-gap sessions finalize to the batch merge semantics") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val gap = when($"event_type" === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val q = in.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".cast("long").as("s"),
+        $"session_window.end".cast("long").as("e"), $"user_id", $"n")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // user 1: the purchase at minute 20 extends the session to 80, so the
+      // view at 70 merges even though it is >30min after the last event —
+      // the running-max end, not lag+constant, decides (the exact property
+      // q_session_dynamic's oracle encodes); minute 150 starts fresh
+      in.addData(
+        ev(1, 0, user = 1, typ = "view"), ev(2, 20, user = 1, typ = "purchase"),
+        ev(3, 70, user = 1, typ = "view"), ev(4, 150, user = 1, typ = "view"),
+        ev(5, 10, user = 2, typ = "view"))
+      q.processAllAvailable()
+      in.addData(ev(6, 400, user = -9, typ = "view")) // watermark past every end
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[(Long, Long, Long, Long)].collect()
+        .filter(_._3 != -9L).toSet
+      assert(rows === Set(
+        (0L, 100L * 60, 1L, 3L),          // [0, 100min): view+purchase+view merged
+        (150L * 60, 180L * 60, 1L, 1L),   // fresh 30-min session
+        (10L * 60, 40L * 60, 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("s_output_modes: complete mode re-emits the full result each trigger") {
     val in = MemoryStream[Event]
     val sink = nextSink()
