@@ -13,10 +13,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // absolute per-process warehouse path (see Verify.scala) — bucketed-
-      // table writes must not depend on the CWD or collide across runs
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_bench_${ProcessHandle.current().pid()}")
+      // absolute per-PID warehouse, deleted by a shutdown hook (TempDirs)
+      .config("spark.sql.warehouse.dir", TempDirs.warehouse("bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/FS caches are infrastructure, not query
@@ -61,12 +59,24 @@ object Bench {
     // driver's tail-capture window — full-precision doubles overflowed it
     // in round 4 and truncated the per-query map to its last ~68 entries.
     def s3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
+    // The driver keeps the TAIL of stdout, so when the line does overflow
+    // it loses entries from the FRONT (r4: 68/108 survived; r8: 78/135).
+    // Emit the map fastest-first so what truncation eats is the sub-0.1s
+    // noise floor and the slowest — forensically useful — queries sit at
+    // the surviving end, whatever the capture-window size.
+    val byTime = results.toSeq.sortBy(_._2)
+    val qs = byTime.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // Compact slowest-25 line (~700 bytes) emitted near the end of stdout:
+    // guaranteed inside any plausible tail window, so per-query regression
+    // forensics on the heavy queries never depends on the long line at all.
+    val top25 = byTime.takeRight(25).reverse
+      .map { case (k, v) => s"\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"top25_slowest","queries":$top25,"sf":"$sfDir"}""")
     // Also persist to a file: the driver captures only the tail of stdout,
     // which truncated the per-query map to ~68/108 entries in round 4 and
     // 86/108 in round 5 — the file copy keeps round-over-round per-query

@@ -15,12 +15,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // absolute PER-PROCESS warehouse path: q_join_bucketed writes managed
-      // bucketed tables, so the dir must neither depend on the invoking
-      // CWD nor be shared between concurrent invocations (two runs would
-      // delete/rewrite each other's table files mid-read)
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_verify_${ProcessHandle.current().pid()}")
+      // absolute per-PID warehouse, deleted by a shutdown hook (TempDirs)
+      .config("spark.sql.warehouse.dir", TempDirs.warehouse("verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

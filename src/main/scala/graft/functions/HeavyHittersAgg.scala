@@ -44,11 +44,18 @@ class HeavyHitters(k: Int, top: Int) extends Aggregator[String, MGBuf, String] {
     }
   }
 
-  /** Top `top` counters by (estimate desc, token asc), as "tok:est/…" —
-    * string form for the driver's comparator, like TopKKeys. */
+  /** Top `top` counters by (estimate desc, token asc), one string for the
+    * driver's comparator (like TopKKeys). Delimiters are the ASCII
+    * separator controls — unit separator 0x1F between token and estimate,
+    * record separator 0x1E between entries — because corpus tokens are
+    * whitespace-split with punctuation RETAINED, so printable candidates
+    * like ':' or '/' can occur inside a token and would make the encoding
+    * ambiguous (a "12:30" token parsed as token "12"). Control chars
+    * cannot survive the whitespace tokenizer's input (documents are
+    * printable text), so the parse is unambiguous by construction. */
   override def finish(b: MGBuf): String =
     b.items.toSeq.sortBy { case (t, c) => (-c, t) }.take(top)
-      .map { case (t, c) => s"$t:$c" }.mkString("/")
+      .map { case (t, c) => s"$t\u001F$c" }.mkString("\u001E")
 
   override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
   override def outputEncoder: Encoder[String] = Encoders.STRING

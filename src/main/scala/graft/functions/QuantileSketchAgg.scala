@@ -26,10 +26,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * unit layer asserts the ε rank bound + exactness below k instead
   * (QuantileSketchSpec).
   *
-  * Rank guarantee (KLL, uniform capacities): ε ≈ O(log(n/k)/k) rank
-  * error; k=128 over sf0.1's 6·10⁵-row groups keeps ε well under the
-  * 0.05 the spec asserts. When a group has fewer than k values nothing
-  * ever compacts and the returned quantiles are EXACT order statistics.
+  * Rank guarantee: with UNIFORM per-level capacity (as implemented) the
+  * worst-case bound is the MRL-style ε = O(log²(n/k)/k) — true KLL's
+  * O(log(n/k)/k)·polylog needs geometrically DECAYING lower-level
+  * capacities, which this sketch deliberately skips for simplicity.
+  * Either way k=128 over sf0.1's 6·10⁵-row groups keeps observed ε
+  * comfortably under the 0.05 QuantileSketchSpec asserts (log²(n/k)/k
+  * ≈ 0.12 worst-case there; the constant is ≪ 1 in practice). When a
+  * group has fewer than k values nothing ever compacts and the
+  * returned quantiles are EXACT order statistics.
   */
 case class KllBuf(levels: Seq[Seq[Double]])
 case class KllQuantiles(p50: Double, p90: Double, p99: Double)

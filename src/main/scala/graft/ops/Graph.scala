@@ -79,10 +79,17 @@ object Graph {
           .select(prop("vertex"), col("_jc").as("component"),
             (prop("_chg") || (col("_jc") < prop("component"))).as("_chg")))
       changed = jumped.where(col("_chg")).count()
+      // round n's labels are fully copied into `jumped`, so round n-1's
+      // pinned relations (prior labels + this round's propagate half) are
+      // dead — release their block-storage before the next round so the
+      // loop holds O(1) materialized relations, not O(rounds)
+      graft.tables.Layout.unpersistMaterialized(labels)
+      graft.tables.Layout.unpersistMaterialized(prop)
       labels = jumped.drop("_chg")
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds rounds")
+    graft.tables.Layout.unpersistMaterialized(adj)
     labels
   }
 }

@@ -576,9 +576,18 @@ class TemporalJoinProcessor(dimType: String, probeType: String)
   override def handleInputRows(key: Long, rows: Iterator[Event],
       timers: TimerValues): Iterator[TemporalMatch] = {
     rows.foreach { e =>
-      if (e.event_type == dimType)
+      if (e.event_type == dimType) {
         versions.appendValue((e.ts.getTime, e.event_id, e.value))
-      else if (e.event_type == probeType) {
+        // watermark-driven cleanup for DIM-ONLY keys: Flink's temporal
+        // join prunes state as the watermark advances whether or not
+        // probes arrive, but our GC lives in handleExpiredTimer — a key
+        // that only ever receives dimension versions would otherwise
+        // grow its ListState unboundedly (TTLConfig.NONE). A timer at
+        // the version's own event time fires once the watermark passes
+        // it; with no pending probes the handler just runs the prune,
+        // keeping dim-only keys at one version ≤ watermark + the tail.
+        getHandle.registerTimer(e.ts.getTime)
+      } else if (e.event_type == probeType) {
         pending.appendValue((e.ts.getTime, e.event_id))
         getHandle.registerTimer(e.ts.getTime)
       }

@@ -100,6 +100,21 @@ object Layout {
       case _ => df.localCheckpoint(true)
     }
 
+  /** Release the executor-storage blocks behind a [[materialize]]d frame
+    * once it is SUPERSEDED — i.e. no live frame depends on it and it will
+    * never be read again. A checkpointed frame's plan bottoms out in a
+    * `LogicalRDD` over the pinned RDD; unpersisting that RDD frees its
+    * blocks. Iterative callers (the CC loop) otherwise accumulate one
+    * pinned relation per materialize call for the life of the query —
+    * bounded here, but a 25-round adversarial graph at cluster scale
+    * holds ~75 stale relations in block storage. Unpersisting a
+    * local-checkpointed RDD destroys it (lineage is truncated), so this
+    * must only ever run on frames whose data is fully copied forward. */
+  def unpersistMaterialized(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Broadcast-Bloom probe prefilter — the general form of the
     * decontamination prefilter (see LlmText.decontaminateBloom): build a
     * Bloom sketch over `build`'s `keyCol` DISTRIBUTED (each partition

@@ -62,7 +62,7 @@ class HeavyHittersSpec extends SparkTestBase {
       val counts = exact(lang)
       val n = counts.values.sum
       val env = n / (k + 1L)
-      val top = r.getString(1).split("/").map(_.split(":")(0))
+      val top = r.getString(1).split('\u001E').map(_.split('\u001F')(0))
       assert(top.nonEmpty)
       // every emitted top token's TRUE count clears the envelope's floor:
       // MG can only surface tokens whose estimate (≤ true count) survived

@@ -19,8 +19,7 @@ object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_test_${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", TempDirs.warehouse("test"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
