@@ -29,19 +29,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * path allocates nothing. */
 case class HllBuf(regs: Array[Byte])
 
-class HllDistinct(p: Int) extends Aggregator[Long, HllBuf, Long] {
-  private val m = 1 << p
-
-  private def mix(z0: Long): Long = {
+/** The register algebra, shared by every HLL aggregator below (and by the
+  * rollup query's merge path, which consumes PERSISTED register arrays). */
+object Hll {
+  def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
 
-  override def zero: HllBuf = HllBuf(new Array[Byte](m))
-
-  override def reduce(b: HllBuf, x: Long): HllBuf = {
+  /** Absorb one value into the registers (copy-on-write; see reduce note
+    * in [[HllDistinct]]). */
+  def absorb(b: HllBuf, x: Long, p: Int): HllBuf = {
     val h = mix(x)
     val idx = (h >>> (64 - p)).toInt
     // rank = leading zeros of the remaining 64-p bits, +1 (capped by width)
@@ -51,20 +51,24 @@ class HllDistinct(p: Int) extends Aggregator[Long, HllBuf, Long] {
     else { val r = b.regs.clone(); r(idx) = rank.toByte; HllBuf(r) }
   }
 
-  override def merge(b1: HllBuf, b2: HllBuf): HllBuf = {
+  /** Register-wise max — associative, commutative, idempotent. */
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val m = a.length
     val r = new Array[Byte](m)
     var i = 0
-    while (i < m) { r(i) = if (b1.regs(i) >= b2.regs(i)) b1.regs(i) else b2.regs(i); i += 1 }
-    HllBuf(r)
+    while (i < m) { r(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1 }
+    r
   }
 
-  override def finish(b: HllBuf): Long = {
+  /** Harmonic-mean estimator + linear-counting small-range correction. */
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
     var invSum = 0.0
     var zeros = 0
     var i = 0
     while (i < m) {
-      invSum += 1.0 / (1L << (b.regs(i) & 0xff))
-      if (b.regs(i) == 0) zeros += 1
+      invSum += 1.0 / (1L << (regs(i) & 0xff))
+      if (regs(i) == 0) zeros += 1
       i += 1
     }
     val alpha = m match {
@@ -79,7 +83,49 @@ class HllDistinct(p: Int) extends Aggregator[Long, HllBuf, Long] {
       else e
     math.round(corrected)
   }
+}
 
+class HllDistinct(p: Int) extends Aggregator[Long, HllBuf, Long] {
+  private val m = 1 << p
+
+  override def zero: HllBuf = HllBuf(new Array[Byte](m))
+
+  override def reduce(b: HllBuf, x: Long): HllBuf = Hll.absorb(b, x, p)
+
+  override def merge(b1: HllBuf, b2: HllBuf): HllBuf =
+    HllBuf(Hll.union(b1.regs, b2.regs))
+
+  override def finish(b: HllBuf): Long = Hll.estimate(b.regs)
+
+  override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** [[HllDistinct]] that emits the raw REGISTER ARRAY instead of the
+  * estimate — the persistable form: a pipeline stores one 2^p-byte value
+  * per group/day/shard and later answers "distinct over ANY union of
+  * groups" by register-max merging the stored buffers, never re-touching
+  * the rows (see `q_distinct_sketch_rollup`). */
+class HllRegisters(p: Int) extends Aggregator[Long, HllBuf, Array[Byte]] {
+  override def zero: HllBuf = HllBuf(new Array[Byte](1 << p))
+  override def reduce(b: HllBuf, x: Long): HllBuf = Hll.absorb(b, x, p)
+  override def merge(b1: HllBuf, b2: HllBuf): HllBuf =
+    HllBuf(Hll.union(b1.regs, b2.regs))
+  override def finish(b: HllBuf): Array[Byte] = b.regs
+  override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Merge-side aggregator: folds PRE-BUILT register arrays (the output of
+  * [[HllRegisters]]) into one estimate. Input rows are sketch-sized, not
+  * data-sized — this is the rollup that never re-reads the corpus. */
+class HllMerge(p: Int) extends Aggregator[Array[Byte], HllBuf, Long] {
+  override def zero: HllBuf = HllBuf(new Array[Byte](1 << p))
+  override def reduce(b: HllBuf, regs: Array[Byte]): HllBuf =
+    HllBuf(Hll.union(b.regs, regs))
+  override def merge(b1: HllBuf, b2: HllBuf): HllBuf =
+    HllBuf(Hll.union(b1.regs, b2.regs))
+  override def finish(b: HllBuf): Long = Hll.estimate(b.regs)
   override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

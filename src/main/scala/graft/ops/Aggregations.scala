@@ -213,6 +213,45 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Sketch-merge rollup — the query-level PROOF of the HLL family's
+    * mergeability (the reason a first-class sketch exists next to
+    * `approx_count_distinct` at all): ONE corpus pass builds a 1 KB
+    * register array per event type ([[graft.functions.HllRegisters]]),
+    * and the global distinct-user estimate is produced by register-max
+    * MERGING those five buffers ([[graft.functions.HllMerge]]) — the
+    * corpus is never re-read for the total. At 100 TB this is the
+    * daily-ledger pattern: persist one buffer per (day, shard), answer
+    * any union (week, event-type family, whole corpus) sketch-side.
+    * The leaf frame is [[graft.tables.Layout.materialize]]d because two
+    * consumers (per-type rows, global merge) would otherwise each
+    * recompute the corpus aggregation.
+    *
+    * The `exact_uv` twin column (self-description + the spec's envelope
+    * anchor) necessarily re-touches the corpus — exact global distinct
+    * is NOT derivable from per-group exact counts (users overlap types);
+    * that one-pass rollup(grouping-sets) countDistinct is the cost the
+    * sketch path avoids. `oracle: no` (estimator formula is
+    * engine-specific); HllSketchSpec asserts the 3σ envelope per scope
+    * AND that the merged global estimate is bitwise equal to a direct
+    * single-sketch pass over all users (register merge loses nothing). */
+  def aggDistinctSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hllRegs  = udaf(new graft.functions.HllRegisters(10))
+    val hllMerge = udaf(new graft.functions.HllMerge(10))
+    val leaves = graft.tables.Layout.materialize(
+      events(s, dir).groupBy($"event_type").agg(hllRegs($"user_id").as("regs")))
+    val perType = leaves.groupBy($"event_type").agg(hllMerge($"regs").as("sketch_uv"))
+      .select($"event_type".as("scope"), $"sketch_uv")
+    val global = leaves.agg(hllMerge($"regs").as("sketch_uv"))
+      .select(lit("<all>").as("scope"), $"sketch_uv")
+    val exact = events(s, dir).rollup($"event_type")
+      .agg(countDistinct($"user_id").as("exact_uv"),
+        grouping($"event_type").as("_g"))
+      .select(when($"_g" === 1, lit("<all>")).otherwise($"event_type").as("scope"),
+        $"exact_uv")
+    perType.unionByName(global).join(exact, "scope").orderBy($"scope")
+  }
+
   /** Conditional (filtered) aggregation — several predicates folded in one
     * pass over the fact table (Flink SQL FILTER / Table API agg with CASE).
     * One scan + one hash-aggregate regardless of predicate count: the
@@ -292,7 +331,8 @@ object Aggregations {
     "q_agg_grouping_sets"   -> (aggGroupingSets _),
     "q_agg_having"          -> (aggHaving _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _),
-    "q_distinct_sketch"     -> (aggDistinctSketch _))
+    "q_distinct_sketch"     -> (aggDistinctSketch _),
+    "q_distinct_sketch_rollup" -> (aggDistinctSketchRollup _))
 
   def oracle: Map[String, String] = Map(
     "q_agg_histogram"      -> aggHistogramSql,

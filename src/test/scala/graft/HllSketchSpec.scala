@@ -32,6 +32,30 @@ class HllSketchSpec extends SparkTestBase {
         "register arrays diverged — merge/reduce is not order-insensitive")
   }
 
+  test("q_distinct_sketch_rollup: every scope (incl. <all>) inside the 3-sigma envelope; " +
+       "merged global == direct single-sketch pass") {
+    val rows = SparkEntry.queries("q_distinct_sketch_rollup")(spark, sf("sf0.001")).collect()
+    assert(rows.length >= 2, "expected per-type rows plus the <all> rollup row")
+    val scopes = rows.map(_.getString(0))
+    assert(scopes.contains("<all>"), "global rollup row missing")
+    for (r <- rows) {
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact) <= math.max(1L, (0.10 * exact).toLong),
+        s"${r.getString(0)}: estimate $est vs exact $exact outside 3-sigma envelope")
+    }
+    // merge losslessness: the <all> estimate produced by register-max
+    // merging the per-type buffers must equal a direct single-sketch fold
+    // over every user_id — registers are a pure function of the input SET,
+    // so the rollup path gives the same number, not merely a close one
+    import spark.implicits._
+    val allUsers = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .select($"user_id").as[Long].collect().toSeq
+    val direct = agg.finish(fold(allUsers))
+    val rolled = rows.find(_.getString(0) == "<all>").get.getLong(1)
+    assert(rolled === direct,
+      s"rollup-merged global $rolled != direct single-pass sketch $direct")
+  }
+
   test("merge is union: disjoint sketches combine to the union's sketch; idempotent") {
     val xs = (1L to 3000L).toSeq
     val ys = (3001L to 6000L).toSeq

@@ -329,6 +329,23 @@ class PlanSpec extends SparkTestBase {
       "no map-side partial HLL — raw rows would shuffle")
   }
 
+  test("q_distinct_sketch_rollup: leaf registers build map-side; merge side reads the " +
+       "materialized sketch frame, not the corpus") {
+    // the leaf pass materializes (localCheckpoint) before the final frame
+    // is planned, so its shape is asserted on an identically-built frame
+    import org.apache.spark.sql.functions.udaf
+    val hllRegs = udaf(new graft.functions.HllRegisters(10))
+    val leaf = graft.tables.Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"))
+      .agg(hllRegs(org.apache.spark.sql.functions.col("user_id")).as("regs"))
+    assert(planOf(leaf).contains("partial_hllregisters"),
+      "no map-side partial register build — raw rows would shuffle")
+    val p = planOf(SparkEntry.queries("q_distinct_sketch_rollup")(spark, dir))
+    assert(p.contains("hllmerge"), "global row is not produced by sketch merge")
+    assert(p.contains("ExistingRDD"),
+      "leaf sketch frame not materialized — both consumers would re-scan the corpus")
+  }
+
   test("q_dedup_incremental: delta probes the shared materialized index — equi-join, no base×base") {
     val p = planOf(SparkEntry.queries("q_dedup_incremental")(spark, dir))
     assert(p.contains("ExistingRDD"), "shingle table not materialized once for both sides")
