@@ -565,7 +565,88 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** QUANTIFIED MATCH_RECOGNIZE contract (r9): `signup click{1,3}` —
+    * the `{a,b}` quantifier surface (Patterns.scala's times(from, to)
+    * desugar to required + trailing-optional replicas) exercised by the
+    * DuckDB hash gate, not just the unit layer. Greedy: a match consumes
+    * the first one-to-three unconsumed clicks after its head inside the
+    * 24 h window, completing short only at the window edge.
+    *
+    * Oracle validity extends the monotone-picks argument to the shared
+    * stage TYPE: a match's click picks are CONSECUTIVE earliest-unconsumed
+    * clicks in (t, id) scan order, so after match k every click in
+    * (head_k, last_k] is consumed; head_{k+1} > head_k then forces
+    * c1_{k+1} > last_k — the CTE carries only (last head, last consumed
+    * click) and replays the engine exactly. c2/c3 need no consumed-check
+    * at all: they are > c1 > last_k by construction. Optional fills map
+    * to LEFT LATERAL picks; a head with no c1 matches nothing and
+    * consumes nothing (skipped by the inner join), same as the engine. */
+  def cepQuantified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern.matchRecognize("signup click{1,3} within 24h")(
+      "signup" -> ((e: Event) => e.event_type == "signup"),
+      "click"  -> ((e: Event) => e.event_type == "click"))
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepQuantifiedSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS l_t, CAST(-1 AS BIGINT) AS l_id,
+      |    CAST(NULL AS VARCHAR) AS ids
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1,
+      |    nxt.h_t, nxt.h_id, nxt.l_t, nxt.l_id, nxt.ids
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |      COALESCE(c3.t, c2.t, c1.t) AS l_t,
+      |      COALESCE(c3.id, c2.id, c1.id) AS l_id,
+      |      CAST(e1.event_id AS VARCHAR) || '/' || CAST(c1.id AS VARCHAR)
+      |        || COALESCE('/' || CAST(c2.id AS VARCHAR), '')
+      |        || COALESCE('/' || CAST(c3.id AS VARCHAR), '') AS ids
+      |    FROM ev e1
+      |    JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND (c.t > e1.t OR (c.t = e1.t AND c.event_id > e1.event_id))
+      |        AND (c.t > m.l_t OR (c.t = m.l_t AND c.event_id > m.l_id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t, c.event_id LIMIT 1) c1 ON TRUE
+      |    LEFT JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id > c1.id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t, c.event_id LIMIT 1) c2 ON TRUE
+      |    LEFT JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND c2.id IS NOT NULL
+      |        AND (c.t > c2.t OR (c.t = c2.t AND c.event_id > c2.id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t, c.event_id LIMIT 1) c3 ON TRUE
+      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, l_t AS last_ms, ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cep_quantified"    -> (cepQuantified _),
     "q_cep_guarded"       -> (cepGuarded _),
     "q_cep_match_recognize" -> (cepMatchRecognize _),
     "q_cumulate_window"   -> (cumulateWindow _),
@@ -582,6 +663,7 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_cep_quantified"   -> cepQuantifiedSql,
     "q_cep_guarded"      -> cepGuardedSql,
     "q_cep_match_recognize" -> cepGuardedSql,
     "q_cumulate_window"  -> cumulateWindowSql,

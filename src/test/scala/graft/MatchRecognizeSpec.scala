@@ -74,6 +74,34 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(got === Seq(Seq(1L, 2L, 3L, 4L), Seq(9L, 10L, 11L)))
   }
 
+  test("q_cep_quantified: string {1,3} spec == builder times(1,3) on real data; fills are 1..3") {
+    val parsed = Pattern.matchRecognize("signup click{1,3} within 24h")(
+      "signup" -> ((e: Event) => e.event_type == "signup"),
+      "click"  -> ((e: Event) => e.event_type == "click"))
+    val built = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .followedBy("click")((e: Event) => e.event_type == "click")
+      .times(1, 3)
+      .within(86400000L)
+    import spark.implicits._
+    val evs = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .where($"event_type".isin("signup", "click"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    def run(p: Pattern) = p.matchBatch(evs).collect()
+      .sortBy(m => (m.user_id, m.first_ms, m.event_ids.head)).toSeq
+    val got = run(parsed)
+    assert(got === run(built), "string-spec and builder quantifier matches diverged")
+    assert(got.nonEmpty)
+    for (m <- got) {
+      assert(m.event_ids.length >= 2 && m.event_ids.length <= 4,
+        s"match ${m.event_ids} outside head+{1,3} size bounds")
+      assert(m.last_ms - m.first_ms <= 86400000L, "match exceeded its window")
+    }
+    // greedy actually fills: on real data some match must use >1 click
+    assert(got.exists(_.event_ids.length > 2), "no match consumed an optional replica")
+  }
+
   test("duration units parse to milliseconds") {
     def hz(spec: String): Long =
       Pattern.matchRecognize(spec)(defs: _*).horizonMs.get
