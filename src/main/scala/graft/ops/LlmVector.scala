@@ -289,6 +289,36 @@ object LlmVector {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     ivfSearch(s, embeddings(s, dir), shardThreshold = 2048L)
 
+  /** Incremental IVF admission (r9) — the daily-ingest path of a STANDING
+    * 100 TB index, the vector twin of q_dedup_incremental: the newest ~10%
+    * of vec_ids (append-only arrival order) are a delta batch admitted
+    * WITHOUT retraining. The coarse quantizer trains on the base corpus
+    * only and is then FROZEN; delta vectors enter by the same row-local
+    * nearest-centroid assignment the base used (a map over the delta — at
+    * scale, work is delta-sized), and the bucket census re-runs over the
+    * combined index so hot invlists re-shard to the current sizes (drifted
+    * deltas concentrate — precisely when sub-sharding matters). No Lloyd
+    * pass ever touches the delta: retraining would re-assign the ENTIRE
+    * standing index (every centroid moves), a full-corpus rebuild this
+    * path exists to avoid.
+    *
+    * Rows-only contract like q_ann_ivf; MiniOpsSpec asserts recall@5 vs
+    * brute force under the frozen (stale) quantizer AND that a delta-only
+    * corpus served through the frozen codebook stays recall-bounded (the
+    * admission property itself). Serve plan is [[ivfServe]], shared with
+    * the plan-asserted q_ann_ivf. */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    // append-only ingest: the top decile of ids is "today's" delta batch.
+    // The max-id probe is one driver scalar (bounded-state contract).
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val cut = maxId - (maxId + 9L) / 10L
+    val base = e.where($"vec_id" <= cut)
+    val cents = kmeansCentroids(base, k = 16, iters = 2) // frozen pre-delta
+    ivfServe(s, e, cents, e.where($"vec_id" < 5), shardThreshold = 2048L)
+  }
+
   /** IVF search core, parameterized by the skew threshold (exposed for the
     * VectorDedupSpec shard tests). Hot-invlist handling: a k-row bucket
     * census goes to the driver (aggregate-step contract, like the
@@ -307,6 +337,17 @@ object LlmVector {
                                shardThreshold: Long): DataFrame = {
     import s.implicits._
     val cents = kmeansCentroids(e, k = 16, iters = 2)
+    ivfServe(s, e, cents, e.where($"vec_id" < 5), shardThreshold)
+  }
+
+  /** IVF serve path, split from training so a FROZEN codebook can index
+    * new corpora (the incremental-admission contract,
+    * [[annIvfIncremental]]): assignment, census, hot-bucket sub-sharding,
+    * and probe scoring — everything after Lloyd. */
+  private[graft] def ivfServe(s: SparkSession, e: DataFrame,
+                              cents: Seq[(Int, Seq[Float])], probeSrc: DataFrame,
+                              shardThreshold: Long, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
     // invlist assignment: row-local reference-held argmax — the corpus is
     // labeled in its scan stage, zero shuffles (see NearestCentroid)
     val assigned = e.select($"vec_id", $"embedding",
@@ -316,7 +357,7 @@ object LlmVector {
     // cosines of driver flops), and a driver-built bucket list keeps
     // centroid floats out of the plan (literals would defeat the codegen
     // cache — same argument as NearestCentroid)
-    val probeRows = e.where($"vec_id" < 5)
+    val probeRows = probeSrc
       .select($"vec_id", $"embedding".cast("array<float>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toSeq.sortBy(_._1)
     def cosD(x: Seq[Float], y: Seq[Float]): Double = {
@@ -344,7 +385,7 @@ object LlmVector {
     val buckets = probeRows.flatMap { case (pid, pe) =>
       cents.map { case (cid, cv) => (pid, pe, cid, cosD(pe, cv)) }
         .sortBy { case (_, _, cid, c) => (-c, cid) }
-        .take(4).flatMap { case (p, v, cid, _) =>
+        .take(nprobe).flatMap { case (p, v, cid, _) =>
           (0L until nsubMap(cid)).map(sub => (p, v, cid, sub)) }
     }
     val probeBuckets = s.createDataset(buckets)
@@ -649,6 +690,7 @@ object LlmVector {
     "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
     "q_dedup_embed_banded" -> (dedupEmbedBanded _),
     "q_ann_ivf"            -> (annIvf _),
+    "q_ann_ivf_incremental" -> (annIvfIncremental _),
     "q_ann_pq"             -> (annPq _),
     "q_sim_lsh_bucket"     -> (simLshBucket _),
     "q_mm_binary_meta"     -> (mmBinaryMeta _),

@@ -50,6 +50,56 @@ class MiniOpsSpec extends SparkTestBase {
     assert(self.subsetOf(approx))
   }
 
+  test("ann ivf incremental: frozen-quantizer recall@5 >= 0.8; all-list delta-only " +
+       "serve == brute force (admission completeness)") {
+    // sf0.01: 500 vectors, delta = top-decile ids (50) — big enough that
+    // the delta has structure and the frozen quantizer is genuinely stale
+    val d = sf("sf0.01")
+    val exact = LlmVector.simCosineTopk(spark, d).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = SparkEntry.queries("q_ann_ivf_incremental")(spark, d).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"incremental IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.8, s"stale-quantizer recall collapsed: $recall")
+
+    // the admission property itself: vectors the quantizer NEVER saw,
+    // served through the frozen codebook, are COMPLETELY retrievable —
+    // with every invlist probed, the delta-only served index must equal
+    // brute-force top-5 over the delta exactly (admission/census/reshard
+    // plumbing loses or duplicates nothing; at nprobe=4 a 50-vector
+    // corpus scattering over 16 lists makes partial recall structural,
+    // not a bug, so the bound there is the full-index assertion above)
+    val e = graft.tables.Tables.embeddings(spark, d)
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val cut = maxId - (maxId + 9L) / 10L
+    val base = e.where($"vec_id" <= cut)
+    val delta = e.where($"vec_id" > cut)
+    val cents = LlmVector.kmeansCentroids(base, k = 16, iters = 2)
+    val servedDelta = LlmVector.ivfServe(spark, delta, cents,
+        e.where($"vec_id" < 5), shardThreshold = 2048L, nprobe = 16).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val probes = e.where($"vec_id" < 5)
+      .select($"vec_id", $"embedding".cast("array<float>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val deltaVecs = delta.select($"vec_id", $"embedding".cast("array<float>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(deltaVecs.length >= 20, "delta too small for a meaningful bound")
+    def cosD(x: Seq[Float], y: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i); na += x(i).toDouble * x(i); nb += y(i).toDouble * y(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactDelta = probes.flatMap { case (pid, pv) =>
+      deltaVecs.map { case (vid, vv) => (pid, vid, cosD(pv, vv)) }
+        .sortBy { case (_, vid, c) => (-c, vid) }.take(5).map(t => (t._1, t._2))
+    }.toSet
+    val missed = exactDelta diff servedDelta
+    assert(missed.isEmpty,
+      s"all-list probe of the admitted delta missed true neighbors: $missed")
+  }
+
   test("ann ivf skew shards: forced sub-sharding returns row-identical results") {
     val e = graft.tables.Tables.embeddings(spark, dir)
     def run(t: Long): Seq[(Long, Int, Long, Double)] =
