@@ -236,6 +236,69 @@ class HotItemsProcessor(topN: Int, windowSizeMs: Long)
   }
 }
 
+/** Update-mode hot-items — the emit-on-update half of the Flink hot-items
+  * flagship that the append-mode [[HotItemsProcessor]] (emit once at
+  * window close) doesn't exercise: every micro-batch that changes a
+  * window's counts emits a fresh, fully-ranked top-N SNAPSHOT for that
+  * window under a bumped revision number, so a late-but-in-watermark
+  * event visibly REVISES the standings (Flink: early-firing trigger /
+  * retract-stream of the windowed TopN). Downstream reads the newest
+  * revision per window as current truth; revision `is_final = true` is
+  * emitted by the window-close timer, after which the watermark filter
+  * guarantees no further input for the key — the final snapshot is the
+  * sealed verdict and equals the batch q_hot_items frame (asserted on
+  * scrambled replayed real events in StreamingSpec).
+  *
+  * Emitting the whole ≤ topN snapshot per revision (not a diff) keeps the
+  * contract idempotent-read: consumers never reconstruct state from
+  * deltas, and a skipped intermediate revision is harmless. State is the
+  * same O(distinct items) MapState as append mode plus two scalars. */
+case class HotItemRev(window_start_ms: Long, rev: Long, rank: Long,
+    item: String, n: Long, is_final: Boolean)
+
+class HotItemsUpdateProcessor(topN: Int, windowSizeMs: Long)
+    extends StatefulProcessor[Long, Event, HotItemRev] {
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var rev: ValueState[Long] = _
+  @transient private var armed: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    rev = getHandle.getValueState[Long]("rev", Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Boolean]("armed",
+      Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  private def snapshot(key: Long, r: Long, fin: Boolean): Seq[HotItemRev] =
+    counts.iterator().toSeq
+      .sortBy { case (item, n) => (-n, item) }
+      .take(topN).zipWithIndex
+      .map { case ((item, n), i) => HotItemRev(key, r, i + 1L, item, n, fin) }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[HotItemRev] = {
+    rows.foreach { e =>
+      val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, prev + 1L)
+    }
+    if (!armed.exists()) {
+      getHandle.registerTimer(key + windowSizeMs)
+      armed.update(true)
+    }
+    val r = (if (rev.exists()) rev.get() else 0L) + 1L
+    rev.update(r)
+    snapshot(key, r, fin = false).iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[HotItemRev] = {
+    val fin = snapshot(key, (if (rev.exists()) rev.get() else 0L) + 1L, fin = true)
+    counts.clear(); rev.clear(); armed.clear()
+    fin.iterator
+  }
+}
+
 /** Order-timeout CEP (created but not paid within the horizon): store the
   * pending order, arm an event-time timer; payment cancels it; the timer
   * firing means the watermark passed created+horizon with no payment. */

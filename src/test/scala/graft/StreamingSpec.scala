@@ -345,6 +345,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_hot_items_update: revisions track late-but-in-watermark events; " +
+       "final frame == batch q_hot_items") {
+    import org.apache.spark.sql.streaming.{TimeMode, OutputMode}
+    val dir = sf("sf0.001")
+    val winMs = 3600000L
+    val batch = graft.ops.TimeWindows.hotItems(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val rows = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    // scrambled replay: modulo-interleave delivers each window's events
+    // across several micro-batches, out of time order — the revision path
+    val parts = rows.groupBy(_.event_id % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val maxTs = rows.map(_.ts.getTime).max
+    // watermark delay > full replay span: nothing is ever late-DROPPED, so
+    // every scrambled arrival is the late-but-in-watermark revision case
+    val delayMs = maxTs + winMs
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().withWatermark("ts", s"$delayMs milliseconds")
+      .as[Event]
+      .groupByKey(e => e.ts.getTime - (e.ts.getTime % winMs))
+      .transformWithState(new HotItemsUpdateProcessor(topN = 3, windowSizeMs = winMs),
+        TimeMode.EventTime(), OutputMode.Update())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      parts.foreach { p => in.addData(p); q.processAllAvailable() }
+      // sentinel advances the watermark past every real window end → all
+      // window-close timers fire and emit their is_final snapshots
+      in.addData(ev(999999L, ((2L * delayMs) / 60000L).toInt, typ = "view"))
+      q.processAllAvailable()
+      in.addData(ev(999998L, ((2L * delayMs) / 60000L + 1).toInt, typ = "view"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      def finals() = spark.table(sink).where($"is_final").collect()
+      while (finals().isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      val fin = finals().map(r => (r.getLong(0) / 1000L, r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+      assert(fin === batch, "sealed update-mode top-N diverged from batch q_hot_items")
+      // the revision path actually ran: some window was re-ranked across
+      // batches (scrambled replay guarantees multi-batch windows exist)
+      val revs = spark.table(sink).where(!$"is_final")
+        .groupBy($"window_start_ms").agg(max($"rev").as("mx")).collect()
+      assert(revs.exists(_.getLong(1) >= 2L),
+        "no window saw a second revision — replay never exercised emit-on-update")
+    } finally q.stop()
+  }
+
   test("s_checkpoint_recovery: stateful counts survive stop/restart exactly-once") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     val in = MemoryStream[Event]
