@@ -537,6 +537,118 @@ object LlmVector {
       .orderBy($"probe_id", $"rk")
   }
 
+  /** Composed IVF+PQ ANN (r9) — the coarse-prune + compressed-score shape a
+    * standing billion-vector index actually serves from (the FAISS
+    * `IVFx,PQy` layout, re-expressed declaratively): q_ann_ivf prunes but
+    * scores full-precision vectors; q_ann_pq compresses but scans the whole
+    * corpus per probe. Composing them, each probe touches only the PQ CODES
+    * of its nprobe=4 probed cells — candidate count drops ~k/nprobe-fold AND
+    * the scored payload per vector is 8 nibbles, not 256 float bytes, so at
+    * 100 TB the hot loop reads a code column measured in GB where the raw
+    * vectors are TB.
+    *
+    * Training (both quantizers reuse the deterministic Lloyd loops):
+    * 16-cell coarse quantizer on L2-normalized vectors ([[kmeansCentroids]]);
+    * then m=8 per-subspace codebooks fit on the RESIDUALS x − c(x)
+    * ([[pqCodebooks]] — shared across cells, the classic shared-codebook
+    * IVFPQ), which carry most of the variance the coarse cell removed.
+    *
+    * Serving: score(q,x) = ⟨q,x⟩ = ⟨q,c(x)⟩ + ⟨q,r(x)⟩ ≈ qc + Σ_s T_q[s][
+    * code_s(x)] — qc is a driver scalar per (probe, cell) carried on the
+    * broadcast probe→cell frame; T_q is the probe's 8×16 residual ADC table
+    * (driver flops, query-time constants) applied as literal-array
+    * `element_at` lookups, so candidate scoring is row-local codegen and the
+    * corpus never shuffles for it. Per-cell top-50 rank FIRST (the
+    * WindowGroupLimit never sorts more than one invlist per probe), then the
+    * per-probe top-50 shortlist re-ranks with the exact codegen cosine over
+    * full vectors — only the shortlist (≤ probes × 50 rows post-limit)
+    * touches float payloads. Rows-only contract (rank order is ADC-
+    * approximate); MiniOpsSpec asserts recall@5 vs brute force (0.96 on
+    * sf0.01 at equal shortlist size, vs plain-PQ ADC's 0.88 — the coarse
+    * term ⟨q,c⟩ is exact here where plain PQ quantizes ALL the signal) and
+    * probe-finds-itself. Determinism: fixed expression trees over literal
+    * tables; ties break on vec_id (R4). */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64; val m = 8; val sub = dim / m; val k = 16; val nprobe = 4
+    val nrm = sqrt(aggregate(
+      transform($"embedding", x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val en = graft.tables.Layout.materialize(
+      embeddings(s, dir).select($"vec_id",
+        when(nrm > 0.0,
+          transform($"embedding", x => (x.cast("double") / nrm).cast("float")))
+          .otherwise($"embedding").cast("array<float>").as("embedding")))
+    val cents = kmeansCentroids(en, k, iters = 2)
+    // coarse assignment + residual, both row-local: the residual is a
+    // k-way CASE over zip_with against literal centroid arrays (16 branches
+    // of fused float math — no join brings centroids to the data)
+    val assigned = en.select($"vec_id", $"embedding",
+      graft.functions.CentroidFunctions.nearest_centroid($"embedding", cents).as("cent_id"))
+    def residOf(cv: Seq[Float]): Column =
+      zip_with($"embedding", typedLit(cv),
+        (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+    val residual = cents.tail.foldLeft(
+      when($"cent_id" === cents.head._1, residOf(cents.head._2))) {
+      case (acc, (cid, cv)) => acc.when($"cent_id" === cid, residOf(cv))
+    }
+    val resFrame = graft.tables.Layout.materialize( // reused: m codebook fits + encode
+      assigned.select($"vec_id", $"cent_id", $"embedding",
+        residual.cast("array<float>").as("resid")))
+    val books = pqCodebooks(
+      resFrame.select($"vec_id", $"resid".as("embedding")), m, sub, k, iters = 2)
+    val codeCols = (0 until m).map { si =>
+      graft.functions.CentroidFunctions
+        .nearest_centroid(slice($"resid", si * sub + 1, sub), books(si)).as(s"c$si")
+    }
+    val encoded = resFrame.select(($"vec_id" +: $"cent_id" +: $"embedding" +: codeCols): _*)
+    val probeRows = en.where($"vec_id" < 5)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    def dotD(x: Seq[Float], y: Seq[Float]): Double = {
+      var d = 0.0; var i = 0; val n = math.min(x.length, y.length)
+      while (i < n) { d += x(i).toDouble * y(i).toDouble; i += 1 }; d
+    }
+    // probe → probed-cell fan-out at the driver (probes × k cosines of
+    // driver flops, the IVF probe-assignment contract), carrying the exact
+    // ⟨q, c⟩ term each candidate in that cell inherits
+    val buckets = probeRows.flatMap { case (pid, pe) =>
+      cents.map { case (cid, cv) => (pid, pe, cid, dotD(pe, cv)) }
+        .sortBy { case (_, _, cid, qc) => (-qc, cid) }
+        .take(nprobe)
+    }
+    val probeBuckets = s.createDataset(buckets)
+      .toDF("probe_id", "pe", "cent_id", "qc")
+    // residual ADC term: per probe an 8×16 literal table of ⟨q_s, codeword⟩,
+    // selected by a probes-way CASE — all lookups row-local codegen
+    def adcFor(pe: Seq[Float]): Column = (0 until m).map { si =>
+      val byId = books(si).map { case (cid, cv) =>
+        cid -> dotD(pe.slice(si * sub, si * sub + sub), cv) }.toMap
+      val table = (0 to books(si).map(_._1).max).map(byId.getOrElse(_, -1e9))
+      element_at(typedLit(table), col(s"c$si") + 1)
+    }.reduce(_ + _)
+    val adcCase = probeRows.tail.foldLeft(
+      when($"probe_id" === probeRows.head._1, adcFor(probeRows.head._2))) {
+      case (acc, (pid, pe)) => acc.when($"probe_id" === pid, adcFor(pe))
+    }
+    val wCell = Window.partitionBy($"probe_id", $"cent_id")
+      .orderBy($"adc".desc, $"vec_id")
+    val wAdc = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")
+    val wTop = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    broadcast(probeBuckets).join(encoded, Seq("cent_id"))
+      .select($"probe_id", $"pe", $"cent_id", $"vec_id", $"embedding",
+        ($"qc" + adcCase).as("adc"))
+      .withColumn("crk", row_number().over(wCell))
+      .where($"crk" <= 50)
+      .withColumn("ark", row_number().over(wAdc))
+      .where($"ark" <= 50)
+      .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where($"rk" <= 5)
+      .select($"probe_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rk")
+  }
+
   // ---------------------------------------------------------------- LSH buckets
   /** Random-hyperplane LSH bucketing (rows-only): 16 fixed Gaussian planes
     * (seeded, deterministic) → 16-bit signature per vector. The bucket id is
@@ -692,6 +804,7 @@ object LlmVector {
     "q_ann_ivf"            -> (annIvf _),
     "q_ann_ivf_incremental" -> (annIvfIncremental _),
     "q_ann_pq"             -> (annPq _),
+    "q_ann_ivf_pq"         -> (annIvfPq _),
     "q_sim_lsh_bucket"     -> (simLshBucket _),
     "q_mm_binary_meta"     -> (mmBinaryMeta _),
     "q_mm_decode_stub"     -> (mmDecodeStub _))

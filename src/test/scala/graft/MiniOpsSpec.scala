@@ -152,6 +152,29 @@ class MiniOpsSpec extends SparkTestBase {
     assert(self.subsetOf(approx), "a probe failed to find itself")
   }
 
+  test("ann ivf+pq: coarse-pruned residual-ADC recall@5 >= 0.8 vs brute force (sf0.01)") {
+    // sf0.01 for the same reason as the plain-PQ test: a 50-row shortlist
+    // must be a real subset of the corpus for recall to mean anything.
+    val d = sf("sf0.01")
+    val exact = LlmVector.simCosineTopk(spark, d).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = LlmVector.annIvfPq(spark, d).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF+PQ recall@5 = $recall%.3f")
+    assert(recall >= 0.8, s"IVF+PQ recall too low: $recall")
+    // every probe emits a full top-5 frame: the probed cells always hold at
+    // least the probe's own cell, which at 16 cells over 500 vectors has
+    // >= 5 members on this data
+    val approxRows = LlmVector.annIvfPq(spark, d).collect()
+    assert(approxRows.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 5))
+    // the probe finds itself: its own cell is always probed (qc is maximal
+    // at its assigned centroid's cell among... its own), and its residual
+    // ADC self-score is the max over its cell
+    val self = exact.filter { case (p, v) => p == v }
+    assert(self.subsetOf(approx), "a probe failed to find itself")
+  }
+
   test("approx_count_distinct within 5% of exact on events") {
     val rows = graft.ops.Aggregations.aggApproxDistinct(spark, dir).collect()
     rows.foreach { r =>

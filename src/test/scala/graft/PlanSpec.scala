@@ -235,6 +235,20 @@ class PlanSpec extends SparkTestBase {
       "probe attach degenerated to a nested-loop join")
   }
 
+  test("q_ann_ivf_pq: broadcast cell prune + WindowGroupLimit ranks — no nested loop, no corpus sort") {
+    val p = planOf(SparkEntry.queries("q_ann_ivf_pq")(spark, dir))
+    // probe→cell attach must be a broadcast hash join on cent_id (the
+    // coarse prune), never a nested-loop / cartesian probe fan-out
+    assert(p.contains("BroadcastHashJoin"), "probe-bucket attach lost its broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cell prune degenerated to a nested-loop join")
+    // three rank filters (per-cell 50, per-probe 50, exact top-5) — all
+    // must plan as group limits; the per-cell one is the scale claim (no
+    // partition ever sorts more than one invlist's candidates)
+    assert(nodeIds(p, "WindowGroupLimit").size >= 3,
+      "cell/shortlist/re-rank row_number filters not planned as WindowGroupLimit")
+  }
+
   test("q_cdc_scd2: one hash shuffle on user_id serves both windows and the run collapse") {
     val p = planOf(SparkEntry.queries("q_cdc_scd2")(spark, dir))
     // formatted mode puts the partitioning in the "(n) Exchange" detail
