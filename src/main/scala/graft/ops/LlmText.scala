@@ -1011,6 +1011,68 @@ object LlmText {
       |FROM t JOIN tf USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- perplexity
+  /** Unigram-LM perplexity scoring (r9) — the CCNet-style fluency gate the
+    * within-doc ([[qualityRepetition]]) and corpus-frequency
+    * ([[qualityRareMass]]) signals don't give: a doc's cross-entropy under
+    * a language model trained on the corpus itself. Real pipelines score
+    * against a KenLM n-gram model; the self-trained unigram model is the
+    * same two-pass shape with the model fit inlined — pass 1 aggregates
+    * token frequencies (ONE hash agg, map-side partials), pass 2 re-joins
+    * tokens to the vocab-sized model table (shuffle on the token; the
+    * natural AQE broadcast candidate at real scale, exactly like
+    * qualityRareMass's tf join) and reduces per doc.
+    *
+    * Determinism (R2/R4): the per-type log-probability is quantized ONCE on
+    * the vocab-sized model frame — floor(ln(cf/N)·1e6) as int64 — so the
+    * per-doc reduction is an exact integer sum, identical in any shuffle
+    * order and on both engines; ln/exp run on bit-identical double operands
+    * (cf and N are exact ints, the division is one IEEE op), so the only
+    * cross-engine risk is a libm 1-ulp straddling a 1e-6 floor boundary —
+    * vanishing, and hash-verified at all three SFs. N (total token mass)
+    * comes from a window over the ALREADY-AGGREGATED vocab frame, so the
+    * single-reducer global sum only ever sees |vocab| rows (the corpusMix
+    * argument). xent_nats is the filterable signal; ppl = e^xent is the
+    * conventional report. */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .where(length($"w") > 0)
+    val wAll = Window.partitionBy()
+    val model = t.groupBy($"w").agg(count(lit(1)).as("cf"))
+      .withColumn("lpq",
+        floor(log($"cf".cast("double") / sum($"cf").over(wAll).cast("double"))
+          * 1000000.0).cast(LongType))
+      .select($"w", $"lpq")
+    val h = (lit(0L) - $"sum_lpq").cast("double") / lit(1000000.0) /
+      $"n_tokens".cast("double")
+    t.join(model, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"lpq").as("sum_lpq"))
+      .select($"doc_id", $"n_tokens", $"sum_lpq",
+        round(h, 4).as("xent_nats"),
+        round(exp(h), 2).as("ppl"))
+      .orderBy($"doc_id")
+  }
+
+  val textPerplexitySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |t AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+      |tf AS (SELECT w, COUNT(*) AS cf FROM t GROUP BY w),
+      |model AS (
+      |  SELECT w, CAST(FLOOR(ln(CAST(cf AS DOUBLE) / CAST(SUM(cf) OVER () AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS lpq
+      |  FROM tf),
+      |d AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lpq) AS BIGINT) AS sum_lpq
+      |  FROM t JOIN model USING (w) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, sum_lpq,
+      |  ROUND((0 - CAST(sum_lpq AS DOUBLE)) / 1000000.0 / CAST(n_tokens AS DOUBLE), 4) AS xent_nats,
+      |  ROUND(EXP((0 - CAST(sum_lpq AS DOUBLE)) / 1000000.0 / CAST(n_tokens AS DOUBLE)), 2) AS ppl
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- corpus mix
   /** Training-mixture report: per (lang, source) document/char/token mass
     * and each cell's share of total corpus chars — the table a data-mixing
@@ -1045,6 +1107,7 @@ object LlmText {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_repetition"  -> (qualityRepetition _),
     "q_quality_rare_mass"   -> (qualityRareMass _),
+    "q_text_perplexity"     -> (textPerplexity _),
     "q_corpus_mix"          -> (corpusMix _),
     "q_text_tfidf"          -> (textTfidf _),
     "q_text_normalize"      -> (textNormalize _),
@@ -1071,6 +1134,7 @@ object LlmText {
 
   def oracle: Map[String, String] = Map(
     "q_quality_repetition"  -> qualityRepetitionSql,
+    "q_text_perplexity"     -> textPerplexitySql,
     "q_quality_rare_mass"   -> qualityRareMassSql,
     "q_corpus_mix"          -> corpusMixSql,
     "q_text_tfidf"          -> textTfidfSql,

@@ -249,6 +249,28 @@ class PlanSpec extends SparkTestBase {
       "cell/shortlist/re-rank row_number filters not planned as WindowGroupLimit")
   }
 
+  test("q_text_perplexity: model fit aggregates map-side; the global-N window reads only the vocab frame") {
+    val p = planOf(SparkEntry.queries("q_text_perplexity")(spark, dir))
+    // token frequencies must partial-aggregate before their shuffle — the
+    // corpus-sized explode never crosses the wire raw for the model fit
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "token-frequency agg lost its map-side partial")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "token->model join degenerated to a nested loop")
+    // the single-reducer Exchange for global N must read the ALREADY-
+    // AGGREGATED vocab frame, never raw exploded tokens: in formatted mode
+    // the partitioning lives in the detail block ("Arguments:
+    // SinglePartition"), and node ids number bottom-up, so the exchange's
+    // direct child (id−1) must be the vocab HashAggregate
+    val blocks = p.split("""\n\n""")
+    val spx = blocks.find(b =>
+      b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("SinglePartition"))
+    assert(spx.isDefined, "global-N window lost (plan shape changed?)")
+    val id = """\((\d+)\)""".r.findFirstMatchIn(spx.get).get.group(1).toInt
+    assert(blocks.exists(_.startsWith(s"(${id - 1}) HashAggregate")),
+      "SinglePartition exchange feeds raw rows, not the aggregated vocab frame")
+  }
+
   test("q_cdc_scd2: one hash shuffle on user_id serves both windows and the run collapse") {
     val p = planOf(SparkEntry.queries("q_cdc_scd2")(spark, dir))
     // formatted mode puts the partitioning in the "(n) Exchange" detail
