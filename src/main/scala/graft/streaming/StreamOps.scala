@@ -203,6 +203,27 @@ object StreamOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Streaming HLL distinct sketch (r9) — the unbounded-stream twin of
+    * q_distinct_sketch: per event type, a live distinct-user estimate
+    * maintained in O(2^p) bytes of state per key, where the exact
+    * streaming `approx_count_distinct` alternative is engine-internal and
+    * an exact distinct would hold the whole key SET in state forever (the
+    * curationStream trade-off, but avoidable here because the ledger only
+    * needs an estimate). The aggregation state IS the register buffer —
+    * update-mode emits a revised estimate per trigger, and because
+    * register-max is monotone the revisions only ever grow. The estimate
+    * is a pure function of the input set (merge is idempotent), so the
+    * final frame equals the batch twin on the same data BITWISE — asserted
+    * in StreamingSpec, the same fold-onto-batch contract as
+    * s_cumulate_window. At scale: state per (event_type) key is 1 KB at
+    * p=10 regardless of cardinality; keys hash-partition across the
+    * cluster like any streaming groupBy. */
+  def distinctSketch(events: DataFrame, p: Int = 10): DataFrame = {
+    val hll = udaf(new graft.functions.HllDistinct(p))
+    events.groupBy(col("event_type"))
+      .agg(hll(col("user_id")).as("sketch_uv"))
+  }
+
   /** Idempotent foreachBatch sink — the exactly-once pattern for
     * NON-transactional targets (Flink's TwoPhaseCommitSinkFunction
     * territory, via idempotence instead of transactions). Structured

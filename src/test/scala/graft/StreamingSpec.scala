@@ -60,6 +60,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_distinct_sketch: update-mode HLL estimates only grow; final frame is bitwise the batch sketch") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.distinctSketch(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    // two triggers with overlapping users: the second batch re-sends users
+    // 1-10 (idempotent absorb) and adds 11-30
+    val b1 = (1L to 10L).map(u => ev(u, u.toInt, user = u, typ = "view"))
+    val b2 = (1L to 30L).map(u => ev(100 + u, 60 + u.toInt, user = u, typ = "view"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val emitted = spark.table(sink).as[(String, Long)].collect().toSeq
+      val ests = emitted.filter(_._1 == "view").map(_._2)
+      assert(ests.size == 2, s"expected one revision per trigger, got $emitted")
+      // register-max monotonicity: revisions never shrink
+      assert(ests.sorted == ests, s"estimate regressed across triggers: $ests")
+      // pure-function-of-set: the final streaming estimate equals a batch
+      // pass over the union of both batches, bitwise
+      val batch = StreamOps.distinctSketch(spark.createDataset(b1 ++ b2).toDF())
+        .as[(String, Long)].collect().toMap
+      assert(ests.last == batch("view"),
+        s"streaming final ${ests.last} != batch sketch ${batch("view")}")
+      // and the estimate is inside the 3-sigma envelope of the exact 30
+      assert(math.abs(ests.last - 30.0) / 30.0 <= 0.10, s"estimate off: ${ests.last}")
+    } finally q.stop()
+  }
+
   test("s_cumulate_window: update-mode day-so-far steps; final frame folds to the batch CUMULATE") {
     val in = MemoryStream[Event]
     val sink = nextSink()
