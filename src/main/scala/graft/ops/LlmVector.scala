@@ -216,6 +216,46 @@ object LlmVector {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** Embedding near-dup CLUSTERS (r9) — the pairs→clusters→canonical step
+    * for the vector modality, completing the same path the text side has
+    * (q_dedup_cluster): [[dedupEmbedBanded]]'s verified pairs feed the
+    * shared [[Graph.connectedComponents]] O(log d) hash-min/pointer-jump
+    * loop, and each cluster elects a MEDOID canonical — the member with
+    * the highest summed similarity to its cluster peers (keep the most
+    * representative copy, the policy an embedding dedup actually wants;
+    * text dedup's longest-text rule has no analog here).
+    *
+    * Determinism (R4): medoid centrality sums ROUNDED cosines scaled to
+    * exact int64 (cos is already round(,4), so ·1e4 is integer-valued) —
+    * the per-vector reduction is order-independent integer addition, and
+    * ties break on vec_id. Rows-only contract (LSH banding is not
+    * SQL-expressible); VectorDedupSpec asserts the structural properties:
+    * banded clusters REFINE the exact-threshold clusters (precision-1
+    * pairs can merge nothing the exact graph separates), the medoid is a
+    * member maximizing the quantized centrality, and the run is
+    * deterministic. Scale: everything after the banded join is
+    * cluster-local aggregation + the CC loop's bounded rounds. */
+  def dedupEmbedCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pw = dedupEmbedBanded(s, dir) // (vec_a, vec_b, cos) — verified pairs
+    val labels = Graph.connectedComponents(pw.select($"vec_a", $"vec_b"))
+      .select($"vertex".as("vec_id"), $"component".as("cluster_id"))
+    val centr = pw.select($"vec_a".as("vec_id"), $"cos")
+      .unionByName(pw.select($"vec_b".as("vec_id"), $"cos"))
+      .groupBy($"vec_id")
+      .agg(sum(round($"cos" * 10000.0, 0).cast(LongType)).as("centq"))
+    val w = Window.partitionBy($"cluster_id").orderBy($"centq".desc, $"vec_id")
+    val medoid = labels.join(centr, Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"cluster_id", $"vec_id".as("canonical_vec"))
+    labels.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        array_join(array_sort(collect_list($"vec_id")), "/").as("members"))
+      .join(medoid, Seq("cluster_id"))
+      .orderBy($"cluster_id")
+  }
+
   // ---------------------------------------------------------------- IVF ANN
   /** Deterministic Lloyd-iteration k-means coarse quantizer for the IVF
     * index. Init = the k lowest-vec_id vectors; each iteration assigns all
@@ -801,6 +841,7 @@ object LlmVector {
     "q_multimodal_join"    -> (multimodalJoin _),
     "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
     "q_dedup_embed_banded" -> (dedupEmbedBanded _),
+    "q_dedup_embed_cluster" -> (dedupEmbedCluster _),
     "q_ann_ivf"            -> (annIvf _),
     "q_ann_ivf_incremental" -> (annIvfIncremental _),
     "q_ann_pq"             -> (annPq _),

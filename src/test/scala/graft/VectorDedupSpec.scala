@@ -68,6 +68,43 @@ class VectorDedupSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q_dedup_embed_cluster: banded clusters refine the exact clusters; medoid is the max-centrality member; deterministic") {
+    val dir = sf("sf0.01")
+    val out = LlmVector.dedupEmbedCluster(spark, dir).collect()
+    assume(out.nonEmpty)
+    // 1. refinement: banded pairs ⊆ exact pairs (precision 1), so no banded
+    //    cluster may contain two vecs the exact-threshold graph separates
+    val exactEdges = LlmVector.dedupEmbedCosine(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    exactEdges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    out.foreach { r =>
+      val members = r.getAs[String]("members").split("/").map(_.toLong)
+      val roots = members.map(find).distinct
+      assert(roots.length == 1,
+        s"banded cluster ${r.getAs[Long]("cluster_id")} merges exact components: ${members.mkString(",")}")
+      assert(members.contains(r.getAs[Long]("canonical_vec")), "medoid not a member")
+      assert(r.getAs[Long]("n_vecs") == members.length)
+    }
+    // 2. medoid = argmax of quantized centrality (tie → min vec_id),
+    //    recomputed scala-side from the banded pair list
+    val pw = LlmVector.dedupEmbedBanded(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        math.round(r.getAs[Double]("cos") * 10000.0)))
+    val cent = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    pw.foreach { case (a, b, q) => cent(a) += q; cent(b) += q }
+    out.foreach { r =>
+      val members = r.getAs[String]("members").split("/").map(_.toLong)
+      val best = members.minBy(v => (-cent(v), v))
+      assert(r.getAs[Long]("canonical_vec") == best,
+        s"cluster ${r.getAs[Long]("cluster_id")}: medoid ${r.getAs[Long]("canonical_vec")} != expected $best")
+    }
+    // 3. deterministic: a second full run is row-identical
+    val again = LlmVector.dedupEmbedCluster(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq, "run-to-run drift")
+  }
+
   test("Graph.connectedComponents: chain + seeded random graphs vs union-find (multi-round convergence)") {
     import spark.implicits._
     // a 10-vertex chain needs ~9 propagate-only rounds; the 100-vertex path
