@@ -224,6 +224,36 @@ object StreamOps {
       .agg(hll(col("user_id")).as("sketch_uv"))
   }
 
+  /** Streaming KLL-style quantile sketch (r9) — live per-key p50/p90/p99
+    * over an unbounded value stream in O(k·log(n/k)) state per key, where
+    * exact streaming percentiles would buffer every value. Same
+    * update-mode revision contract as [[distinctSketch]]; unlike HLL the
+    * compactor merge is not idempotent, so the streaming estimate agrees
+    * with the batch twin only within the rank-error envelope (asserted in
+    * StreamingSpec), not bitwise — the documented KLL/MG family
+    * trade-off. */
+  def quantileSketch(events: DataFrame, k: Int = 128): DataFrame = {
+    val sk = udaf(new graft.functions.QuantileSketch(k))
+    events.groupBy(col("event_type"))
+      .agg(sk(col("value")).as("q"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("q.p50").as("p50"),
+        col("q.p90").as("p90"), col("q.p99").as("p99"), col("n"))
+  }
+
+  /** Streaming Misra-Gries heavy hitters (r9) — live per-key frequent
+    * items (here: the dominant user ids per event type) in O(k) counters
+    * per key. The n/(k+1) underestimate bound holds over the stream
+    * because reduce/merge are the same summary algebra the batch query
+    * uses — a true heavy hitter (share > n/(k+1)) can never be evicted
+    * from state, so it is present in every revision from its first
+    * qualifying trigger on (asserted in StreamingSpec). */
+  def heavyHitters(events: DataFrame, k: Int = 32, top: Int = 5): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHitters(k, top))
+    events.groupBy(col("event_type"))
+      .agg(hh(col("user_id").cast("string")).as("top_users"),
+        count(lit(1)).as("n"))
+  }
+
   /** Idempotent foreachBatch sink — the exactly-once pattern for
     * NON-transactional targets (Flink's TwoPhaseCommitSinkFunction
     * territory, via idempotence instead of transactions). Structured

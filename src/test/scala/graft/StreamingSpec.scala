@@ -90,6 +90,62 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_quantile_sketch: streaming p50/p90/p99 inside the rank-error envelope of the fed values") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.quantileSketch(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    // 400 distinct values across two triggers, shuffled deterministically
+    val vals = new scala.util.Random(11).shuffle((1 to 400).toVector)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      ev(i.toLong, i, user = i.toLong, v = v.toDouble) }
+    try {
+      in.addData(evs.take(200): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(200): _*)
+      q.processAllAvailable()
+      val fin = spark.table(sink).as[(String, Double, Double, Double, Long)]
+        .collect().filter(_._1 == "view").maxBy(_._5)
+      assert(fin._5 == 400L, s"final revision should cover all rows: $fin")
+      // rank-error envelope (QuantileSketchSpec's eps = 0.05, data = 1..400):
+      // estimated p-quantile must sit within p±eps ranks of the sorted domain
+      def inEnv(est: Double, p: Double): Unit =
+        assert(est >= (p - 0.05) * 400 && est <= (p + 0.05) * 400 + 1,
+          s"p$p estimate $est outside rank envelope")
+      inEnv(fin._2, 0.50); inEnv(fin._3, 0.90); inEnv(fin._4, 0.99)
+    } finally q.stop()
+  }
+
+  test("s_heavy_hitters: a true heavy hitter survives streaming state and its count obeys the MG bound") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.heavyHitters(in.toDF(), k = 8, top = 3)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    // user 7 takes 60 of 100 events; 40 spread over users 100..139 — share
+    // 0.6 >> 1/(k+1), so 7 can never be evicted from the MG summary
+    val evs = (0 until 100).map { i =>
+      val u = if (i % 5 < 3) 7L else (100 + i).toLong
+      ev(i.toLong, i, user = u, typ = "view")
+    }
+    try {
+      in.addData(evs.take(50): _*)
+      q.processAllAvailable()
+      in.addData(evs.drop(50): _*)
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[(String, String, Long)].collect()
+        .filter(_._1 == "view")
+      assert(rows.size == 2, s"one revision per trigger expected: ${rows.toSeq}")
+      val parse = (s: String) => s.split('\u001E').map { e =>
+        val Array(t, c) = e.split('\u001F'); t -> c.toLong }.toMap
+      // the heavy hitter is present in EVERY revision, not just the final
+      rows.foreach { r => assert(parse(r._2).contains("7"), s"lost the heavy hitter: $r") }
+      val fin = parse(rows.maxBy(_._3)._2)
+      val exact = 60L; val n = 100L; val kk = 8L
+      assert(fin("7") <= exact && fin("7") >= exact - n / (kk + 1),
+        s"MG bound violated: est=${fin("7")} exact=$exact")
+    } finally q.stop()
+  }
+
   test("s_cumulate_window: update-mode day-so-far steps; final frame folds to the batch CUMULATE") {
     val in = MemoryStream[Event]
     val sink = nextSink()
