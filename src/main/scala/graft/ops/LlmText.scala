@@ -1034,25 +1034,42 @@ object LlmText {
     * single-reducer global sum only ever sees |vocab| rows (the corpusMix
     * argument). xent_nats is the filterable signal; ppl = e^xent is the
     * conventional report. */
-  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val t = documents(s, dir)
-      .select($"doc_id", explode(toks($"text")).as("w"))
-      .where(length($"w") > 0)
+  /** (doc_id, w) whitespace tokens of a documents-shaped frame. */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+
+  /** The trained unigram model: (w, lpq) with lpq = floor(ln(cf/N)·1e6)
+    * as int64 — the FROZEN artifact a serving path (batch twin below,
+    * streaming [[graft.streaming.StreamOps]] serve) joins against. */
+  private[graft] def perplexityModel(docs: DataFrame): DataFrame = {
     val wAll = Window.partitionBy()
-    val model = t.groupBy($"w").agg(count(lit(1)).as("cf"))
+    docTokens(docs).groupBy(col("w")).agg(count(lit(1)).as("cf"))
       .withColumn("lpq",
-        floor(log($"cf".cast("double") / sum($"cf").over(wAll).cast("double"))
+        floor(log(col("cf").cast("double") / sum(col("cf")).over(wAll).cast("double"))
           * 1000000.0).cast(LongType))
-      .select($"w", $"lpq")
-    val h = (lit(0L) - $"sum_lpq").cast("double") / lit(1000000.0) /
-      $"n_tokens".cast("double")
-    t.join(model, Seq("w"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum($"lpq").as("sum_lpq"))
-      .select($"doc_id", $"n_tokens", $"sum_lpq",
+      .select(col("w"), col("lpq"))
+  }
+
+  /** Score (doc_id, w) token rows against a frozen (w, lpq) model: exact
+    * int64 reduction per doc, transcendental math only at the display
+    * boundary. Inner join ⇒ OOV tokens are excluded from n_tokens (the
+    * self-trained contract has none; a serve-time pipeline would smooth). */
+  private[graft] def perplexityScore(tokens: DataFrame, model: DataFrame): DataFrame = {
+    val h = (lit(0L) - col("sum_lpq")).cast("double") / lit(1000000.0) /
+      col("n_tokens").cast("double")
+    tokens.join(model, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lpq")).as("sum_lpq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_lpq"),
         round(h, 4).as("xent_nats"),
         round(exp(h), 2).as("ppl"))
+  }
+
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    perplexityScore(docTokens(docs), perplexityModel(docs))
       .orderBy($"doc_id")
   }
 

@@ -254,6 +254,21 @@ object StreamOps {
         count(lit(1)).as("n"))
   }
 
+  /** Streaming perplexity serve (r9) — incoming documents scored against a
+    * FROZEN unigram model (the `(w, lpq)` artifact from
+    * [[graft.ops.LlmText.perplexityModel]]): the model-serve shape of
+    * q_text_perplexity, and the standard stream⋈static enrichment — the
+    * static side joins each micro-batch without itself streaming, so a
+    * nightly-trained model serves a live ingest feed. Scoring reuses the
+    * exact-int64 reduction of the batch scorer, so a doc's streamed score
+    * is BITWISE the batch score under the same model (asserted in
+    * StreamingSpec). Update mode: each doc's group finalizes in the
+    * trigger its tokens arrive (docs arrive whole); per-doc aggregation
+    * state persists like curationStream's dedup ledger — bound it with a
+    * watermarked variant when doc ids are unbounded. */
+  def perplexityServe(docs: DataFrame, model: DataFrame): DataFrame =
+    graft.ops.LlmText.perplexityScore(graft.ops.LlmText.docTokens(docs), model)
+
   /** Idempotent foreachBatch sink — the exactly-once pattern for
     * NON-transactional targets (Flink's TwoPhaseCommitSinkFunction
     * territory, via idempotence instead of transactions). Structured

@@ -581,6 +581,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_text_perplexity: streamed docs score bitwise-equal to the batch query under the frozen model") {
+    val dir = sf("sf0.001")
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val model = graft.ops.LlmText.perplexityModel(docs)
+    val in = MemoryStream[(Long, String)]
+    val sink = nextSink()
+    val q = StreamOps.perplexityServe(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    // stream the first 20 docs of the same corpus the model was fit on,
+    // across two triggers
+    val feed = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).take(20)
+    try {
+      in.addData(feed.take(10): _*)
+      q.processAllAvailable()
+      in.addData(feed.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table(sink)
+        .as[(Long, Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val want = graft.ops.LlmText.textPerplexity(spark, dir)
+        .as[(Long, Long, Long, Double, Double)].collect()
+        .filter(r => got.contains(r._1))
+      assert(want.length == feed.count(_._2.trim.nonEmpty),
+        s"expected a score per non-empty streamed doc, got ${want.length}")
+      want.foreach { w =>
+        assert(got(w._1) == w, s"stream score ${got(w._1)} != batch $w")
+      }
+    } finally q.stop()
+  }
+
   test("s_stream_curate_bounded: watermarked dedup suppresses within the horizon, evicts after") {
     val in = MemoryStream[(Long, Timestamp, String, String)]
     val sink = nextSink()
