@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.tables.Tables._
@@ -252,6 +252,43 @@ object Aggregations {
     perType.unionByName(global).join(exact, "scope").orderBy($"scope")
   }
 
+  /** Membership-ledger sketch (r9) — the Bloom member of the sketch
+    * family at the query level, completing the quartet (KLL quantiles, MG
+    * heavy hitters, HLL distinct, Bloom membership): ONE corpus pass
+    * builds a persistable m-bit array per event type
+    * ([[graft.functions.BloomBits]]); the global ledger is the bitwise OR
+    * of the per-type arrays ([[graft.functions.BloomUnion]]) — sketch-
+    * sized merge input, the corpus never re-read. Where HLL answers "how
+    * many distinct", Bloom answers "is this key one of them" — the
+    * primitive a dedup/decontamination gate probes (Layout.bloomPrefilter
+    * serves exactly these bits row-locally). Per scope: fill level,
+    * Swamidass-Baldi cardinality estimate, exact-distinct twin column
+    * (self-describing rows, the envelope anchor — same pattern as
+    * q_distinct_sketch_rollup). OR-merge is idempotent, so every output
+    * bit (and both stats) is a pure function of the input set —
+    * deterministic rows-only. */
+  def aggMembershipSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (mBits, k) = graft.functions.Bloom.params(expectedItems = 2048, fpp = 0.01)
+    val bits  = udaf(new graft.functions.BloomBits(mBits / 64, k))
+    val union = udaf(new graft.functions.BloomUnion(mBits / 64))
+    val leaves = graft.tables.Layout.materialize(
+      events(s, dir).groupBy($"event_type").agg(bits($"user_id").as("bf")))
+    val stats = (c: Column) => graft.functions.BloomFunctions.bloom_stats(c, k)
+    val perType = leaves
+      .select($"event_type".as("scope"), stats($"bf").as("st"))
+    val global = leaves.agg(union($"bf").as("bf"))
+      .select(lit("<all>").as("scope"), stats($"bf").as("st"))
+    val exact = events(s, dir).rollup($"event_type")
+      .agg(countDistinct($"user_id").as("exact_uv"),
+        grouping($"event_type").as("_g"))
+      .select(when($"_g" === 1, lit("<all>")).otherwise($"event_type").as("scope"),
+        $"exact_uv")
+    perType.unionByName(global)
+      .select($"scope", $"st.bits_set".as("bits_set"), $"st.est_uv".as("est_uv"))
+      .join(exact, "scope").orderBy($"scope")
+  }
+
   /** Conditional (filtered) aggregation — several predicates folded in one
     * pass over the fact table (Flink SQL FILTER / Table API agg with CASE).
     * One scan + one hash-aggregate regardless of predicate count: the
@@ -332,7 +369,8 @@ object Aggregations {
     "q_agg_having"          -> (aggHaving _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _),
     "q_distinct_sketch"     -> (aggDistinctSketch _),
-    "q_distinct_sketch_rollup" -> (aggDistinctSketchRollup _))
+    "q_distinct_sketch_rollup" -> (aggDistinctSketchRollup _),
+    "q_membership_sketch" -> (aggMembershipSketch _))
 
   def oracle: Map[String, String] = Map(
     "q_agg_histogram"      -> aggHistogramSql,

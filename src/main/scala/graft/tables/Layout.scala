@@ -127,19 +127,36 @@ object Layout {
     * shuffle moves only the candidate fraction. `keyCol` must be a
     * LongType key; hash wider keys with xxhash64 first (8-byte keys keep
     * the sketch insert/probe a single integer op, and both call sites
-    * already join on hashes). The probe is a Scala UDF because Spark's own
-    * BloomFilterMightContain expression (its runtime row-level filtering
-    * injects this exact shape) is not public API — the UDF is a row-local
-    * boolean gate below the exchange, not hot-path arithmetic.
+    * already join on hashes). The probe is the engine's own
+    * [[graft.functions.BloomMightContain]] expression (r9) — Spark's
+    * internal BloomFilterMightContain is not public API, and the Scala
+    * UDF that gated here before cost an encoder boundary per row; the
+    * reference-held expression is a row-local boolean gate below the
+    * exchange with a build-invariant plan shape. The sketch itself is the
+    * first-class mergeable [[graft.functions.BloomBits]] aggregate
+    * (map-side partial bit arrays, OR-merged — never a row collect).
     * `expectedItems`/`fpp` size the sketch to the BUILD side — which must
     * be the benchmark/delta-sized relation, never the corpus. */
   def bloomPrefilter(probe: DataFrame, build: DataFrame, keyCol: String,
                      expectedItems: Long, fpp: Double): DataFrame = {
-    import org.apache.spark.sql.functions.{col, udf}
-    val bloom = build.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val b = probe.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => b.value.mightContainLong(h))
-    probe.where(mightContain(col(keyCol)))
+    import org.apache.spark.sql.functions.col
+    val (mBits, k) = graft.functions.Bloom.params(expectedItems, fpp)
+    // Build over InternalRow (no per-row encoder): a typed-Aggregator udaf
+    // build measured ~0.3 s slower per call site at sf0.1 purely from the
+    // object-hash-aggregate row boundary — the treeAggregate below is the
+    // same distributed contract (per-partition bit arrays, OR-combined up
+    // a tree, driver holds only the final m bits) at raw-long speed. The
+    // mergeable [[graft.functions.BloomBits]] aggregator remains the
+    // GROUP-level build (q_membership_sketch's per-type ledgers), where
+    // buffers are KB-sized and groups need first-class VALUES.
+    val words = build.select(col(keyCol).cast("long")).queryExecution.toRdd
+      .treeAggregate(new Array[Long](mBits / 64))(
+        (w, row) => if (row.isNullAt(0)) w
+          else graft.functions.Bloom.insert(w, row.getLong(0), k),
+        (a, b) => graft.functions.Bloom.orInPlace(a, b))
+    val bc = probe.sparkSession.sparkContext.broadcast(words)
+    probe.where(graft.functions.BloomFunctions
+      .bloom_might_contain(col(keyCol), bc, k))
   }
 
   /** Bloom-accelerated exact semi-join: `probe ⋉ build` on `keyCol`, with

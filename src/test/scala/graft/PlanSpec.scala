@@ -287,18 +287,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), "exactness verify must stay a semi-join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "gram join degenerated")
-    // the UDF gate is a Filter; its node id must precede every Exchange id
-    // ABOVE it on the train branch — i.e. the smallest Exchange id in the
-    // plan is still larger than the bloom Filter's id (leaves number first)
+    // the bloom gate is a Filter (r9: the graft_bloom_might_contain codegen
+    // expression, no longer a Scala UDF); its node id must precede every
+    // Exchange id ABOVE it on the train branch — i.e. the smallest Exchange
+    // id in the plan is still larger than the gate's id (leaves number first)
     val bloomFilter = """\((\d+)\) Filter""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
-    val udfFilterIds = p.split("""\n\n""").toSeq.collect {
-      case block if block.matches("""(?s)\(\d+\) Filter.*""") && block.contains("UDF") =>
+    val gateIds = p.split("""\n\n""").toSeq.collect {
+      case block if block.matches("""(?s)\(\d+\) Filter.*""") &&
+          block.contains("graft_bloom_might_contain") =>
         """\((\d+)\)""".r.findFirstMatchIn(block).get.group(1).toInt
     }
     val exs = nodeIds(p, "Exchange")
-    assert(bloomFilter.nonEmpty && udfFilterIds.nonEmpty, s"no UDF Filter block found:\n$p")
-    assert(exs.nonEmpty && udfFilterIds.min < exs.min,
-      s"bloom Filter(${udfFilterIds.headOption}) does not precede the first Exchange(${exs.headOption}) — non-matches shuffle")
+    assert(bloomFilter.nonEmpty && gateIds.nonEmpty, s"no bloom-gate Filter block found:\n$p")
+    assert(exs.nonEmpty && gateIds.min < exs.min,
+      s"bloom Filter(${gateIds.headOption}) does not precede the first Exchange(${exs.headOption}) — non-matches shuffle")
+    assert(!p.contains("UDF"), "a UDF reappeared in the decontamination hot path")
   }
 
   test("q_cumulate_window: running sum windows over hour buckets, never raw events") {
