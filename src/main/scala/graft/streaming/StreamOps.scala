@@ -254,6 +254,26 @@ object StreamOps {
         count(lit(1)).as("n"))
   }
 
+  /** Streaming Bloom membership ledger (r9) — completes the family:
+    * all four sketches (HLL, KLL, MG, Bloom) run as streaming aggregation
+    * state. Per key, the live m-bit membership array plus its fill level;
+    * like HLL the OR algebra is idempotent, so revisions are monotone in
+    * fill and the final bits are BITWISE the batch build over the union of
+    * batches (asserted in StreamingSpec). The emitted bytes are the same
+    * persistable artifact [[graft.tables.Layout.bloomPrefilter]] probes —
+    * a continuously-maintained dedup/decontamination gate. */
+  def membershipSketch(events: DataFrame, expectedItems: Long = 2048,
+                       fpp: Double = 0.01): DataFrame = {
+    val (mBits, k) = graft.functions.Bloom.params(expectedItems, fpp)
+    val bits = udaf(new graft.functions.BloomBits(mBits / 64, k))
+    events.groupBy(col("event_type"))
+      .agg(bits(col("user_id")).as("bf"))
+      .select(col("event_type"),
+        graft.functions.BloomFunctions.bloom_stats(col("bf"), k).as("st"),
+        col("bf"))
+      .select(col("event_type"), col("st.bits_set").as("bits_set"), col("bf"))
+  }
+
   /** Streaming perplexity serve (r9) — incoming documents scored against a
     * FROZEN unigram model (the `(w, lpq)` artifact from
     * [[graft.ops.LlmText.perplexityModel]]): the model-serve shape of

@@ -90,6 +90,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_membership_sketch: monotone fill; final bits bitwise-equal the batch build; no false negatives") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.membershipSketch(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    val b1 = (1L to 50L).map(u => ev(u, u.toInt, user = u, typ = "view"))
+    val b2 = (30L to 120L).map(u => ev(200 + u, 60 + u.toInt, user = u, typ = "view"))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.table(sink).as[(String, Long, Array[Byte])].collect()
+        .filter(_._1 == "view")
+      assert(rows.length == 2, s"one revision per trigger expected")
+      val fills = rows.map(_._2).sorted
+      assert(fills.toSeq == rows.map(_._2).sorted.toSeq && rows.map(_._2).min == fills.head)
+      // OR-idempotence: final streamed bits == a batch build over the union
+      val batch = StreamOps.membershipSketch(spark.createDataset(b1 ++ b2).toDF())
+        .as[(String, Long, Array[Byte])].collect().find(_._1 == "view").get
+      val fin = rows.maxBy(_._2)
+      assert(java.util.Arrays.equals(fin._3, batch._3),
+        "streamed bits diverged from the batch build")
+      // the artifact is probe-ready: every fed user hits, i.e. zero false negatives
+      val (mBits, k) = graft.functions.Bloom.params(2048, 0.01)
+      val words = graft.functions.Bloom.fromBytes(fin._3)
+      ((1L to 120L)).foreach { u =>
+        assert(graft.functions.Bloom.contains(words, u, k), s"false negative for $u")
+      }
+      assert(mBits / 64 == words.length)
+    } finally q.stop()
+  }
+
   test("s_quantile_sketch: streaming p50/p90/p99 inside the rank-error envelope of the fed values") {
     val in = MemoryStream[Event]
     val sink = nextSink()
