@@ -21,6 +21,47 @@ import Util._
   */
 object Curation {
 
+  // ---------------------------------------------------------------- skew diagnose
+  /** Join-key skew profiler (r9) — the measurement that DECIDES between the
+    * plans this engine already carries: q_join_salted / q_agg_salted exist
+    * for hot keys, AQE's skew-join split for runtime surprises, and plain
+    * hash partitioning for uniform keys; this report says which applies,
+    * per key. For the events fact's user_id: the top-20 heaviest keys with
+    * their exact row count, corpus share (ppm), multiple of the mean key
+    * size (×100), and a `hot` verdict at ≥2× mean — the table an operator
+    * reads before picking a salt factor (a key at 50× mean needs ~50
+    * salts; a top key at 1.2× mean needs none).
+    *
+    * Determinism: all columns are exact integer arithmetic — shares use
+    * int64 `div`, never float division (R2); ties in the top-20 cut break
+    * on user_id. Scale: ONE map-side-partial hash agg over the fact table;
+    * the totals are a one-row broadcast (never a window over raw rows);
+    * top-20 via TakeOrderedAndProject. The report costs a fraction of any
+    * join it tunes. */
+  def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perKey = events(s, dir).groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      sum($"cnt").as("total"), count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(totals))
+      .select($"user_id", $"cnt",
+        expr("(cnt * 1000000L) div total").as("share_ppm"),
+        expr("(cnt * 100L * n_keys) div total").as("vs_mean_x100"))
+      .withColumn("hot", $"vs_mean_x100" >= 200L)
+      .orderBy($"cnt".desc, $"user_id")
+      .limit(20)
+  }
+
+  val skewDiagnoseSql: String =
+    """WITH k AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k)
+      |SELECT user_id, cnt,
+      |  (cnt * 1000000) // total AS share_ppm,
+      |  (cnt * 100 * n_keys) // total AS vs_mean_x100,
+      |  (cnt * 100 * n_keys) // total >= 200 AS hot
+      |FROM k CROSS JOIN tot
+      |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- pii mask
   /** PII-style redaction: digit runs (≥3) in customer names → '<ID>'.
     * Regex replacement is global in both engines (Spark by default, DuckDB
@@ -505,6 +546,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
+    "q_skew_diagnose"  -> (skewDiagnose _),
     "q_text_pii_mask"  -> (piiMask _),
     "q_sample_hash"    -> (sampleHash _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -522,6 +564,7 @@ object Curation {
     "q_regex_extract"  -> (regexExtract _))
 
   def oracle: Map[String, String] = Map(
+    "q_skew_diagnose"  -> skewDiagnoseSql,
     "q_text_pii_mask"  -> piiMaskSql,
     "q_sample_hash"    -> sampleHashSql,
     "q_sample_weighted" -> sampleWeightedSql,

@@ -1090,6 +1090,79 @@ object LlmText {
       |  ROUND(EXP((0 - CAST(sum_lpq AS DOUBLE)) / 1000000.0 / CAST(n_tokens AS DOUBLE)), 2) AS ppl
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- corpus drift
+  /** Token-distribution drift monitor (r9) — the between-snapshot signal
+    * the within-corpus quality gates ([[textPerplexity]],
+    * [[qualityRareMass]]) don't give: which tokens' frequencies moved most
+    * between two corpus snapshots. A training pipeline runs exactly this
+    * between yesterday's and today's ingest before mixing: a sudden spike
+    * in one token family (a new spam template, a scraper artifact, a
+    * domain shift) shows up here before it skews the model. Snapshot A =
+    * the older half of doc_ids (append-only arrival order, the same
+    * ingest-proxy split as q_ann_ivf_incremental), B = the newer half.
+    *
+    * Per token: add-1-smoothed log-frequency-ratio lr = ln(p_A/p_B) with
+    * p = (cf+1)/(N+V) (Laplace smoothing keeps one-sided tokens — the
+    * interesting ones — finite), ranked by drift_score = (cf_A+cf_B)·|lr|
+    * so the report surfaces MASS that moved, not rare-token noise.
+    *
+    * Determinism (R2/R4): the ratio ((cf_A+1)(N_B+V)) / ((cf_B+1)(N_A+V))
+    * is formed from exact int64 products (each < 2^53, so the doubles are
+    * exact and the quotient is ONE correctly-rounded IEEE op), then
+    * floor(ln(·)·1e6) quantizes once per vocab row — the same
+    * single-transcendental-then-floor discipline perplexityModel
+    * hash-verified; drift_score is exact integer arithmetic on the
+    * quantized value. Scale: one corpus pass (map-side partial counts per
+    * token), totals from a ONE-ROW broadcast (never a window over raw
+    * rows), top-50 via TakeOrderedAndProject — no global sort. At 100 TB
+    * the int64 products would outgrow 2^53; the ln would then decompose
+    * into ln-sums of the four factors (noted, not needed at contract
+    * scale). */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    // append-only ingest proxy: older half vs newer half of doc_ids.
+    // The max-id probe is one driver scalar (bounded-state contract).
+    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
+    val vocab = docTokens(docs).groupBy($"w").agg(
+      count(when($"doc_id" <= cut, 1)).as("cf_a"),
+      count(when($"doc_id" > cut, 1)).as("cf_b"))
+    val totals = vocab.agg(
+      sum($"cf_a").as("na"), sum($"cf_b").as("nb"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        floor(log((($"cf_a" + lit(1L)) * ($"nb" + $"v")).cast("double") /
+                  (($"cf_b" + lit(1L)) * ($"na" + $"v")).cast("double"))
+          * 1000000.0).cast(LongType))
+      .withColumn("drift_score", ($"cf_a" + $"cf_b") * abs($"lr_micro"))
+      .select($"w", $"cf_a", $"cf_b", $"lr_micro", $"drift_score")
+      .orderBy($"drift_score".desc, $"w")
+      .limit(50)
+  }
+
+  val corpusDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |t AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+      |cut AS (SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS cut FROM documents),
+      |vocab AS (
+      |  SELECT w,
+      |    COUNT(CASE WHEN doc_id <= (SELECT cut FROM cut) THEN 1 END) AS cf_a,
+      |    COUNT(CASE WHEN doc_id >  (SELECT cut FROM cut) THEN 1 END) AS cf_b
+      |  FROM t GROUP BY w),
+      |tot AS (SELECT CAST(SUM(cf_a) AS BIGINT) AS na,
+      |               CAST(SUM(cf_b) AS BIGINT) AS nb,
+      |               COUNT(*) AS v FROM vocab),
+      |sc AS (
+      |  SELECT w, cf_a, cf_b,
+      |    CAST(FLOOR(ln(CAST((cf_a + 1) * (nb + v) AS DOUBLE) /
+      |                  CAST((cf_b + 1) * (na + v) AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS lr_micro
+      |  FROM vocab CROSS JOIN tot)
+      |SELECT w, cf_a, cf_b, lr_micro,
+      |  (cf_a + cf_b) * ABS(lr_micro) AS drift_score
+      |FROM sc ORDER BY drift_score DESC, w LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- corpus mix
   /** Training-mixture report: per (lang, source) document/char/token mass
     * and each cell's share of total corpus chars — the table a data-mixing
@@ -1125,6 +1198,7 @@ object LlmText {
     "q_quality_repetition"  -> (qualityRepetition _),
     "q_quality_rare_mass"   -> (qualityRareMass _),
     "q_text_perplexity"     -> (textPerplexity _),
+    "q_corpus_drift"        -> (corpusDrift _),
     "q_corpus_mix"          -> (corpusMix _),
     "q_text_tfidf"          -> (textTfidf _),
     "q_text_normalize"      -> (textNormalize _),
@@ -1152,6 +1226,7 @@ object LlmText {
   def oracle: Map[String, String] = Map(
     "q_quality_repetition"  -> qualityRepetitionSql,
     "q_text_perplexity"     -> textPerplexitySql,
+    "q_corpus_drift"        -> corpusDriftSql,
     "q_quality_rare_mass"   -> qualityRareMassSql,
     "q_corpus_mix"          -> corpusMixSql,
     "q_text_tfidf"          -> textTfidfSql,

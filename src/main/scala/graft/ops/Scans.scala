@@ -35,6 +35,68 @@ object Scans {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- compaction
+  /** Small-file compaction planner (r9) — the maintenance half of the
+    * layout story q_layout_zorder starts: a 100 TB table accretes
+    * streaming/ingest files far below the scan-efficient size, and an
+    * OPTIMIZE-style pass must group them into target-size rewrite jobs.
+    * The load-bearing scale property: planning runs on the FILE MANIFEST
+    * (one stats row per file — ~10⁶ rows where the data is 10¹² — here
+    * simulated as one (event_type, epoch-day) file per ingest partition
+    * with exact byte stats), never on the data; the data is only touched
+    * by the rewrite jobs this plan emits.
+    *
+    * Policy = sequential packing by size descending (the classic FFD
+    * approximation bin-packing OPTIMIZE implementations use): within each
+    * partition, files order by (bytes desc, day), and a file joins the
+    * group numbered by its EXCLUSIVE running-sum prefix `div` target — so
+    * groups fill to ≥ the 256 KiB target before a new one opens and an
+    * oversized file claims its own group. One window pair over the
+    * manifest; the stats themselves are ONE map-side-partial hash agg.
+    * All exact integer arithmetic (R2); (bytes desc, day) is a total
+    * order per partition, so group ids are deterministic (R1). */
+  def layoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val target = 256L * 1024L
+    val files = events(s, dir)
+      .groupBy($"event_type", epochDay($"ts").as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(octet_length($"props").cast("bigint")) + count(lit(1)) * 48L)
+          .as("bytes"))
+    val order = Window.partitionBy($"event_type")
+      .orderBy($"bytes".desc, $"day")
+    val prefix = sum($"bytes").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val planned = files
+      .withColumn("grp", (coalesce(prefix, lit(0L)) / target).cast("bigint"))
+    val g = Window.partitionBy($"event_type", $"grp")
+    planned
+      .withColumn("grp_files", count(lit(1)).over(g))
+      .withColumn("grp_bytes", sum($"bytes").over(g))
+      .select($"event_type", $"day", $"n_rows", $"bytes",
+        $"grp", $"grp_files", $"grp_bytes")
+      .orderBy($"event_type", $"grp", $"bytes".desc, $"day")
+  }
+
+  val layoutCompactionSql: String =
+    """WITH f AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    COUNT(*) AS n_rows,
+      |    CAST(SUM(strlen(props)) + COUNT(*) * 48 AS BIGINT) AS bytes
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT *,
+      |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY event_type
+      |      ORDER BY bytes DESC, day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 262144 AS BIGINT) AS grp
+      |  FROM f)
+      |SELECT event_type, day, n_rows, bytes, grp,
+      |  COUNT(*) OVER (PARTITION BY event_type, grp) AS grp_files,
+      |  CAST(SUM(bytes) OVER (PARTITION BY event_type, grp) AS BIGINT) AS grp_bytes
+      |FROM p ORDER BY event_type, grp, bytes DESC, day""".stripMargin
+
   /** Multi-file scan as one relation (here: same file listed twice — the
     * multi-path API; a real deployment would glob a partitioned directory). */
   def scanUnionFiles(s: SparkSession, dir: String): DataFrame = {
@@ -104,10 +166,12 @@ object Scans {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet"     -> (scanParquet _),
     "q_scan_union_files" -> (scanUnionFiles _),
-    "q_layout_zorder"    -> (layoutZorder _))
+    "q_layout_zorder"    -> (layoutZorder _),
+    "q_layout_compaction" -> (layoutCompaction _))
 
   def oracle: Map[String, String] = Map(
     "q_scan_parquet"     -> scanParquetSql,
     "q_scan_union_files" -> scanUnionFilesSql,
-    "q_layout_zorder"    -> layoutZorderSql)
+    "q_layout_zorder"    -> layoutZorderSql,
+    "q_layout_compaction" -> layoutCompactionSql)
 }

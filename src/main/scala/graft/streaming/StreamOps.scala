@@ -289,6 +289,57 @@ object StreamOps {
   def perplexityServe(docs: DataFrame, model: DataFrame): DataFrame =
     graft.ops.LlmText.perplexityScore(graft.ops.LlmText.docTokens(docs), model)
 
+  /** Streaming ANN serve (r9) — live query vectors against a FROZEN IVF
+    * index: the online half of the ANN story, completing the frozen-model
+    * serve family ([[perplexityServe]] serves a language model; this
+    * serves the coarse quantizer + invlisted corpus that
+    * q_ann_ivf_incremental maintains offline).
+    *
+    * The batch serve path picks each probe's nprobe cells at the DRIVER
+    * (the probe set is a bounded query constant there); a streaming probe
+    * set is unbounded, so cell choice moves into the plan: per streamed
+    * row, an array of (−cos(probe, cₖ), cent_id) structs over the literal
+    * frozen centroids, `array_sort` + `slice(nprobe)` + explode — the
+    * exact (cos desc, cid) order the batch path uses, computed row-locally
+    * by the same codegen cosine. Candidates come from a stream⋈static
+    * join on the invlist key (stateless — the static side joins each
+    * micro-batch), and the per-probe top-k is the bounded [[graft.
+    * functions.TopKKeys]] AGGREGATE, not a window sort — so streaming
+    * needs no hot-invlist sub-sharding: partial aggregation caps state at
+    * k ids per probe however hot the probed cell, which is the same
+    * map-side-combine argument the batch TopK scaladoc makes.
+    *
+    * Update mode revises a probe's top-k as its probed cells' candidates
+    * stream through; the settled frame equals the batch [[graft.ops.
+    * LlmVector]] serve's top-k ids for the same probes (asserted in
+    * StreamingSpec). */
+  def annServe(probes: DataFrame, corpus: DataFrame,
+               cents: Seq[(Int, Seq[Float])], nprobe: Int = 4,
+               k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.typedLit
+    val cellScores = array(cents.map { case (cid, cv) =>
+      struct(
+        (lit(0.0) - graft.functions.GraftFunctions
+          .cosine_sim(col("embedding"), typedLit(cv))).as("negcos"),
+        lit(cid).as("cent_id"))
+    }: _*)
+    val probed = probes
+      .withColumn("cells", slice(array_sort(cellScores), 1, nprobe))
+      .select(col("probe_id"), col("embedding").as("pe"),
+        explode(col("cells")).as("c"))
+      .select(col("probe_id"), col("pe"), col("c.cent_id").as("cent_id"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+      graft.functions.CentroidFunctions
+        .nearest_centroid(col("embedding"), cents).as("cent_id"))
+    val top = udaf(new graft.functions.TopKKeys(k))
+    probed.join(assigned, Seq("cent_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("pe"), col("embedding"))
+          .as("cos"))
+      .groupBy(col("probe_id"))
+      .agg(top(col("cos"), col("vec_id")).as("top_ids"))
+  }
+
   /** Idempotent foreachBatch sink — the exactly-once pattern for
     * NON-transactional targets (Flink's TwoPhaseCommitSinkFunction
     * territory, via idempotence instead of transactions). Structured

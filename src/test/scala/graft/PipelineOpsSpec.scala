@@ -239,4 +239,97 @@ class PipelineOpsSpec extends SparkTestBase {
     byUser.foreach { case (u, ivs) =>
       assert(ivs.map(_._6).sum === counts(u), s"user $u: events lost in run collapse") }
   }
+
+  test("q_corpus_drift: score arithmetic is exact, signs follow the imbalance, top-50 is the true cut") {
+    val rows = LlmText.corpusDrift(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.foreach { case (w, cfA, cfB, lr, score) =>
+      assert(score === (cfA + cfB) * math.abs(lr), s"$w: drift_score inconsistent")
+      // add-1 smoothing: a token seen only in B must drift negative, only in A positive
+      if (cfA == 0L) assert(lr < 0L, s"$w: A-absent token with non-negative lr")
+      if (cfB == 0L) assert(lr > 0L, s"$w: B-absent token with non-positive lr")
+      assert(cfA + cfB > 0L, s"$w: token in neither snapshot")
+    }
+    // the emitted 50 really are the global maxima: recompute the full
+    // frame without the limit and compare the boundary
+    val cut = graft.tables.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.max($"doc_id")).head().getLong(0) / 2
+    val full = graft.tables.Tables.documents(spark, dir)
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim($"text"), " ")).as("w"))
+      .where(org.apache.spark.sql.functions.length($"w") > 0)
+      .as[(Long, String)].collect()
+    val cfA = full.filter(_._1 <= cut).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cfB = full.filter(_._1 > cut).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = (cfA.keySet ++ cfB.keySet).toSeq
+    val (na, nb, v) = (cfA.values.sum, cfB.values.sum, vocab.size.toLong)
+    val scores = vocab.map { w =>
+      val (a, b) = (cfA.getOrElse(w, 0L), cfB.getOrElse(w, 0L))
+      val lr = math.floor(math.log(((a + 1) * (nb + v)).toDouble /
+        ((b + 1) * (na + v)).toDouble) * 1e6).toLong
+      (w, (a + b) * math.abs(lr))
+    }.sortBy { case (w, sc) => (-sc, w) }
+    assert(rows.length === math.min(50, vocab.size),
+      s"expected min(50, |vocab|) rows, got ${rows.length}")
+    assert(rows.map(_._1).toSeq === scores.take(50).map(_._1),
+      "top-50 disagrees with the driver-side recompute")
+  }
+
+  test("q_skew_diagnose: exact shares, verdict at 2x mean, top-20 is the true heavy cut") {
+    val rows = graft.ops.Curation.skewDiagnose(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val perKey = graft.tables.Tables.events(spark, dir)
+      .groupBy($"user_id").count().as[(Long, Long)].collect()
+    assert(rows.length === math.min(20, perKey.length))
+    val total = perKey.map(_._2).sum
+    val nk = perKey.length.toLong
+    val want = perKey.sortBy { case (u, c) => (-c, u) }.take(20)
+    assert(rows.map(r => (r._1, r._2)).toSeq === want.toSeq,
+      "top-20 keys disagree with a direct recount")
+    rows.foreach { case (u, cnt, ppm, x100, hot) =>
+      assert(ppm === cnt * 1000000L / total, s"key $u: share_ppm not exact")
+      assert(x100 === cnt * 100L * nk / total, s"key $u: vs_mean_x100 not exact")
+      assert(hot === (x100 >= 200L), s"key $u: hot verdict inconsistent")
+    }
+  }
+
+  test("q_layout_compaction: groups fill to target in size-desc order and conserve bytes") {
+    val rows = graft.ops.Scans.layoutCompaction(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val target = 256L * 1024L
+    rows.groupBy(_._1).foreach { case (et, files) =>
+      // replay the sequential size-desc packing and compare group ids
+      val ordered = files.sortBy { case (_, day, _, bytes, _, _, _) => (-bytes, day) }
+      var cum = 0L
+      ordered.foreach { case (_, day, _, bytes, grp, _, _) =>
+        assert(grp === cum / target, s"$et day $day: grp != prefix div target")
+        cum += bytes
+      }
+      // per-group stats reconcile
+      files.groupBy(_._5).foreach { case (g, members) =>
+        assert(members.map(_._6).distinct === Array(members.length.toLong),
+          s"$et grp $g: grp_files wrong")
+        assert(members.map(_._7).distinct === Array(members.map(_._4).sum),
+          s"$et grp $g: grp_bytes wrong")
+      }
+      // every group except the last closed at or above target
+      val lastGrp = files.map(_._5).max
+      files.groupBy(_._5).filter(_._1 < lastGrp).foreach { case (g, members) =>
+        val upTo = ordered.takeWhile(_._5 <= g).map(_._4).sum
+        assert(upTo >= (g + 1) * target,
+          s"$et grp $g closed before reaching the target")
+      }
+    }
+    // byte conservation vs the raw stats
+    val raw = graft.tables.Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.octet_length($"props").cast("bigint")) +
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)) * 48L).as("b"))
+      .as[(String, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (et, files) =>
+      assert(files.map(_._4).sum === raw(et), s"$et: manifest bytes drifted") }
+  }
 }

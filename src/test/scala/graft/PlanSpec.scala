@@ -393,4 +393,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
       || p.contains("BroadcastHashJoin"), "shingle probe is not an equi-join")
   }
+
+  test("q_corpus_drift: vocab counts partial-aggregate; totals broadcast as one row; top-50 fuses") {
+    val p = planOf(SparkEntry.queries("q_corpus_drift")(spark, dir))
+    assert(p.contains("partial_count"),
+      "per-token snapshot counts lost their map-side partials — raw tokens would shuffle")
+    // the (na, nb, v) totals attach via a 1-row broadcast, never a shuffle
+    // of the vocab frame against itself and never a window over raw rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "totals attach lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "1-row totals degenerated to a sort-merge join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 not fused — a global sort of the vocab frame")
+  }
+
+  test("q_skew_diagnose: one partial-agg pass over the fact; 1-row totals broadcast; top-20 fuses") {
+    val p = planOf(SparkEntry.queries("q_skew_diagnose")(spark, dir))
+    assert(p.contains("partial_count"), "per-key counts lost their map-side partials")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "totals attach lost its broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 not fused — a global sort of the key frame")
+  }
+
+  test("q_layout_compaction: packing windows run over the file manifest, never raw events") {
+    val p = planOf(SparkEntry.queries("q_layout_compaction")(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "file stats lost their map-side partials")
+    val aggs = nodeIds(p, "HashAggregate")
+    val wins = nodeIds(p, "Window")
+    assert(aggs.nonEmpty && wins.nonEmpty, s"unexpected plan: $p")
+    assert(aggs.min < wins.min,
+      s"Window(${wins.min}) below the stats HashAggregate(${aggs.min}) — packing would sort raw events")
+    assert(!p.contains("Exchange SinglePartition"),
+      "packing collapsed to one reducer — it must stay per-partition")
+  }
 }

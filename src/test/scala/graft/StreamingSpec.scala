@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming._
 
+/** A live ANN query vector (s_ann_serve). */
+case class ProbeVec(probe_id: Long, embedding: Seq[Float])
+
 /** SURVEY.md §2.8/§2.1 s_* rows: watermark semantics, streaming windows,
   * dedup, stream-stream/stream-static joins, output modes, side outputs,
   * sources/sinks, and checkpoint recovery — all driven via MemoryStream. */
@@ -642,6 +645,61 @@ class StreamingSpec extends SparkTestBase {
       want.foreach { w =>
         assert(got(w._1) == w, s"stream score ${got(w._1)} != batch $w")
       }
+    } finally q.stop()
+  }
+
+  test("s_ann_serve: streamed probes settle to the batch serve's top-k under the frozen index") {
+    // 4 well-separated clusters in 8-dim space: centroid c has 1.0 at dim
+    // c (L2-dominant), members add a small unique perturbation at dim 4+c
+    // so every cosine is distinct (no tie ambiguity in the expected order)
+    def base(c: Int): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(c) = 1.0f; a
+    }
+    val cents = (0 until 4).map(c => c -> base(c).toSeq)
+    val corpus = (0 until 40).map { i =>
+      val c = i % 4
+      val v = base(c); v(4 + c) = 0.01f * (i / 4 + 1)
+      (i.toLong, v.toSeq)
+    }
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // probes sit near cluster 0 and cluster 2 with a pull toward 1 and 3
+    val p0 = { val v = base(0); v(1) = 0.3f; (100L, v.toSeq) }
+    val p2 = { val v = base(2); v(3) = 0.3f; (101L, v.toSeq) }
+    val in = MemoryStream[ProbeVec]
+    val sink = nextSink()
+    val q = StreamOps.annServe(
+      in.toDF().select($"probe_id", $"embedding".cast("array<float>").as("embedding")),
+      corpusDf, cents, nprobe = 2, k = 3)
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      in.addData(ProbeVec(p0._1, p0._2))
+      q.processAllAvailable()
+      in.addData(ProbeVec(p2._1, p2._2))
+      q.processAllAvailable()
+      val got = spark.table(sink).as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      // expected: per probe, top-2 cells by cosine to the frozen centroids,
+      // then top-3 candidates (cos desc, vec_id) among vectors whose
+      // nearest centroid is one of those cells — recomputed with plain
+      // driver-side doubles
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+        dot / (na * nb)
+      }
+      def expected(pe: Seq[Float]): String = {
+        val cells = cents.map { case (cid, cv) => (cid, cos(pe, cv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+        corpus.filter { case (_, v) =>
+          cells(cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+            .maxBy { case (cid, c) => (c, -cid) }._1)
+        }.map { case (id, v) => (id, cos(pe, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).mkString("/")
+      }
+      assert(got(100L) === expected(p0._2), s"probe 100: ${got(100L)}")
+      assert(got(101L) === expected(p2._2), s"probe 101: ${got(101L)}")
     } finally q.stop()
   }
 
