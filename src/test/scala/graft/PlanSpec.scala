@@ -416,6 +416,20 @@ class PlanSpec extends SparkTestBase {
       "top-20 not fused — a global sort of the key frame")
   }
 
+  test("report totals branches reuse the vocab/key shuffle — the corpus is scanned once") {
+    // ReusedExchange only materializes in the AQE final plan, so this
+    // asserts on the executed plan after an action: the (na, nb, v) /
+    // (total, n_keys) branch must read the per-token/per-key partials
+    // back from the first aggregation's shuffle, not re-scan the corpus.
+    for (q <- Seq("q_corpus_drift", "q_skew_diagnose")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val ex = df.queryExecution.executedPlan.toString
+      assert(ex.contains("ReusedExchange"),
+        s"$q: totals branch re-scans the corpus instead of reusing the key shuffle")
+    }
+  }
+
   test("q_layout_compaction: packing windows run over the file manifest, never raw events") {
     val p = planOf(SparkEntry.queries("q_layout_compaction")(spark, dir))
     assert(p.contains("partial_count") || p.contains("partial_sum"),
