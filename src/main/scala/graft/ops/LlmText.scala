@@ -548,6 +548,15 @@ object LlmText {
     val labels = Graph.connectedComponents(
         jaccardPairs(s, dir).select($"doc_a", $"doc_b"))
       .select($"vertex".as("doc_id"), $"component".as("label"))
+    clusterReport(s, dir, labels)
+  }
+
+  /** Cluster table from a (doc_id, label) assignment: size, sorted member
+    * list, canonical pick (longest text, then min doc_id) — shared by the
+    * full recluster and the incremental maintenance path so the report
+    * semantics can never drift apart. */
+  private def clusterReport(s: SparkSession, dir: String, labels: DataFrame): DataFrame = {
+    import s.implicits._
     val withLen = labels.join(
       documents(s, dir).select($"doc_id", length($"text").cast(LongType).as("len")),
       Seq("doc_id"))
@@ -561,6 +570,101 @@ object LlmText {
       .join(canon, Seq("cluster_id"))
       .select($"cluster_id", $"n_docs", $"members", $"canonical_doc")
       .orderBy($"cluster_id")
+  }
+
+  // ------------------------------------------------- dedup: incremental clusters
+  /** Incremental cluster MAINTENANCE — the third member of the incremental
+    * trio ([[dedupIncremental]] gates delta admission, q_ann_ivf_incremental
+    * admits delta vectors; this keeps the CLUSTER table current): a standing
+    * corpus's near-dup clusters must absorb a delta ingest without
+    * re-clustering the corpus. Base = doc_id below the cut (⌊max·4/5⌋,
+    * ids are ingest order), delta = the top 20%.
+    *
+    * Two properties make this delta-sized where a daily full recluster is
+    * corpus-sized:
+    *
+    *  1. **Pair discovery**: every new pair involves a delta doc, so the
+    *     probe side of the prefix inverted index is DELTA prefixes only;
+    *     the corpus-sized index side is Bloom-pruned by the delta's probe
+    *     shingles before the exchange ([[graft.tables.Layout
+    *     .bloomPrefilter]] — the q_dedup_incremental machinery, with the
+    *     index widened to all docs so delta×delta dups are caught too).
+    *     Base×base pairs are never re-formed.
+    *  2. **Label merge on the REDUCED graph**: base endpoints collapse to
+    *     their standing component label (yesterday's persisted label
+    *     table — simulated inline here, as q_dedup_incremental simulates
+    *     its persisted index), so the merge CC runs over |delta pairs|
+    *     edges between supernodes, not the corpus pair graph. Hash-min
+    *     labels are min-reachable-vertex ids, so collapsing a component to
+    *     its (minimal) label and re-running CC over the reduced edges
+    *     yields exactly the full-graph min — the output is hash-IDENTICAL
+    *     to [[dedupCluster]] (same DuckDB closure oracle; equivalence also
+    *     unit-asserted), while the delta work is bounded by today's batch.
+    *
+    * Base components untouched by the delta keep their labels without a
+    * single shuffle row; components bridged by a delta doc (including
+    * base⇝base merges through a delta chain) take the min of the merged
+    * labels — the same id the full recluster would assign. */
+  def dedupClusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("cut"))
+    val docSh = graft.tables.Layout.materialize(
+      docs.crossJoin(broadcast(cut))
+        .select($"doc_id", $"cut",
+          graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+        .where(size($"sh_arr") > 0)
+        .select($"doc_id", $"cut",
+          size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr"))
+    def prefix(df: DataFrame, id: String, n: String): DataFrame =
+      df.select(col("doc_id").as(id), col("n_sh").as(n),
+        explode(slice(col("sh_arr"), lit(1), (col("n_sh") / 2 + 1).cast("int"))).as("shingle"))
+    def candidates(idx: DataFrame, probe: DataFrame): DataFrame =
+      idx.join(probe, Seq("shingle"))
+        .where($"doc_a" < $"doc_b" &&
+          $"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
+        .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
+        .drop("_c")
+    def verified(cands: DataFrame): DataFrame =
+      cands
+        .join(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
+        .join(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
+        .withColumn("n_shared",
+          graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
+        .where($"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared") >= 0.5)
+        .select($"doc_a", $"doc_b")
+    // yesterday's persisted state, simulated inline: base pairs + labels
+    val basePairs = graft.tables.Layout.materialize(verified(candidates(
+      prefix(docSh.where($"doc_id" < $"cut"), "doc_a", "n_a"),
+      prefix(docSh.where($"doc_id" < $"cut"), "doc_b", "n_b"))))
+    val baseLabels = Graph.connectedComponents(basePairs)
+      .select($"vertex".as("doc_id"), $"component".as("lbl0"))
+    // today's work: delta probes the Bloom-pruned full index
+    val probe = prefix(docSh.where($"doc_id" >= $"cut"), "doc_b", "n_b")
+    val idx = graft.tables.Layout.bloomPrefilter(
+      prefix(docSh, "doc_a", "n_a"), probe.select($"shingle"),
+      "shingle", 1L << 20, 0.03)
+    val deltaPairs = graft.tables.Layout.materialize(verified(candidates(idx, probe)))
+    // reduced graph: base endpoints collapse to their standing label;
+    // self-edges (both ends already in one base component) drop
+    val edges = deltaPairs
+      .join(baseLabels.select($"doc_id".as("doc_a"), $"lbl0".as("la")), Seq("doc_a"), "left")
+      .join(baseLabels.select($"doc_id".as("doc_b"), $"lbl0".as("lb")), Seq("doc_b"), "left")
+      .select(coalesce($"la", $"doc_a").as("u"), coalesce($"lb", $"doc_b").as("v"))
+      .where($"u" =!= $"v")
+    val merged = Graph.connectedComponents(edges)
+      .select($"vertex".as("lbl0"), $"component".as("lbl1"))
+    val vertices = basePairs.select($"doc_a".as("doc_id"))
+      .unionByName(basePairs.select($"doc_b".as("doc_id")))
+      .unionByName(deltaPairs.select($"doc_a".as("doc_id")))
+      .unionByName(deltaPairs.select($"doc_b".as("doc_id")))
+      .distinct()
+    val labels = vertices
+      .join(baseLabels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl0", $"doc_id").as("lbl0"))
+      .join(merged, Seq("lbl0"), "left")
+      .select($"doc_id", coalesce($"lbl1", $"lbl0").as("label"))
+    clusterReport(s, dir, labels)
   }
 
   val dedupClusterSql: String =
@@ -1218,6 +1322,7 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_cluster"       -> (dedupCluster _),
+    "q_dedup_cluster_incremental" -> (dedupClusterIncremental _),
     "q_decontaminate"       -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_decontaminate_report" -> (decontaminateReport _),
@@ -1244,6 +1349,9 @@ object LlmText {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_incremental"   -> dedupIncrementalSql,
     "q_dedup_cluster"       -> dedupClusterSql,
+    // the maintenance path must land on the SAME table as a full recluster:
+    // the oracle is the full-closure SQL verbatim
+    "q_dedup_cluster_incremental" -> dedupClusterSql,
     "q_decontaminate"       -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql,
     "q_decontaminate_report" -> decontaminateReportSql,

@@ -213,6 +213,43 @@ class MiniOpsSpec extends SparkTestBase {
     assert(rows === Seq((1L, 3L, "1/2/3", 2L), (10L, 2L, "10/11", 10L)))
   }
 
+  test("incremental clustering: delta bridges merge base components; output = full recluster") {
+    // ids 1..11 → cut = 8: base = {1..4}, delta = {9, 10, 11}.
+    // Base state: {1,2} and {3,4} are separate components — J(2,3) = 1/5
+    // (shingles {abc,bcd,cde} vs {cde,def,efg}), under the 0.5 gate.
+    // Delta doc 9 = "a b c d e f g" (shingles = the union, 5) bridges
+    // them: J(9,2) = J(9,3) = 3/5 — a base⇝base merge through a delta
+    // doc, the case a naive "attach delta to nearest base cluster" scheme
+    // gets wrong. 10/11 are exact dups of each other only (a pure
+    // delta×delta pair).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_cluster").toString
+    Seq(
+      (1L, "a b c d", "en", "s", 7L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "c d e f g", "en", "s", 9L),
+      (4L, "c d e f", "en", "s", 7L),
+      (9L, "a b c d e f g", "en", "s", 13L),
+      (10L, "p q r s", "en", "s", 7L),
+      (11L, "p q r s", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    val inc = LlmText.dedupClusterIncremental(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    val full = LlmText.dedupCluster(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(inc === full, "incremental maintenance drifted from the full recluster")
+    // the bridge really merged the two base components
+    val bridged = inc.find(_._1 === 1L).getOrElse(fail("cluster 1 missing"))
+    assert(bridged._3.split("/").toSet === Set("1", "2", "3", "4", "9"),
+      s"base components not merged through the delta bridge: ${bridged._3}")
+  }
+
+  test("incremental clustering on the corpus: hash-identical to the full recluster") {
+    val inc = LlmText.dedupClusterIncremental(spark, dir).collect().map(_.toString).toSeq
+    val full = LlmText.dedupCluster(spark, dir).collect().map(_.toString).toSeq
+    assert(inc === full)
+  }
+
   test("simhash: identical docs get hamming distance 0 (planted)") {
     val pairs = LlmText.dedupSimhash(spark, dir).collect()
     // sanity only: every emitted candidate pair has hamming <= 8 and a<b
