@@ -659,11 +659,14 @@ object LlmText {
       .unionByName(deltaPairs.select($"doc_a".as("doc_id")))
       .unionByName(deltaPairs.select($"doc_b".as("doc_id")))
       .distinct()
-    val labels = vertices
+    // pinned: clusterReport consumes the label assignment twice (canonical
+    // window + member aggregate); unpinned, the vertices-distinct and both
+    // label joins re-execute per consumer
+    val labels = graft.tables.Layout.materialize(vertices
       .join(baseLabels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl0", $"doc_id").as("lbl0"))
       .join(merged, Seq("lbl0"), "left")
-      .select($"doc_id", coalesce($"lbl1", $"lbl0").as("label"))
+      .select($"doc_id", coalesce($"lbl1", $"lbl0").as("label")))
     clusterReport(s, dir, labels)
   }
 

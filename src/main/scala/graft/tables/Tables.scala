@@ -26,17 +26,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
-    * outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as a long, then rebuild a
-    * proper TimestampType via integer ns→µs division — integer `div`, not
-    * `/`, because ~1.7e18 ns exceeds double's 53-bit mantissa and float
-    * division would corrupt sub-second precision. All engine code downstream
-    * sees a plain µs timestamp column (floor-truncated, matching how DuckDB
-    * compares at ≥1s granularity under rule R3). */
+  /** `events.ts` has shipped in two physical layouts across driver testdata
+    * generations, so the loader adapts to the file actually present:
+    *   - parquet TIMESTAMP(NANOS) (rounds 1-9), which Spark 4.x rejects
+    *     outright ([PARQUET_TYPE_ILLEGAL]): read nanos as a long, then
+    *     rebuild a TimestampType via integer ns→µs division — integer
+    *     `div`, not `/`, because ~1.7e18 ns exceeds double's 53-bit
+    *     mantissa and float division would corrupt sub-second precision;
+    *   - parquet TIMESTAMP(MICROS) (round 10+), which arrives as a
+    *     timestamp already — only normalized NTZ→session-TZ (UTC here, so
+    *     the same instant DuckDB sees) for one downstream type.
+    * Either way engine code sees a plain µs TimestampType column
+    * (floor-truncated, matching how DuckDB compares at ≥1s granularity
+    * under rule R3). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
