@@ -561,9 +561,158 @@ object Curation {
     "q_embed_quantize" -> (embedQuantize _),
     "q_agg_mode"       -> (aggMode _),
     "q_agg_approx_quantile" -> (aggApproxQuantile _),
+    "q_quality_gopher" -> (qualityGopher _),
+    "q_curriculum_order" -> (curriculumOrder _),
     "q_regex_extract"  -> (regexExtract _))
 
+  // ---------------------------------------------------------------- gopher gate
+  /** Composite quality GATE (r10) — the Gopher-/RefinedWeb-style rule
+    * battery as one row-local pass: per doc, four independent rules and
+    * the conjunction that decides admission to the training mix. The
+    * per-signal scores exist elsewhere (q_text_quality, q_quality_*);
+    * this is the DECISION table a curation pipeline actually materializes
+    * — which rule killed a doc, so the corpus loss is attributable per
+    * rule, not just a survivor list.
+    *
+    * Rules (thresholds sit inside this data's real spread, so each rule
+    * genuinely fires): word count in [30,90]; mean word length in
+    * [3.8,5.2]; unique-word ratio ≥ 0.35; contains the stopword "the".
+    * Every gate compares EXACT INTEGERS (the ratio thresholds are
+    * cross-multiplied: swl·10 ≥ n·38, nu·100 ≥ n·35) — no float
+    * equality at a rule boundary can flip between engines (R2
+    * discipline applied to booleans). Scale: map-only over the scan —
+    * no shuffle, no UDF; the only exchange is the output sort. */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split(trim($"text"), " ")
+    val n = size(tk).cast(LongType)
+    val swl = length(trim($"text")).cast(LongType) - (n - lit(1)) // Σ word chars
+    val nu = size(array_distinct(tk)).cast(LongType)
+    val okWords = n >= 30L && n <= 90L
+    val okLen = swl * 10L >= n * 38L && swl * 10L <= n * 52L
+    val okUniq = nu * 100L >= n * 35L
+    val okStop = array_contains(tk, "the")
+    documents(s, dir).select(
+      $"doc_id", n.as("n_words"),
+      round(swl.cast("double") / n, 4).as("avg_word_len"),
+      round(nu.cast("double") / n, 4).as("uniq_ratio"),
+      okWords.as("ok_words"), okLen.as("ok_word_len"),
+      okUniq.as("ok_uniq"), okStop.as("ok_stopword"),
+      (okWords && okLen && okUniq && okStop).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityGopherSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+      |    CAST(LENGTH(trim(text)) AS BIGINT) AS lt
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+      |    lt - (CAST(len(tk) AS BIGINT) - 1) AS swl,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS nu,
+      |    list_contains(tk, 'the') AS has_stop
+      |  FROM t)
+      |SELECT doc_id, n AS n_words,
+      |  ROUND(CAST(swl AS DOUBLE) / n, 4) AS avg_word_len,
+      |  ROUND(CAST(nu AS DOUBLE) / n, 4) AS uniq_ratio,
+      |  (n >= 30 AND n <= 90) AS ok_words,
+      |  (swl * 10 >= n * 38 AND swl * 10 <= n * 52) AS ok_word_len,
+      |  (nu * 100 >= n * 35) AS ok_uniq,
+      |  has_stop AS ok_stopword,
+      |  ((n >= 30 AND n <= 90) AND (swl * 10 >= n * 38 AND swl * 10 <= n * 52)
+      |    AND (nu * 100 >= n * 35) AND has_stop) AS keep
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- curriculum
+  /** Quality-curriculum schedule (r10): order the corpus for training so
+    * every consecutive block of 10 steps carries one doc from each quality
+    * decile (anti-curriculum mixing — the standard defense against
+    * early-training distribution skew when data is quality-sorted).
+    * decile = NTILE(10) by (score desc, doc_id); step interleaves
+    * round-robin across deciles: step = (rank_in_decile − 1)·10 + decile.
+    *
+    * Scale shape — NO single-partition window: a global NTILE is a total
+    * order, and the naive plan (empty PARTITION BY) collapses the corpus
+    * into one reducer. The score here is DOMAIN-BOUNDED (score = n_words −
+    * n_stopwords, an exact int ≤ ~100), so global rank decomposes exactly
+    * the same way q_median's histogram selection does: ONE map-side-
+    * partial hash agg builds the ≤100-row score histogram, the driver
+    * prefix-sums it into per-score rank bases (bounded driver state,
+    * aggregate-step contract), and each row's global rank = base(score) +
+    * row_number within its score partition. NTILE's big-tiles-first
+    * arithmetic ((q+1)-sized tiles for the first n mod 10, q-sized after)
+    * is then row-local integer math on that rank — bit-identical to the
+    * window NTILE the oracle runs. Residual skew is bounded by the score
+    * DOMAIN (≥ ~90 partitions), not by the corpus; finer scores widen it.
+    *
+    * Determinism: rank ties cannot exist (doc_id breaks them inside each
+    * score partition); all steps are exact ints (R1/R2). */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split(trim($"text"), " ")
+    val n = size(tk).cast(LongType)
+    val stop = size(filter(tk, x => x === "the" || x === "a")).cast(LongType)
+    val scored = documents(s, dir).select($"doc_id", (n - stop).as("score"))
+    // ≤ |score domain| rows: exact histogram → driver prefix sums. The
+    // collect is bounded by the score domain (~100), never the corpus.
+    val hist = scored.groupBy($"score").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    val bases: Map[Long, Long] =
+      hist.scanLeft((Long.MaxValue, 0L)) { case ((_, acc), (sc, c)) =>
+        (sc, acc + c)
+      }.sliding(2).collect { case Array((_, b), (sc, _)) => sc -> b }
+        .toMap // score -> # docs with strictly higher score
+    val baseCase = hist.map(_._1).tail.foldLeft(
+      when($"score" === hist.head._1, lit(bases(hist.head._1)))) {
+      case (acc, sc) => acc.when($"score" === sc, lit(bases(sc)))
+    }
+    val wScore = Window.partitionBy($"score").orderBy($"doc_id")
+    val q = total / 10L; val m = total % 10L
+    val rnk = (baseCase + row_number().over(wScore)).cast(LongType).as("rnk")
+    val ranked = scored.select($"doc_id", $"score", rnk)
+    // NTILE big-tiles-first arithmetic as row-local integer `div` (never
+    // Column./, which is double division). q = 0 (fewer rows than tiles)
+    // degenerates to tile = rank, matching window NTILE.
+    val tile =
+      if (q == 0L) expr("rnk")
+      else expr(s"CASE WHEN rnk <= ${(q + 1L) * m} THEN (rnk - 1) div ${q + 1L} + 1" +
+        s" ELSE $m + (rnk - 1 - ${(q + 1L) * m}) div $q + 1 END")
+    val tileStart =
+      if (q == 0L) expr("decile")
+      else expr(s"CASE WHEN decile <= $m THEN (decile - 1) * ${q + 1L} + 1" +
+        s" ELSE ${m * (q + 1L)} + (decile - 1 - $m) * $q + 1 END")
+    ranked.withColumn("decile", tile.cast(LongType))
+      .withColumn("step", ($"rnk" - tileStart) * 10L + $"decile")
+      .select($"doc_id", $"score", $"decile", $"step")
+      .orderBy($"step", $"doc_id")
+  }
+
+  val curriculumOrderSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT)
+      |      - CAST(len(list_filter(tk, x -> x = 'the' OR x = 'a')) AS BIGINT)
+      |      AS score
+      |  FROM t),
+      |d AS (
+      |  SELECT doc_id, score,
+      |    NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      |  FROM sc),
+      |r AS (
+      |  SELECT doc_id, score, CAST(decile AS BIGINT) AS decile,
+      |    ROW_NUMBER() OVER (PARTITION BY decile ORDER BY score DESC, doc_id)
+      |      AS rid
+      |  FROM d)
+      |SELECT doc_id, score, decile, (rid - 1) * 10 + decile AS step
+      |FROM r ORDER BY step, doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_quality_gopher" -> qualityGopherSql,
+    "q_curriculum_order" -> curriculumOrderSql,
     "q_skew_diagnose"  -> skewDiagnoseSql,
     "q_text_pii_mask"  -> piiMaskSql,
     "q_sample_hash"    -> sampleHashSql,

@@ -804,6 +804,96 @@ object LlmVector {
       |  CAST(SUM(dall) AS BIGINT) AS s_all
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- PCA
+  /** Distributed PCA projection (r10) — embedding whitening/compression,
+    * the dimensionality-reduction member of the vector family: top-2
+    * principal components of the embedding cloud, every vector projected
+    * onto them. At 100 TB this is the one-pass + row-local shape you want:
+    * the corpus is touched twice total, never shuffled.
+    *
+    * Pass 1 (training): ONE `treeAggregate` over the scan accumulates the
+    * d first-moment and d(d+1)/2 second-moment sums as QUANTIZED int64
+    * (⌊x·10⁷⌋ / ⌊x·x·10⁶⌋ per row, then integer addition — associative, so
+    * the sums are bit-reproducible under any partition order; the same R4
+    * discipline the k-means trainer uses, at quantization levels that
+    * hold trillion-row corpora inside int64). Driver state is 64 + 2080
+    * longs — the aggregate-step contract — from which the driver builds
+    * the covariance E[xxᵀ]−μμᵀ and runs 60 deterministic power-iteration
+    * steps (fixed e₁-ish init, Hotelling deflation for PC2, sign fixed by
+    * the largest-|coordinate| convention), all on a 64×64 matrix: k×d
+    * driver flops, same contract as the centroid trainers.
+    *
+    * Pass 2 (serving): projection is a row-local ordered `aggregate` fold
+    * over zip_with(x, literal component) (R4), minus the driver-constant
+    * μ·v term — no UDF, no join, no shuffle; the output sort is the only
+    * exchange. Rows-only contract (an eigensolve is not SQL-expressible);
+    * PcaSpec asserts the invariants that matter: unit-norm orthogonal
+    * components, Var(pc1) ≥ Var(pc2), Var(pc1) ≥ every coordinate-axis
+    * variance (PCA optimality over the axis basis), centered projections,
+    * and run-to-run determinism. */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val nPairs = dim * (dim + 1) / 2
+    val e = embeddings(s, dir).select($"vec_id", $"embedding".cast("array<float>"))
+    def pidx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
+    val (sm, sp, n) = e.select($"embedding").queryExecution.toRdd.treeAggregate(
+      (new Array[Long](dim), new Array[Long](nPairs), 0L))(
+      { case ((m, p, c), row) =>
+        val arr = row.getArray(0)
+        var i = 0
+        while (i < dim) {
+          val xi = arr.getFloat(i).toDouble
+          m(i) += math.floor(xi * 1e7).toLong
+          var j = i
+          while (j < dim) {
+            p(pidx(i, j)) += math.floor(xi * arr.getFloat(j).toDouble * 1e6).toLong
+            j += 1
+          }
+          i += 1
+        }
+        (m, p, c + 1L)
+      },
+      { case ((m1, p1, c1), (m2, p2, c2)) =>
+        var i = 0
+        while (i < dim) { m1(i) += m2(i); i += 1 }
+        var k = 0
+        while (k < nPairs) { p1(k) += p2(k); k += 1 }
+        (m1, p1, c1 + c2)
+      })
+    val mu = sm.map(_.toDouble / 1e7 / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      sp(pidx(a, b)).toDouble / 1e6 / n - mu(i) * mu(j)
+    }
+    def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum); v.map(_ / nn)
+    }
+    def signFix(v: Array[Double]): Array[Double] = {
+      val k = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
+      if (v(k) < 0) v.map(x => -x) else v
+    }
+    def powerIter(a: Array[Array[Double]]): (Array[Double], Double) = {
+      var v = normalize(Array.tabulate(dim)(i => if (i == 0) 1.0 else 1e-3))
+      for (_ <- 0 until 60) v = normalize(matVec(a, v))
+      val av = matVec(a, v)
+      (signFix(v), (0 until dim).map(i => v(i) * av(i)).sum) // Rayleigh λ
+    }
+    val (v1, l1) = powerIter(cov)
+    val deflated = Array.tabulate(dim, dim)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
+    val (v2, _) = powerIter(deflated)
+    def proj(v: Array[Double]): Column = {
+      val c = (0 until dim).map(i => mu(i) * v(i)).sum // driver-constant μ·v
+      aggregate(
+        zip_with($"embedding", typedLit(v.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, t) => acc + t) - lit(c)
+    }
+    e.select($"vec_id", round(proj(v1), 4).as("pc1"), round(proj(v2), 4).as("pc2"))
+      .orderBy($"vec_id")
+  }
+
   /** Frame sampling over opaque payloads — the video/audio keyframe-
     * extraction plumbing of a multimodal pipeline, with a deterministic
     * frame model standing in for the codec (fixed 256-byte frames, every
@@ -851,6 +941,7 @@ object LlmVector {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_frame_sample"    -> (mmFrameSample _),
     "q_embed_centroid"     -> (embedCentroid _),
+    "q_embed_pca"          -> (embedPca _),
     "q_sim_cosine_topk"    -> (simCosineTopk _),
     "q_embed_norm"         -> (embedNorm _),
     "q_multimodal_join"    -> (multimodalJoin _),

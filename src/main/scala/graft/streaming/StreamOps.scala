@@ -289,6 +289,44 @@ object StreamOps {
   def perplexityServe(docs: DataFrame, model: DataFrame): DataFrame =
     graft.ops.LlmText.perplexityScore(graft.ops.LlmText.docTokens(docs), model)
 
+  /** Streaming decontamination gate (r10) — the ingest-time twin of
+    * q_decontaminate: train docs ARRIVE as a stream, the held-out
+    * benchmark set is frozen, and every arriving doc emits its
+    * contaminated 5-gram hashes before it can enter the corpus (gate at
+    * ingest, where batch decontamination is a day-later sweep).
+    *
+    * Shape mirrors the batch pipeline exactly: row-local 5-gram explode →
+    * xxhash64 (8-byte keys, the gram string never leaves the map stage) →
+    * the distributed-built broadcast Bloom kills non-hits row-locally
+    * ([[graft.tables.Layout.bloomPrefilter]] — the probe expression is
+    * stateless, so it gates a stream as readily as a batch) → exact
+    * stream⋈static LEFT SEMI against the distinct eval-hash set confirms
+    * survivors (stateless per micro-batch; the static side is
+    * benchmark-sized). Append mode, no watermark needed — nothing here
+    * holds state, so ingest-rate spikes cost no memory. Aggregating the
+    * emitted (doc_id, ghash) pairs reproduces the batch query's per-doc
+    * counts (asserted in StreamingSpec against q_decontaminate's frame). */
+  def decontaminateServe(train: DataFrame, evalDocs: DataFrame,
+                         expectedGrams: Long = 1 << 16): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val t = split(trim(col("text")), " ")
+      val n = size(t)
+      df.select(col("doc_id"),
+        explode(when(n >= 5,
+          transform(sequence(lit(1), n - 4),
+            i => array_join(slice(t, i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    }
+    val evalHashes = grams(evalDocs)
+      .select(xxhash64(col("gram")).as("ghash")).distinct()
+    val probe = grams(train)
+      .select(col("doc_id"), xxhash64(col("gram")).as("ghash"))
+    graft.tables.Layout
+      .bloomPrefilter(probe, evalHashes, "ghash", expectedGrams, 0.01)
+      .join(evalHashes, Seq("ghash"), "left_semi")
+      .select(col("doc_id"), col("ghash"))
+  }
+
   /** Streaming ANN serve (r9) — live query vectors against a FROZEN IVF
     * index: the online half of the ANN story, completing the frozen-model
     * serve family ([[perplexityServe]] serves a language model; this

@@ -442,4 +442,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"),
       "packing collapsed to one reducer — it must stay per-partition")
   }
+
+  test("q_quality_gopher: the gate is map-only — no shuffle below the output sort") {
+    val p = planOf(SparkEntry.queries("q_quality_gopher")(spark, dir))
+    assert(nodeIds(p, "Window").isEmpty && nodeIds(p, "HashAggregate").isEmpty,
+      "a per-doc rule battery needs no aggregation or window")
+    // the output total-order sort is the ONLY exchange
+    val exs = nodeIds(p, "Exchange")
+    assert(exs.size <= 1, s"gate plan shuffles more than the output sort:\n$p")
+    assert(!p.contains("UDF"), "rule evaluation fell out of codegen")
+  }
+
+  test("q_curriculum_order: global NTILE decomposes — no single-partition window") {
+    val p = planOf(SparkEntry.queries("q_curriculum_order")(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      "curriculum rank collapsed the corpus into one reducer — the histogram " +
+        "decomposition must keep the window partitioned by score")
+    assert(p.contains("ntile") == false, "NTILE must be row-local rank arithmetic here")
+    val wins = nodeIds(p, "Window")
+    assert(wins.nonEmpty, s"expected the per-score row_number window:\n$p")
+  }
+
+  test("q_embed_pca: serving is row-local — projection plan has no join, no agg, one sort exchange") {
+    val p = planOf(SparkEntry.queries("q_embed_pca")(spark, dir))
+    assert(nodeIds(p, "Join").isEmpty && !p.contains("Join"),
+      "projection must not join components to vectors — they are literals")
+    assert(nodeIds(p, "HashAggregate").isEmpty,
+      "projection must not aggregate — training already happened in its own pass")
+    val exs = nodeIds(p, "Exchange")
+    assert(exs.size <= 1, s"projection shuffles beyond the output sort:\n$p")
+  }
 }

@@ -617,6 +617,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_stream_decontaminate: streamed train docs emit exactly the batch contamination hits") {
+    val dir = sf("sf0.001")
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val in = MemoryStream[(Long, String)]
+    val sink = nextSink()
+    val q = StreamOps.decontaminateServe(
+      in.toDF().toDF("doc_id", "text"), docs.where($"source" === "src0"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    val feed = docs.where($"source" =!= "src0").select($"doc_id", $"text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    try {
+      val (a, b) = feed.splitAt(feed.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      // append mode emits one row per gram OCCURRENCE; the batch query
+      // counts DISTINCT gram hashes per doc — distinct before comparing
+      val got = spark.table(sink).as[(Long, Long)].collect().toSeq
+        .distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val want = graft.ops.LlmText.decontaminate(spark, dir)
+        .as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(want.nonEmpty, "fixture must contain contaminated docs")
+      assert(got === want,
+        "streamed hit set must equal the batch decontamination frame")
+    } finally q.stop()
+  }
+
   test("s_text_perplexity: streamed docs score bitwise-equal to the batch query under the frozen model") {
     val dir = sf("sf0.001")
     val docs = graft.tables.Tables.documents(spark, dir)
