@@ -833,11 +833,35 @@ object LlmVector {
     * and run-to-run determinism. */
   def embedPca(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val e = embeddings(s, dir).select($"vec_id", $"embedding".cast("array<float>"))
+    val (mu, v1, v2) = pcaComponents(e)
+    e.select($"vec_id",
+        round(pcaProjection($"embedding", mu, v1), 4).as("pc1"),
+        round(pcaProjection($"embedding", mu, v2), 4).as("pc2"))
+      .orderBy($"vec_id")
+  }
+
+  /** Row-local PCA projection of `x` onto frozen component `v` with mean
+    * `mu`: ordered `aggregate` fold over zip_with against the LITERAL
+    * component (R4) minus the driver-constant μ·v — no join, no shuffle,
+    * stateless, so it serves batch and stream identically. */
+  private[graft] def pcaProjection(x: Column, mu: Array[Double],
+                                   v: Array[Double]): Column = {
+    val c = v.indices.map(i => mu(i) * v(i)).sum // driver-constant μ·v
+    aggregate(
+      zip_with(x, typedLit(v.toSeq), (xi, w) => xi.cast("double") * w),
+      lit(0.0), (acc, t) => acc + t) - lit(c)
+  }
+
+  /** PCA training pass — (μ, v1, v2) from one treeAggregate of quantized
+    * int64 moment sums + a driver 64×64 eigensolve (see [[embedPca]]).
+    * Exposed so the streaming serve twin projects under the same FROZEN
+    * components the batch query trains. */
+  private[graft] def pcaComponents(e: DataFrame): (Array[Double], Array[Double], Array[Double]) = {
     val dim = 64
     val nPairs = dim * (dim + 1) / 2
-    val e = embeddings(s, dir).select($"vec_id", $"embedding".cast("array<float>"))
     def pidx(i: Int, j: Int): Int = i * dim - i * (i - 1) / 2 + (j - i)
-    val (sm, sp, n) = e.select($"embedding").queryExecution.toRdd.treeAggregate(
+    val (sm, sp, n) = e.select(col("embedding")).queryExecution.toRdd.treeAggregate(
       (new Array[Long](dim), new Array[Long](nPairs), 0L))(
       { case ((m, p, c), row) =>
         val arr = row.getArray(0)
@@ -884,14 +908,7 @@ object LlmVector {
     val (v1, l1) = powerIter(cov)
     val deflated = Array.tabulate(dim, dim)((i, j) => cov(i)(j) - l1 * v1(i) * v1(j))
     val (v2, _) = powerIter(deflated)
-    def proj(v: Array[Double]): Column = {
-      val c = (0 until dim).map(i => mu(i) * v(i)).sum // driver-constant μ·v
-      aggregate(
-        zip_with($"embedding", typedLit(v.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, t) => acc + t) - lit(c)
-    }
-    e.select($"vec_id", round(proj(v1), 4).as("pc1"), round(proj(v2), 4).as("pc2"))
-      .orderBy($"vec_id")
+    (mu, v1, v2)
   }
 
   /** Frame sampling over opaque payloads — the video/audio keyframe-

@@ -289,6 +289,23 @@ object StreamOps {
   def perplexityServe(docs: DataFrame, model: DataFrame): DataFrame =
     graft.ops.LlmText.perplexityScore(graft.ops.LlmText.docTokens(docs), model)
 
+  /** Streaming PCA projection serve (r10) — live vectors projected under
+    * FROZEN principal components: the dimensionality-reduction member of
+    * the frozen-model serve family ([[perplexityServe]] serves a language
+    * model, [[annServe]] a coarse quantizer, this the PCA basis that
+    * q_embed_pca trains offline). The projection is the batch query's own
+    * row-local literal-component fold ([[graft.ops.LlmVector
+    * .pcaProjection]]) — stateless, no join, no aggregate — so streamed
+    * rows are BITWISE the batch frame's rows (asserted in StreamingSpec).
+    * Append mode; nothing holds state. */
+  def pcaServe(vectors: DataFrame, mu: Array[Double],
+               v1: Array[Double], v2: Array[Double]): DataFrame =
+    vectors.select(col("vec_id"),
+      round(graft.ops.LlmVector.pcaProjection(
+        col("embedding").cast("array<float>"), mu, v1), 4).as("pc1"),
+      round(graft.ops.LlmVector.pcaProjection(
+        col("embedding").cast("array<float>"), mu, v2), 4).as("pc2"))
+
   /** Streaming decontamination gate (r10) — the ingest-time twin of
     * q_decontaminate: train docs ARRIVE as a stream, the held-out
     * benchmark set is frozen, and every arriving doc emits its

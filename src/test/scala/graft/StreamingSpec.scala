@@ -617,6 +617,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_embed_pca_serve: streamed vectors project bitwise-equal to the batch query under the frozen basis") {
+    val dir = sf("sf0.001")
+    val e = graft.tables.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<float>"))
+    val (mu, v1, v2) = graft.ops.LlmVector.pcaComponents(e)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val sink = nextSink()
+    val q = StreamOps.pcaServe(in.toDF().toDF("vec_id", "embedding"), mu, v1, v2)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    val feed = e.as[(Long, Seq[Float])].collect().sortBy(_._1).take(40)
+    try {
+      in.addData(feed.take(20).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(feed.drop(20).toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table(sink).as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      val want = graft.ops.LlmVector.embedPca(spark, dir)
+        .as[(Long, Double, Double)].collect().filter(r => got.contains(r._1))
+      assert(want.length === feed.length)
+      want.foreach { w => assert(got(w._1) === w,
+        s"streamed projection ${got(w._1)} != batch $w") }
+    } finally q.stop()
+  }
+
   test("s_stream_decontaminate: streamed train docs emit exactly the batch contamination hits") {
     val dir = sf("sf0.001")
     val docs = graft.tables.Tables.documents(spark, dir)
