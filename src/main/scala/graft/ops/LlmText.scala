@@ -63,6 +63,80 @@ object LlmText {
       |WHERE text LIKE '%spark%'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- BM25
+  /** BM25 ranked retrieval (r10) — the RANKED search q_text_search's LIKE
+    * scan cannot give: top-20 docs for a 3-term query under Okapi BM25
+    * (k1 = 1.2, b = 0.75), the inverted-index scoring a corpus search
+    * service actually runs.
+    *
+    * Exactness discipline (the q_text_perplexity/q_corpus_drift pattern):
+    * idf quantizes ONCE per term — floor(ln((N−df+½)/(df+½)+1)·10⁶) int64 —
+    * and the tf normalization is cross-multiplied into exact-int numerator
+    * 22·tf·L and denominator 10·tf·L + 3·L + 9·dl·N (multiply through by
+    * 10·L with avgdl = L/N; k1, b become the integer coefficients), so the
+    * per-(doc, term) contribution is ONE double multiply + divide + floor
+    * over exactly-representable operands — bit-identical in any engine —
+    * and the per-doc score is an exact int64 SUM in any shuffle order.
+    *
+    * Scale: terms filter to the query list IMMEDIATELY after the explode,
+    * so only query-term rows ever aggregate (the per-(doc,term) tf agg has
+    * map-side partials); df and the (N, L) totals are term-count- and
+    * one-row-sized broadcasts; top-20 is TakeOrderedAndProject, never a
+    * global sort. */
+  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qTerms = Seq("spark", "window", "join")
+    val docs = documents(s, dir)
+    val t = toks($"text")
+    val base = docs.select($"doc_id", size(t).cast(LongType).as("dl"), t.as("tk"))
+    val totals = base.agg(count(lit(1)).as("nn"), sum($"dl").as("ll"))
+    val tf = base.select($"doc_id", $"dl", explode($"tk").as("term"))
+      .where($"term".isin(qTerms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(max($"dl").as("dl"), count(lit(1)).as("tf"))
+    val dft = tf.groupBy($"term").agg(count(lit(1)).as("dfc"))
+    val idfQ = floor(
+      log(($"nn" - $"dfc" + lit(0.5)) / ($"dfc" + lit(0.5)) + lit(1.0)) * 1e6)
+      .cast(LongType)
+    val contrib = floor(
+      idfQ.cast("double") * (lit(22L) * $"tf" * $"ll").cast("double") /
+        (lit(10L) * $"tf" * $"ll" + lit(3L) * $"ll" + lit(9L) * $"dl" * $"nn")
+          .cast("double")).cast(LongType)
+    tf.join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", contrib.as("contrib"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score_q"))
+      .select($"doc_id", $"n_terms", $"score_q",
+        round($"score_q".cast("double") / 1e6, 4).as("score"))
+      .orderBy($"score_q".desc, $"doc_id")
+      .limit(20)
+  }
+
+  val searchBm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+      |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM d),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS ll FROM base),
+      |tkx AS (SELECT doc_id, dl, unnest(tk) AS term FROM base),
+      |tf AS (
+      |  SELECT doc_id, term, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tkx WHERE term IN ('spark', 'window', 'join')
+      |  GROUP BY doc_id, term),
+      |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT f.doc_id,
+      |    CAST(FLOOR(
+      |      CAST(CAST(FLOOR(LN((t.nn - x.dfc + 0.5) / (x.dfc + 0.5) + 1.0) * 1000000) AS BIGINT) AS DOUBLE)
+      |      * CAST(22 * f.tf * t.ll AS DOUBLE)
+      |      / CAST(10 * f.tf * t.ll + 3 * t.ll + 9 * f.dl * t.nn AS DOUBLE)
+      |    ) AS BIGINT) AS contrib
+      |  FROM tf f JOIN dft x ON f.term = x.term CROSS JOIN tot t)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(contrib) AS BIGINT) AS score_q,
+      |  ROUND(CAST(SUM(contrib) AS DOUBLE) / 1000000, 4) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- tokens
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (runs-of-letters | runs-of-digits | single other char). */
@@ -1314,6 +1388,7 @@ object LlmText {
     "q_text_wordcount"      -> (textWordcount _),
     "q_text_stats"          -> (textStats _),
     "q_text_search"         -> (textSearch _),
+    "q_search_bm25"         -> (searchBm25 _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_subwords"       -> (textSubwords _),
     "q_text_quality"        -> (textQuality _),
@@ -1344,6 +1419,7 @@ object LlmText {
     "q_text_wordcount"      -> Relational.flatmapExplodeSql,
     "q_text_stats"          -> textStatsSql,
     "q_text_search"         -> textSearchSql,
+    "q_search_bm25"         -> searchBm25Sql,
     "q_text_tokens"         -> textTokensSql,
     "q_text_subwords"       -> textSubwordsSql,
     "q_text_quality"        -> textQualitySql,

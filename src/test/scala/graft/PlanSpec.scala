@@ -463,6 +463,22 @@ class PlanSpec extends SparkTestBase {
     assert(wins.nonEmpty, s"expected the per-score row_number window:\n$p")
   }
 
+  test("q_search_bm25: query-term filter below the tf aggregate; top-20 fuses; stats broadcast") {
+    val p = planOf(SparkEntry.queries("q_search_bm25")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "ranked top-20 must fuse — a global Sort over scored docs appeared")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "tf/score aggregation lost its map-side partials")
+    // the IN-list gate must run in the same stage as the explode (below
+    // any Exchange): only query-term rows may shuffle
+    val gen = nodeIds(p, "Generate")
+    val exs = nodeIds(p, "Exchange")
+    assert(gen.nonEmpty && exs.nonEmpty && gen.min < exs.min,
+      s"explode(Generate ${gen.headOption}) not below the first Exchange(${exs.headOption})")
+    assert(nodeIds(p, "BroadcastExchange").nonEmpty,
+      "df/totals stats must broadcast, never shuffle the scored side")
+  }
+
   test("q_embed_pca: serving is row-local — projection plan has no join, no agg, one sort exchange") {
     val p = planOf(SparkEntry.queries("q_embed_pca")(spark, dir))
     assert(nodeIds(p, "Join").isEmpty && !p.contains("Join"),
