@@ -163,13 +163,63 @@ object Scans {
       |FROM zt GROUP BY zblock ORDER BY zblock""".stripMargin
   }
 
+  // ---------------------------------------------------------------- text sources
+  /** CSV source round-trip (r10) — the delimited-text file source every
+    * Flink learning repo starts from (readTextFile / CsvTableSource): the
+    * documents table writes as quoted CSV into the per-PID warehouse and
+    * reads back through `spark.read.csv` with an EXPLICIT schema (no
+    * inference pass — schema inference is a second full scan at 100 TB),
+    * header on, quoting exercised by the free-text column. The contract
+    * output is the round-tripped table itself in total order, so the
+    * DuckDB twin (reading the ORIGINAL parquet) hash-matching cell-exactly
+    * PROVES format fidelity for every value, not just row counts. */
+  def scanCsv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s.conf.get("spark.sql.warehouse.dir") + "/roundtrip_csv"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    documents(s, dir).select(cols.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("header", "true")
+      .csv(out)
+      .orderBy($"doc_id")
+  }
+
+  val scanCsvSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** JSONL source round-trip (r10) — the other ubiquitous text format
+    * (line-delimited JSON, the interchange format of most LLM data
+    * pipelines): same fidelity contract as [[scanCsv]], explicit schema
+    * (a JSON inference pass reads the corpus twice), read back in total
+    * order and hash-matched against the original parquet via DuckDB. */
+  def scanJsonl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s.conf.get("spark.sql.warehouse.dir") + "/roundtrip_jsonl"
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    documents(s, dir).select(cols.map(col): _*)
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(out)
+      .orderBy($"doc_id")
+  }
+
+  val scanJsonlSql: String = scanCsvSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_csv"         -> (scanCsv _),
+    "q_scan_jsonl"       -> (scanJsonl _),
     "q_scan_parquet"     -> (scanParquet _),
     "q_scan_union_files" -> (scanUnionFiles _),
     "q_layout_zorder"    -> (layoutZorder _),
     "q_layout_compaction" -> (layoutCompaction _))
 
   def oracle: Map[String, String] = Map(
+    "q_scan_csv"         -> scanCsvSql,
+    "q_scan_jsonl"       -> scanJsonlSql,
     "q_scan_parquet"     -> scanParquetSql,
     "q_scan_union_files" -> scanUnionFilesSql,
     "q_layout_zorder"    -> layoutZorderSql,
