@@ -726,8 +726,39 @@ object LlmText {
       .join(baseLabels.select($"doc_id".as("doc_b"), $"lbl0".as("lb")), Seq("doc_b"), "left")
       .select(coalesce($"la", $"doc_a").as("u"), coalesce($"lb", $"doc_b").as("v"))
       .where($"u" =!= $"v")
-    val merged = Graph.connectedComponents(edges)
-      .select($"vertex".as("lbl0"), $"component".as("lbl1"))
+    // The reduced graph is DELTA-BOUNDED by construction (every edge
+    // touches a delta doc; base endpoints are collapsed to one node per
+    // standing cluster), so in the daily-ingest regime it is orders of
+    // magnitude below the corpus. Hybrid merge — the design real
+    // incremental-CC systems use: below the bound, a driver union-find
+    // over the collected reduced edges (bounded driver state, the
+    // aggregate-step contract; min-id roots reproduce the distributed
+    // loop's component convention exactly); above it — an adversarial
+    // delta that touches corpus-scale clusters — the shared O(log d)
+    // distributed loop. Either path yields identical labels; the full-
+    // recluster oracle verifies both.
+    val reduced = graft.tables.Layout.materialize(edges)
+    val merged: DataFrame =
+      if (reduced.count() <= 100000L) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = a
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        reduced.collect().foreach { row =>
+          val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+          // union by MIN id so every root is its component's minimum —
+          // the distributed hash-min loop's exact convention
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+        }
+        val nodes = parent.keySet.toSeq.sorted
+        s.createDataset(nodes.map(v => (v, find(v))))
+          .toDF("lbl0", "lbl1").where($"lbl0" =!= $"lbl1")
+      } else Graph.connectedComponents(reduced)
+        .select($"vertex".as("lbl0"), $"component".as("lbl1"))
     val vertices = basePairs.select($"doc_a".as("doc_id"))
       .unionByName(basePairs.select($"doc_b".as("doc_id")))
       .unionByName(deltaPairs.select($"doc_a".as("doc_id")))
