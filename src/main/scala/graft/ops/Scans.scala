@@ -209,7 +209,37 @@ object Scans {
 
   val scanJsonlSql: String = scanCsvSql
 
+  // ---------------------------------------------------------------- partition pruning
+  /** Partition-pruned scan (r10) — the remaining member of the layout
+    * trio (q_join_bucketed co-locates joins, q_layout_zorder interleaves
+    * scan dims; this is hive-style directory partitioning, the first
+    * layout decision any 100 TB table makes): documents written
+    * `partitionBy(lang)`, then a lang-filtered aggregate whose physical
+    * scan lists ONLY the matching partition directory — the filter shows
+    * under `PartitionFilters` (not data filters), so pruning happens at
+    * file-listing time, before a single row or footer of the other
+    * partitions is read (plan-asserted in PlanSpec). The oracle reads the
+    * ORIGINAL unpartitioned parquet with a WHERE — identical results
+    * prove the partitioned layout loses nothing. */
+  def scanPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s.conf.get("spark.sql.warehouse.dir") + "/part_docs"
+    documents(s, dir).write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .where($"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"source")
+  }
+
+  val scanPartitionPruneSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_partition_prune" -> (scanPartitionPrune _),
     "q_scan_csv"         -> (scanCsv _),
     "q_scan_jsonl"       -> (scanJsonl _),
     "q_scan_parquet"     -> (scanParquet _),
@@ -218,6 +248,7 @@ object Scans {
     "q_layout_compaction" -> (layoutCompaction _))
 
   def oracle: Map[String, String] = Map(
+    "q_scan_partition_prune" -> scanPartitionPruneSql,
     "q_scan_csv"         -> scanCsvSql,
     "q_scan_jsonl"       -> scanJsonlSql,
     "q_scan_parquet"     -> scanParquetSql,

@@ -463,6 +463,15 @@ class PlanSpec extends SparkTestBase {
     assert(wins.nonEmpty, s"expected the per-score row_number window:\n$p")
   }
 
+  test("q_scan_partition_prune: the lang filter prunes at file-listing time, not row time") {
+    val p = planOf(SparkEntry.queries("q_scan_partition_prune")(spark, dir))
+    assert(p.contains("PartitionFilters"), s"scan has no partition filters:\n$p")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("lang"), s"lang filter did not reach PartitionFilters: $pf")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "aggregate lost its map-side partials")
+  }
+
   test("q_search_bm25: query-term filter below the tf aggregate; top-20 fuses; stats broadcast") {
     val p = planOf(SparkEntry.queries("q_search_bm25")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"),
