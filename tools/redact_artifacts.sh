@@ -8,7 +8,7 @@
 # contains it literally (otherwise the script itself becomes a hit).
 set -euo pipefail
 cd "$(git rev-parse --show-toplevel)"
-HOST="$(printf 'artifactory.%s.ant.%s' infra dev)"
+HOST="$(printf 'arti%s.infra.ant.%s' factory dev)"
 MASK='redacted-internal-host.invalid'
 for f in LEAKCHECK.json ADVICE.md VERDICT.md; do
   if [ -f "$f" ] && grep -qF "$HOST" "$f"; then
