@@ -44,6 +44,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Rows-only queries have no DuckDB oracle; emit their measured bounds
+    // (recall/rank-ε/envelope/determinism, thresholds mirroring the specs)
+    // so the driver grades them instead of recording `no_oracle` blindly.
+    // Skipped in filtered dev runs; never fails the verify dump.
+    if (only.isEmpty) try {
+      val inv = Invariants.toJson(sfDir, Invariants.compute(spark, sfDir))
+      Files.writeString(Paths.get(s"$outDir/invariants.json"), inv + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] invariants emission failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -29,7 +29,7 @@ class PatternModifierSpec extends SparkTestBase {
     .followedBy("c")(_.event_type == "C")
     .within(h)
 
-  test("optional: consumed when present (greedy), skipped when absent") {
+  test("s_cep_modifiers optional: consumed when present (greedy), skipped when absent") {
     assert(matchIds(optPat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "C")))
       === Seq(Seq(1L, 2L, 3L)))
     assert(matchIds(optPat, Seq(mk(1, 1, "A"), mk(2, 2, "C"))) === Seq(Seq(1L, 2L)))

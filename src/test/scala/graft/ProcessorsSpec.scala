@@ -80,7 +80,7 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("dataflow equivalence: streaming funnel settles to exactly batch q_funnel_order") {
+  test("s_stream_funnel: streaming funnel settles to exactly batch q_funnel_order (dataflow equivalence)") {
     val dir = sf("sf0.001")
     val batch = graft.ops.Advanced.funnelOrder(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSet
@@ -123,7 +123,7 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("dataflow equivalence: streaming temporal join settles to the as-of reference (reversed replay)") {
+  test("s_join_temporal: streaming temporal join settles to the as-of reference (reversed replay)") {
     val dir = sf("sf0.001")
     val evs = graft.tables.Tables.events(spark, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
@@ -543,7 +543,7 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("Pattern builder: matchBatch == one-shot reference over real events (q_cep_pattern_seq backing)") {
+  test("s_cep_pattern_builder: matchBatch == one-shot reference over real events (q_cep_pattern_seq backing)") {
     val dir = sf("sf0.001")
     val pat = Pattern
       .begin("signup")(_.event_type == "signup")
