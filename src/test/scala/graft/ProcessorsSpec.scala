@@ -389,6 +389,51 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("s_checkpoint_recovery (timers): a timer registered before restart fires after it, " +
+       "with no further input to its key, exactly once") {
+    // The exactly-once claim that matters for the CEP/temporal family
+    // (VERDICT r10 #5): not just VALUE state but REGISTERED TIMERS must
+    // survive a stop→restart. The window key gets events (arming its
+    // window-close timer) only BEFORE the restart; afterwards only
+    // watermark-advancing traffic in far-later windows arrives. The sole
+    // path to an emission for that window is the restored timer firing
+    // against restored MapState — if either is lost, the assertion times
+    // out empty; if the batch replays, the row would double.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_timer").toString
+    val winMs = 60 * 60000L
+    val in = MemoryStream[Event]
+    def build() = in.toDS().withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(e => e.ts.getTime - (e.ts.getTime % winMs))
+      .transformWithState(new HotItemsProcessor(topN = 2, windowSizeMs = winMs),
+        TimeMode.EventTime(), OutputMode.Append())
+    def e(id: Long, min: Int, typ: String) = Event(id, ts(min), 1L, typ, 1.0)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_timer_out").toString
+    def start() = build().writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData(e(1, 61, "view"), e(2, 75, "view"), e(3, 80, "click"))
+    q1.processAllAvailable() // timer for window [60,120) now registered
+    q1.stop()
+    val q2 = start()
+    try {
+      // watermark past 120 via a disjoint window; the armed window gets nothing
+      in.addData(e(4, 300, "view")); q2.processAllAvailable()
+      in.addData(e(5, 301, "view")); q2.processAllAvailable()
+      def rows() = spark.read.parquet(outDir).as[HotItem].collect()
+        .filter(_.window_start_ms == ts(60).getTime)
+      val deadline = System.currentTimeMillis() + 10000
+      while (rows().isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q2.processAllAvailable()
+      }
+      assert(rows().sortBy(_.rank).toSeq === Seq(
+        HotItem(ts(60).getTime, 1L, "view", 2L),
+        HotItem(ts(60).getTime, 2L, "click", 1L)),
+        "restored timer must fire once against restored counts — no loss, no dupe")
+    } finally q2.stop()
+  }
+
   test("dataflow equivalence: streaming hot-items over replayed events == batch q_hot_items") {
     val dir = sf("sf0.001")
     val winMs = 60 * 60000L
