@@ -645,7 +645,80 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** ALTERNATION MATCH_RECOGNIZE contract (r11): `signup (click|view)
+    * purchase` — the SQL PATTERN `(A|B)` construct (flink-cep: a stage
+    * with an OR'd simple condition), compiled from the string surface via
+    * the `(a|b)` group grammar. The group desugars to ONE stage whose
+    * predicate is the OR of the member DEFINEs, so matcher semantics
+    * (greedy, no-reuse, relaxed contiguity) are untouched.
+    *
+    * Oracle validity: the monotone-picks exchange argument of
+    * [[cepPatternSeq]] needs each stage's ACCEPTED SET to be disjoint
+    * from every other stage's — it never needs one accepted TYPE per
+    * stage. {click,view} ∩ {signup} = {click,view} ∩ {purchase} = ∅, so
+    * the recursive CTE replays the engine with the middle pick's type
+    * test widened to `IN ('click','view')` — the only change vs the
+    * 3-stage sequence oracle. */
+  def cepAlternation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern.matchRecognize("signup (click|view) purchase within 24h")(
+      "signup"   -> ((e: Event) => e.event_type == "signup"),
+      "click"    -> ((e: Event) => e.event_type == "click"),
+      "view"     -> ((e: Event) => e.event_type == "view"),
+      "purchase" -> ((e: Event) => e.event_type == "purchase"))
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click", "view", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepAlternationSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click','view','purchase')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS b_t, CAST(-1 AS BIGINT) AS b_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS c_t, CAST(-1 AS BIGINT) AS c_id
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1,
+      |    nxt.h_t, nxt.h_id, nxt.b_t, nxt.b_id, nxt.c_t, nxt.c_id
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |           b2.t AS b_t, b2.id AS b_id, c3.t AS c_t, c3.id AS c_id
+      |    FROM ev e1,
+      |      LATERAL (
+      |        SELECT e2.t, e2.event_id AS id FROM ev e2
+      |        WHERE e2.user_id = e1.user_id AND e2.event_type IN ('click','view')
+      |          AND (e2.t > e1.t OR (e2.t = e1.t AND e2.event_id > e1.event_id))
+      |          AND (e2.t > m.b_t OR (e2.t = m.b_t AND e2.event_id > m.b_id))
+      |          AND e2.t <= e1.t + 86400000
+      |        ORDER BY e2.t, e2.event_id LIMIT 1) b2,
+      |      LATERAL (
+      |        SELECT e3.t, e3.event_id AS id FROM ev e3
+      |        WHERE e3.user_id = e1.user_id AND e3.event_type = 'purchase'
+      |          AND (e3.t > b2.t OR (e3.t = b2.t AND e3.event_id > b2.id))
+      |          AND (e3.t > m.c_t OR (e3.t = m.c_t AND e3.event_id > m.c_id))
+      |          AND e3.t <= e1.t + 86400000
+      |        ORDER BY e3.t, e3.event_id LIMIT 1) c3
+      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, c_t AS last_ms,
+      |  CAST(h_id AS VARCHAR) || '/' || CAST(b_id AS VARCHAR) || '/'
+      |    || CAST(c_id AS VARCHAR) AS ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cep_alternation"   -> (cepAlternation _),
     "q_cep_quantified"    -> (cepQuantified _),
     "q_cep_guarded"       -> (cepGuarded _),
     "q_cep_match_recognize" -> (cepMatchRecognize _),
@@ -663,6 +736,7 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,
     "q_cep_guarded"      -> cepGuardedSql,
     "q_cep_match_recognize" -> cepGuardedSql,

@@ -176,6 +176,8 @@ object Pattern {
   private val DurRe = """(\d+)(ms|s|m|h|d)""".r
   private val NegRe = """!([A-Za-z_][A-Za-z0-9_]*)""".r
   private val SymRe = """([A-Za-z_][A-Za-z0-9_]*)(\?|\{(\d+)\}|\{(\d+),(\d+)\})?""".r
+  private val AltRe = """\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)(\?|\{(\d+)\}|\{(\d+),(\d+)\})?""".r
+  private val BareAltRe = """([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)""".r
 
   /** MATCH_RECOGNIZE-lite: compile a SQL-PATTERN-clause-flavored string
     * spec to a [[Pattern]], with the symbol→predicate map playing the
@@ -195,6 +197,14 @@ object Pattern {
     *   - `sym?`         optional stage       (builder `.optional`)
     *   - `sym{n}`       exactly n            (builder `.times(n)`)
     *   - `sym{a,b}`     between a and b      (builder `.times(a, b)`)
+    *   - `(a|b)`        ALTERNATION: one stage accepting either symbol
+    *                    (SQL PATTERN `(A|B)`), desugared to a single stage
+    *                    whose predicate is the OR of the member DEFINEs —
+    *                    so every downstream semantics (greedy consumption,
+    *                    guards, quantifiers, the matcher core) is
+    *                    untouched. Quantifiers bind the whole group:
+    *                    `(a|b)?`, `(a|b){2}`, `(a|b){1,3}`. Bare `a|b`
+    *                    (no parens) is accepted when unquantified.
     *   - `!sym`         gap guard before the next positive stage
     *                    (builder `notFollowedBy`)
     *   - `within <n><ms|s|m|h|d>`  horizon, must be the final two tokens
@@ -233,19 +243,35 @@ object Pattern {
     }
     require(patToks.nonEmpty, "empty pattern spec")
     var pat: Pattern = null
+    // alternation: OR the member DEFINEs into one stage predicate; the
+    // stage keeps the group spelling as its name
+    def altPred(syms: String): Event => Boolean = {
+      val members = syms.split('|').toSeq
+      require(members.distinct.size == members.size,
+        s"duplicate symbol in alternation ($syms)")
+      val preds = members.map(predOf)
+      e => preds.exists(_(e))
+    }
+    def addStage(name: String, pred: Event => Boolean,
+                 quant: String, n: String, from: String, to: String): Unit = {
+      pat = if (pat == null) begin(name)(pred) else pat.followedBy(name)(pred)
+      quant match {
+        case null => ()
+        case "?" => pat = pat.optional
+        case _ if n != null => pat = pat.times(n.toInt)
+        case _ => pat = pat.times(from.toInt, to.toInt)
+      }
+    }
     patToks.foreach {
       case NegRe(sym) =>
         require(pat != null, "a pattern cannot start with a !guard")
         pat = pat.notFollowedBy(sym)(predOf(sym))
+      case AltRe(syms, quant, n, from, to) =>
+        addStage(syms, altPred(syms), quant, n, from, to)
+      case BareAltRe(syms) =>
+        addStage(syms, altPred(syms), null, null, null, null)
       case SymRe(sym, quant, n, from, to) =>
-        pat = if (pat == null) begin(sym)(predOf(sym))
-              else pat.followedBy(sym)(predOf(sym))
-        quant match {
-          case null => ()
-          case "?" => pat = pat.optional
-          case _ if n != null => pat = pat.times(n.toInt)
-          case _ => pat = pat.times(from.toInt, to.toInt)
-        }
+        addStage(sym, predOf(sym), quant, n, from, to)
       case t if t.exists(c => c == '+' || c == '*') =>
         throw new IllegalArgumentException(
           s"unbounded quantifier in '$t': the bounded-desugar matcher has no +/* form — use {a,b}")

@@ -131,4 +131,43 @@ class MatchRecognizeSpec extends SparkTestBase {
     val p = Pattern.matchRecognize("signup !error click")(defs: _*)
     assert(p.compiled.map(_.negs.size) === Seq(0, 1))
   }
+
+  test("alternation (a|b): one stage, OR'd predicate — parsed == hand-built OR on a planted stream") {
+    // q_cep_alternation backing: (click|promo) must consume whichever
+    // member arrives first, greedily, exactly like a builder stage with an
+    // explicit OR predicate
+    val evs = Seq(
+      mk(1, 1, "signup"), mk(2, 2, "promo"), mk(3, 3, "click"),  // match 1: 1/2 (promo first)
+      mk(4, 10, "signup"), mk(5, 11, "click"),                   // match 2: 4/5
+      mk(6, 30, "signup"), mk(7, 31, "error"))                   // no member -> no match
+    val parsed = Pattern.matchRecognize("signup (click|promo) within 1h")(defs: _*)
+    val built = Pattern
+      .begin("signup")(_.event_type == "signup")
+      .followedBy("click|promo")(e => e.event_type == "click" || e.event_type == "promo")
+      .within(3600000L)
+    def run(p: Pattern): Seq[Seq[Long]] =
+      p.matchBatch(spark.createDataset(evs)).collect()
+        .sortBy(_.first_ms).map(_.event_ids.toSeq).toSeq
+    assert(run(parsed) === Seq(Seq(1L, 2L), Seq(4L, 5L)))
+    assert(run(parsed) === run(built))
+  }
+
+  test("alternation groups take quantifiers; bare a|b parses unquantified; malformed groups fail") {
+    def stages(p: Pattern): Seq[Boolean] = p.compiled.map(_.optional)
+    // (a|b){1,3} == one required + two trailing optional replicas
+    assert(stages(Pattern.matchRecognize("signup (click|promo){1,3}")(defs: _*)) ===
+      Seq(false, false, true, true))
+    assert(stages(Pattern.matchRecognize("signup (click|promo)?")(defs: _*)) ===
+      Seq(false, true))
+    // bare (unparenthesized, unquantified) alternation is the same stage
+    assert(stages(Pattern.matchRecognize("signup click|promo")(defs: _*)) ===
+      Seq(false, false))
+    def bad(spec: String): String =
+      intercept[IllegalArgumentException](
+        Pattern.matchRecognize(spec)(defs: _*)).getMessage
+    assert(bad("signup (click|mystery)").contains("no DEFINE entry"))
+    assert(bad("signup (click|click)").contains("duplicate symbol"))
+    assert(bad("signup click|promo{1,3}").contains("unparseable"),
+      "a quantifier on a bare alternation is ambiguous and must be rejected (use parens)")
+  }
 }
