@@ -654,24 +654,55 @@ object Curation {
     val n = size(tk).cast(LongType)
     val stop = size(filter(tk, x => x === "the" || x === "a")).cast(LongType)
     val scored = documents(s, dir).select($"doc_id", (n - stop).as("score"))
-    // ≤ |score domain| rows: exact histogram → driver prefix sums. The
-    // collect is bounded by the score domain (~100), never the corpus.
-    val hist = scored.groupBy($"score").agg(count(lit(1)).as("c"))
+    val histDf = scored.groupBy($"score").agg(count(lit(1)).as("c"))
+    // Driver-CASE branch budget (ADVICE r10 #3): the ~100-score domain is
+    // a property of THIS corpus, not of the operator — a long-doc corpus
+    // inflates driver state and codegen CASE size without bound. Above the
+    // cap (test-overridable), the same rank decomposition runs with the
+    // bases joined in instead of compiled in.
+    val domainCap = sys.props.get("graft.curriculum.maxCaseBranches")
+      .map(_.toInt).getOrElse(512)
+    // limit(cap+1): the collect stays bounded even when the domain isn't
+    val hist = histDf.limit(domainCap + 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
-    val total = hist.map(_._2).sum
-    val bases: Map[Long, Long] =
-      hist.scanLeft((Long.MaxValue, 0L)) { case ((_, acc), (sc, c)) =>
-        (sc, acc + c)
-      }.sliding(2).collect { case Array((_, b), (sc, _)) => sc -> b }
-        .toMap // score -> # docs with strictly higher score
-    val baseCase = hist.map(_._1).tail.foldLeft(
-      when($"score" === hist.head._1, lit(bases(hist.head._1)))) {
-      case (acc, sc) => acc.when($"score" === sc, lit(bases(sc)))
-    }
     val wScore = Window.partitionBy($"score").orderBy($"doc_id")
+    val (ranked, total) =
+      if (hist.isEmpty) { // empty corpus: empty schedule, same schema
+        (scored.select($"doc_id", $"score", lit(0L).as("rnk")), 0L)
+      } else if (hist.length <= domainCap) {
+        // ≤ |score domain| rows: exact histogram → driver prefix sums, the
+        // bases compiled into one bounded CASE (codegen, no join).
+        val bases: Map[Long, Long] =
+          hist.scanLeft((Long.MaxValue, 0L)) { case ((_, acc), (sc, c)) =>
+            (sc, acc + c)
+          }.sliding(2).collect { case Array((_, b), (sc, _)) => sc -> b }
+            .toMap // score -> # docs with strictly higher score
+        val baseCase = hist.map(_._1).tail.foldLeft(
+          when($"score" === hist.head._1, lit(bases(hist.head._1)))) {
+          case (acc, sc) => acc.when($"score" === sc, lit(bases(sc)))
+        }
+        val rnk = (baseCase + row_number().over(wScore)).cast(LongType).as("rnk")
+        (scored.select($"doc_id", $"score", rnk), hist.map(_._2).sum)
+      } else {
+        // domain exceeded the driver budget: identical rank decomposition,
+        // bases from a prefix-sum window over the HISTOGRAM relation
+        // (|distinct scores| rows through one reducer — bounded by the
+        // domain, never the corpus) joined back on score.
+        val wHist = Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bases = histDf
+          .withColumn("base", coalesce(sum($"c").over(wHist), lit(0L)))
+          .select($"score", $"base")
+        (scored.join(bases, Seq("score"))
+          .select($"doc_id", $"score",
+            ($"base" + row_number().over(wScore)).cast(LongType).as("rnk")),
+          scored.count())
+      }
+    if (total == 0L)
+      return ranked.select($"doc_id", $"score",
+        lit(0L).as("decile"), lit(0L).as("step"))
+        .orderBy($"step", $"doc_id")
     val q = total / 10L; val m = total % 10L
-    val rnk = (baseCase + row_number().over(wScore)).cast(LongType).as("rnk")
-    val ranked = scored.select($"doc_id", $"score", rnk)
     // NTILE big-tiles-first arithmetic as row-local integer `div` (never
     // Column./, which is double division). q = 0 (fewer rows than tiles)
     // degenerates to tile = rank, matching window NTILE.

@@ -177,11 +177,29 @@ object Scans {
     import s.implicits._
     val out = s.conf.get("spark.sql.warehouse.dir") + "/roundtrip_csv"
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // Write/read options pinned SYMMETRICALLY (ADVICE r10 #1): free text
+    // may contain record delimiters, quotes, backslashes, or be null/empty
+    // — fidelity must come from the options, not from the current corpus
+    // happening to avoid those characters. multiLine on the read parses
+    // quoted embedded newlines (costs splittability on that file — an
+    // accepted trade for a correctness-checked round-trip; the 100 TB scan
+    // path is parquet, q_scan_parquet); explicit escape pins the
+    // quote-escape convention on both sides; nullValue/emptyValue keep
+    // NULL distinct from '' through the text form.
+    // Shared: \N null sentinel; whitespace preserved (the writer TRIMS
+    // trailing whitespace by default — a silent corruption).
+    val opts = Map("header" -> "true", "quote" -> "\"", "escape" -> "\\",
+      "nullValue" -> "\\N",
+      "ignoreLeadingWhiteSpace" -> "false", "ignoreTrailingWhiteSpace" -> "false")
     documents(s, dir).select(cols.map(col): _*)
-      .write.mode("overwrite").option("header", "true").csv(out)
+      .write.mode("overwrite")
+      // empty string written QUOTED ("") — unquoted empty reads back as
+      // null, erasing the ''/NULL distinction the \N sentinel preserves
+      .options(opts + ("emptyValue" -> "\"\""))
+      .csv(out)
     s.read
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .option("header", "true")
+      .options(opts + ("multiLine" -> "true", "emptyValue" -> ""))
       .csv(out)
       .orderBy($"doc_id")
   }

@@ -113,6 +113,23 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_curriculum_order: join-based fallback == driver-CASE path; empty corpus yields empty schedule") {
+    val dir = sf("sf0.001")
+    val normal = Curation.curriculumOrder(spark, dir).collect().map(_.toString).toSeq
+    // cap 1 forces every real corpus over the branch budget → join path
+    System.setProperty("graft.curriculum.maxCaseBranches", "1")
+    try {
+      val fallback = Curation.curriculumOrder(spark, dir).collect().map(_.toString).toSeq
+      assert(fallback === normal, "join-based rank bases drifted from the compiled CASE")
+    } finally System.clearProperty("graft.curriculum.maxCaseBranches")
+    // empty documents table: no rows, no NoSuchElementException
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curr_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    assert(Curation.curriculumOrder(spark, tmp).count() === 0L)
+  }
+
   test("q_agg_approx_quantile: sketch p50/p95 within 2% of exact percentiles") {
     val dir = sf("sf0.001")
     val approx = Curation.aggApproxQuantile(spark, dir)

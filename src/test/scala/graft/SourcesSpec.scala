@@ -28,6 +28,29 @@ class SourcesSpec extends SparkTestBase {
       df.orderBy($"id").collect().map(_.toSeq).toSeq)
   }
 
+  test("q_scan_csv: round-trip is faithful on adversarial text — newlines, quotes, " +
+       "backslashes, null and empty (ADVICE r10 #1)") {
+    // plant a documents table whose text exercises every CSV hazard the
+    // pinned write/read options must survive; the contract query itself
+    // (not a re-implementation) does the round-trip
+    val tmp = Files.createTempDirectory("graft_csv_adv").toString
+    val docs = Seq(
+      (1L, "plain text", "en", "s", 10L),
+      (2L, "embedded\nnewline\r\nand crlf", "en", "s", 25L),
+      (3L, "a \"quoted\" phrase, with commas", "en", "s", 30L),
+      (4L, "back\\slash and trailing space ", "en", "s", 30L),
+      (5L, null.asInstanceOf[String], "en", "s", 0L),
+      (6L, "", "en", "s", 0L),
+      (7L, "the \\N sentinel as real text", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(tmp + "/documents.parquet")
+    val back = graft.ops.Scans.scanCsv(spark, tmp)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val want = docs.orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(back === want, "CSV round-trip corrupted adversarial text")
+  }
+
   test("json sink/source round-trip preserves nested structure") {
     val dir = Files.createTempDirectory("graft_json").toString + "/out"
     val df = Seq((1L, Seq(1, 2), Map("k" -> 9L))).toDF("id", "arr", "m")
