@@ -180,4 +180,43 @@ class PatternModifierSpec extends SparkTestBase {
         s"streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
     } finally q.stop()
   }
+
+  test("streaming processor == matchBatch for an alternation pattern (reversed replay, " +
+       "q_cep_alternation backing)") {
+    // the parsed (click|view) group drives the SAME PosStage model through
+    // transformWithState — the streaming half of the q_cep_alternation
+    // contract, replayed fully reversed
+    val pat = Pattern.matchRecognize("signup (click|view) purchase within 24h")(
+      "signup"   -> ((e: Event) => e.event_type == "signup"),
+      "click"    -> ((e: Event) => e.event_type == "click"),
+      "view"     -> ((e: Event) => e.event_type == "view"),
+      "purchase" -> ((e: Event) => e.event_type == "purchase"))
+    val evs = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .where($"event_type".isin("signup", "click", "view", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val expected = pat.matchBatch(spark.createDataset(evs.toSeq)).collect()
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+    assert(expected.nonEmpty, "alternation pattern should match on sf0.001 events")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = "pat_alt_snk"
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processor, TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val streamed = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+        .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+      assert(streamed === expected,
+        s"alternation streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
 }
