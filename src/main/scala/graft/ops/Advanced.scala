@@ -459,6 +459,117 @@ object Advanced {
       |FROM collapsed
       |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------- interval islands
+  /** Gaps-and-islands interval merge (r11) — the batch face of session
+    * windows when the input is INTERVALS rather than instants: each event
+    * opens a 300 s activity interval [t, t+300), and overlapping/touching
+    * intervals per user coalesce into islands. This is the classic
+    * reservation-merge / uptime-stitching analytic (DuckDB blog's
+    * gaps-and-islands, SQL cookbook staple) and differs from
+    * q_session_window: a session closes on a GAP FROM THE LAST EVENT,
+    * an island closes only when the cumulative max end-time is cleared —
+    * a long interval can bridge events a session gap would split.
+    *
+    * Algorithm (identical in both engines): per user ordered by (t,
+    * event_id), an island starts where t > max(end) over all PRECEDING
+    * rows (cumulative-max window, ROWS UNBOUNDED PRECEDING..1 PRECEDING);
+    * the running sum of starts numbers the islands; a hash agg collapses
+    * each. Determinism: t is integer epoch seconds (R3), all comparisons
+    * exact int64. Scale: one shuffle on user_id, in-partition sort shared
+    * by both windows and the final agg keys prefix-match the sort — no
+    * second exchange; nothing global, no driver state. */
+  def intervalIslands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"))
+      .withColumn("prev_end", max($"t" + 300L).over(wPrev))
+      .withColumn("starts",
+        when($"prev_end".isNull || $"t" > $"prev_end", 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"starts").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"island")
+      .agg(min($"t").as("start_t"), max($"t" + 300L).as("end_t"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_s", $"end_t" - $"start_t")
+      .orderBy($"user_id", $"island")
+  }
+
+  val intervalIslandsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, t,
+      |    CASE WHEN MAX(t + 300) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR t > MAX(t + 300) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS starts
+      |  FROM e),
+      |numbered AS (
+      |  SELECT user_id, t,
+      |    SUM(starts) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  MIN(t) AS start_t, MAX(t + 300) AS end_t, COUNT(*) AS n_events,
+      |  MAX(t + 300) - MIN(t) AS span_s
+      |FROM numbered GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin
+
+  // ---------------------------------------------------------------- path mining
+  /** Clickpath mining (r11) — the behavioral-sequence report funnel/CEP
+    * queries summarize away: the full ordered prefix of each user's event
+    * types as a path string ('signup>click>purchase…'), aggregated to the
+    * top-25 most frequent paths. The path-frequency table is what product
+    * analytics (and curriculum/trace mining over agent logs) actually
+    * reads — q_funnel_order answers "did A<B<C happen", this answers
+    * "WHICH orderings dominate".
+    *
+    * Per user the path is capped at the first 8 events (row_number ≤ 8):
+    * the cap bounds the path string at any corpus scale — without it a
+    * single hot user's path grows with the corpus and the path-string
+    * domain explodes. Ordered aggregation is made deterministic by
+    * collecting (rn, type) structs and array_sort-ing BEFORE the join —
+    * collect_list's arrival order is partition-nondeterministic, the
+    * sorted struct array is not (same discipline as q_array_agg).
+    * Scale: shuffle 1 on user_id (window + agg share it), shuffle 2 on
+    * the path string (bounded domain ≤ |types|^8), top-25 via
+    * TakeOrderedAndProject — no global sort. */
+  def pathMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", epochS($"ts").as("t"))
+      .withColumn("rn", row_number().over(wOrd))
+      .where($"rn" <= 8)
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"rn", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path")
+      .limit(25)
+  }
+
+  val pathMiningSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id,
+      |    string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM e WHERE rn <= 8 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path
+      |LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_scd2"        -> (cdcScd2 _),
     "q_funnel_order"    -> (funnelOrder _),
@@ -472,7 +583,9 @@ object Advanced {
     "q_median"          -> (medianValue _),
     "q_subquery_scalar" -> (subqueryScalar _),
     "q_win_first_last"  -> (winFirstLast _),
-    "q_array_agg"       -> (arrayAgg _))
+    "q_array_agg"       -> (arrayAgg _),
+    "q_interval_islands" -> (intervalIslands _),
+    "q_path_mining"     -> (pathMining _))
 
   def oracle: Map[String, String] = Map(
     "q_cdc_scd2"        -> cdcScd2Sql,
@@ -487,5 +600,7 @@ object Advanced {
     "q_median"          -> medianValueSql,
     "q_subquery_scalar" -> subqueryScalarSql,
     "q_win_first_last"  -> winFirstLastSql,
-    "q_array_agg"       -> arrayAggSql)
+    "q_array_agg"       -> arrayAggSql,
+    "q_interval_islands" -> intervalIslandsSql,
+    "q_path_mining"     -> pathMiningSql)
 }

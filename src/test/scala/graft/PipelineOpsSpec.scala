@@ -332,4 +332,58 @@ class PipelineOpsSpec extends SparkTestBase {
     rows.groupBy(_._1).foreach { case (et, files) =>
       assert(files.map(_._4).sum === raw(et), s"$et: manifest bytes drifted") }
   }
+
+  test("q_interval_islands: islands are maximal merged covers — no gap inside, real gap between") {
+    val rows = Advanced.intervalIslands(spark, dir)
+      .select("user_id", "island", "start_t", "end_t", "n_events", "span_s")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val events = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.groupBy(_._1).foreach { case (u, isles) =>
+      val sorted = isles.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length), s"user $u: island ids not 1..n")
+      sorted.foreach { case (_, _, s0, e0, _, span) =>
+        assert(span === e0 - s0 && span >= 300L, s"user $u: span arithmetic wrong") }
+      // islands are disjoint with a REAL gap between them (else they'd merge)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 > a._4, s"user $u: islands ${a._2},${b._2} overlap/touch — not maximal")
+        case _ => ()
+      }
+      // event conservation + in-island coverage: every event t falls inside exactly one island,
+      // and no within-island gap exceeds the 300 s interval length
+      assert(sorted.map(_._5).sum === events(u).length, s"user $u: events lost")
+      events(u).foreach { t =>
+        assert(sorted.exists(i => t >= i._3 && t + 300 <= i._4), s"user $u: event $t uncovered") }
+      sorted.foreach { case (_, i, s0, e0, _, _) =>
+        val inIsle = events(u).filter(t => t >= s0 && t <= e0 - 300)
+        inIsle.sliding(2).foreach {
+          case Array(x, y) => assert(y - x <= 300, s"user $u island $i: internal gap > interval — should have split")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("q_path_mining: top-25 cut is the true frequency cut and paths recompute brute-force") {
+    val rows = Advanced.pathMining(spark, dir)
+      .select("path", "n_users").as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "not frequency-ordered")
+    // brute-force recompute: first-8 event types per user, ordered by (t, event_id)
+    val paths = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (_, es) =>
+        es.sortBy(e => (e._4, e._2)).take(8).map(_._3).mkString(">") }
+    val freq = paths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (p, n) => assert(freq(p) === n, s"path $p: count drifted") }
+    // the cut is genuine: everything outside the 25 has freq <= the last kept row
+    val kept = rows.map(_._1).toSet
+    val cut = rows.last._2
+    freq.filterNot(kv => kept(kv._1)).foreach { case (p, n) =>
+      assert(n <= cut, s"path $p (n=$n) wrongly excluded from top-25 (cut=$cut)") }
+  }
 }

@@ -497,4 +497,26 @@ class PlanSpec extends SparkTestBase {
     val exs = nodeIds(p, "Exchange")
     assert(exs.size <= 1, s"projection shuffles beyond the output sort:\n$p")
   }
+
+  test("q_interval_islands: one user_id hash shuffle serves both windows AND the island collapse") {
+    val p = planOf(SparkEntry.queries("q_interval_islands")(spark, dir))
+    val hashEx = p.split("""\n\n""").count(b =>
+      b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly 1 hashpartitioning Exchange (cummax window, island sum, groupBy all keyed on user_id); got $hashEx")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+  }
+
+  test("q_path_mining: first-8 cap runs map-side (WindowGroupLimit below the shuffle); top-25 fuses") {
+    val p = planOf(SparkEntry.queries("q_path_mining")(spark, dir))
+    // Spark pushes the rn<=8 filter to a partial WindowGroupLimit BEFORE the
+    // user_id Exchange — only 8 rows per user per input partition shuffle.
+    val wgl = nodeIds(p, "WindowGroupLimit")
+    val exs = nodeIds(p, "Exchange")
+    assert(wgl.nonEmpty && exs.nonEmpty && wgl.min < exs.min,
+      s"path cap not applied map-side: WindowGroupLimit $wgl vs Exchange $exs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-25 paths must fuse — a global Sort over the path table appeared")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+  }
 }
