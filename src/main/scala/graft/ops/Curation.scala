@@ -543,6 +543,169 @@ object Curation {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- c4 gate
+  /** C4-style quality rule battery (r11) — the second classic rule set
+    * next to [[qualityGopher]]'s Gopher battery, re-parameterized to rules
+    * that genuinely fire on this corpus (the C4 paper's literal rules —
+    * terminal punctuation, curly braces, "javascript"/"lorem ipsum" — are
+    * constant on punctuation-free synthetic text and would gate nothing):
+    * ≥3 twelve-word sentence-proxies (n ≥ 36, C4's ≥3-sentence rule); no
+    * in-doc duplicate word trigram (C4's repeated-span dedup at trigram
+    * granularity, row-local); filler-token density 'a' ≤ 5% (boilerplate
+    * density rule); absolute vocabulary ≥ 20 distinct words. Measured
+    * firing rates at sf0.01: 357/473/400/376 of 500 pass per rule, 270
+    * admitted — every rule decides real rows.
+    *
+    * Determinism: rules compare exact integers (density cross-multiplied:
+    * n_a·20 ≤ n), trigram strings are exact joins of exact tokens (R1).
+    * Scale: map-only over the scan — the trigram array is row-local
+    * (bounded by doc length), no shuffle below the output sort, no UDF. */
+  def qualityC4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split(trim($"text"), " ")
+    val n = size(tk).cast(LongType)
+    val nA = size(filter(tk, x => x === "a")).cast(LongType)
+    val nu = size(array_distinct(tk)).cast(LongType)
+    val tris = when(n >= 3L,
+      transform(sequence(lit(1), (n - 2L).cast("int")),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nTri = size(tris).cast(LongType)
+    val uTri = size(array_distinct(tris)).cast(LongType)
+    val okSpan = n >= 36L
+    val okTri = uTri === nTri
+    val okFiller = nA * 20L <= n
+    val okVocab = nu >= 20L
+    documents(s, dir).select(
+      $"doc_id", n.as("n_words"), (nTri - uTri).as("dup_trigrams"),
+      nA.as("n_filler"), nu.as("n_vocab"),
+      okSpan.as("ok_span"), okTri.as("ok_trigram"),
+      okFiller.as("ok_filler"), okVocab.as("ok_vocab"),
+      (okSpan && okTri && okFiller && okVocab).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityC4Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS BIGINT) AS n,
+      |    CAST(len(list_filter(tk, w -> w = 'a')) AS BIGINT) AS n_a,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS nu,
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tris
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, n, n_a, nu,
+      |    CAST(len(tris) AS BIGINT) AS n_tri,
+      |    CAST(len(list_distinct(tris)) AS BIGINT) AS u_tri
+      |  FROM m)
+      |SELECT doc_id, n AS n_words, n_tri - u_tri AS dup_trigrams,
+      |  n_a AS n_filler, nu AS n_vocab,
+      |  (n >= 36) AS ok_span, (u_tri = n_tri) AS ok_trigram,
+      |  (n_a * 20 <= n) AS ok_filler, (nu >= 20) AS ok_vocab,
+      |  ((n >= 36) AND (u_tri = n_tri) AND (n_a * 20 <= n) AND (nu >= 20)) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- entropy
+  /** Per-language token Shannon entropy (r11) — the corpus-diversity
+    * scalar next to q_text_perplexity's per-doc fluency: H = −Σ p·ln p
+    * over the language's unigram distribution, with n_tokens and vocab.
+    * Low entropy per source/language = template/boilerplate collapse; the
+    * number a mixing pipeline tracks per shard before weighting.
+    *
+    * Determinism (the perplexityModel discipline): p = cf/tot is one
+    * correctly-rounded IEEE division of exact int64s; ln is the SINGLE
+    * transcendental, immediately floor(·1e6)-quantized to int64; the
+    * entropy sum Σ cf·lq is then EXACT integer arithmetic (|Σ| ≤
+    * tot·14e6 ≪ 2^63), so shuffle order cannot move the result. h_nats
+    * divides the exact sum back out with one division per group (R4
+    * rounding at the boundary only). Scale: one token pass (map-side
+    * partial counts), per-lang totals via a window over the VOCAB frame
+    * (|langs|·|vocab| rows, never raw tokens), final agg on ≤|langs|
+    * groups. */
+  def statsEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wl = Window.partitionBy($"lang")
+    documents(s, dir)
+      .select($"lang", explode(split(trim($"text"), " ")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("cf"))
+      .withColumn("tot", sum($"cf").over(wl))
+      .withColumn("lq",
+        floor(log($"cf".cast("double") / $"tot".cast("double")) * 1000000.0).cast(LongType))
+      .groupBy($"lang")
+      .agg(max($"tot").as("n_tokens"), count(lit(1)).as("vocab"),
+        (lit(0L) - sum($"cf" * $"lq")).as("h_q"))
+      .select($"lang", $"n_tokens".cast(LongType).as("n_tokens"), $"vocab", $"h_q",
+        round($"h_q".cast("double") / $"n_tokens" / 1000000.0, 4).as("h_nats"))
+      .orderBy($"lang")
+  }
+
+  val statsEntropySql: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+      |t AS (SELECT lang, w FROM w WHERE length(w) > 0),
+      |cf AS (SELECT lang, w, COUNT(*) AS cf FROM t GROUP BY lang, w),
+      |m AS (SELECT lang, cf, CAST(SUM(cf) OVER (PARTITION BY lang) AS BIGINT) AS tot FROM cf),
+      |q AS (
+      |  SELECT lang, cf, tot,
+      |    CAST(FLOOR(ln(CAST(cf AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS lq
+      |  FROM m)
+      |SELECT lang, MAX(tot) AS n_tokens, COUNT(*) AS vocab,
+      |  0 - CAST(SUM(cf * lq) AS BIGINT) AS h_q,
+      |  ROUND((0 - CAST(SUM(cf * lq) AS DOUBLE)) / MAX(tot) / 1000000.0, 4) AS h_nats
+      |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- reservoir
+  /** Stratified priority-sampling reservoir (r11) — weighted top-k
+    * sampling without order statistics on floats: Duffield–Lund–Thorup
+    * priority sampling with priority = w/u for u uniform in (0,1],
+    * keeping the k=100 highest priorities per language. The third member
+    * of the sampling family: q_sample_hash (uniform membership),
+    * q_sample_weighted (Bernoulli importance), this (FIXED-SIZE weighted
+    * without replacement — the shard-budget shape: "100 docs per
+    * language, long docs favored, reproducible").
+    *
+    * Determinism: u is the 24-bit md5 content prefix + 1 (content-keyed,
+    * layout/engine-independent — the q_sample_hash contract), and the
+    * priority is computed as EXACT integer division (w·10^12 div u, max
+    * ~5.5e14 ≪ 2^63) — no float priority, no transcendental, so the
+    * ranking and the cut are bit-identical in any engine. Ties broken by
+    * doc_id. Scale: the rank ≤ 100 filter plans as WindowGroupLimit —
+    * each input partition forwards at most 100 rows per language to the
+    * shuffle, so the reservoir never materializes a stratum. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"prio".desc, $"doc_id")
+    documents(s, dir)
+      .withColumn("u",
+        conv(substring(md5($"text".cast("binary")), 1, 6), 16, 10).cast(LongType) + 1L)
+      .withColumn("prio", expr("(n_chars * 1000000000000L) div u"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 100)
+      .select($"lang", $"rk", $"doc_id", $"n_chars", $"prio")
+      .orderBy($"lang", $"rk")
+  }
+
+  val sampleReservoirSql: String =
+    """WITH s AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(('0x' || substring(md5(text), 1, 6)) AS BIGINT) + 1 AS u
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    (n_chars * 1000000000000) // u AS prio
+      |  FROM s),
+      |r AS (
+      |  SELECT lang, doc_id, n_chars, prio,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rk
+      |  FROM p)
+      |SELECT lang, rk, doc_id, n_chars, CAST(prio AS BIGINT) AS prio
+      |FROM r WHERE rk <= 100
+      |ORDER BY lang, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
@@ -563,7 +726,10 @@ object Curation {
     "q_agg_approx_quantile" -> (aggApproxQuantile _),
     "q_quality_gopher" -> (qualityGopher _),
     "q_curriculum_order" -> (curriculumOrder _),
-    "q_regex_extract"  -> (regexExtract _))
+    "q_regex_extract"  -> (regexExtract _),
+    "q_quality_c4"     -> (qualityC4 _),
+    "q_stats_entropy"  -> (statsEntropy _),
+    "q_sample_reservoir" -> (sampleReservoir _))
 
   // ---------------------------------------------------------------- gopher gate
   /** Composite quality GATE (r10) — the Gopher-/RefinedWeb-style rule
@@ -758,5 +924,8 @@ object Curation {
     "q_unpivot"        -> unpivotMetricsSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_agg_mode"       -> aggModeSql,
-    "q_regex_extract"  -> regexExtractSql)
+    "q_regex_extract"  -> regexExtractSql,
+    "q_quality_c4"     -> qualityC4Sql,
+    "q_stats_entropy"  -> statsEntropySql,
+    "q_sample_reservoir" -> sampleReservoirSql)
 }

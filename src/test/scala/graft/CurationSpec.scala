@@ -232,4 +232,76 @@ class CurationSpec extends SparkTestBase {
       assert(exact.nonEmpty, s"degenerate equivalence (no contamination found) at $d")
     }
   }
+
+  test("q_quality_c4: every rule recomputes brute-force and keep is the exact conjunction") {
+    val dir = sf("sf0.001")
+    val rows = Curation.qualityC4(spark, dir)
+      .select("doc_id", "n_words", "dup_trigrams", "n_filler", "n_vocab",
+        "ok_span", "ok_trigram", "ok_filler", "ok_vocab", "keep")
+      .collect()
+    val texts = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).trim.split(" ", -1)
+      val tris = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) === ws.length, s"doc ${r.getLong(0)}: n_words")
+      assert(r.getLong(2) === tris.length - tris.distinct.length, s"doc ${r.getLong(0)}: dup_trigrams")
+      assert(r.getLong(3) === ws.count(_ == "a"), s"doc ${r.getLong(0)}: n_filler")
+      assert(r.getLong(4) === ws.distinct.length, s"doc ${r.getLong(0)}: n_vocab")
+      assert(r.getBoolean(5) === (ws.length >= 36))
+      assert(r.getBoolean(6) === (tris.distinct.length == tris.length))
+      assert(r.getBoolean(7) === (ws.count(_ == "a") * 20 <= ws.length))
+      assert(r.getBoolean(8) === (ws.distinct.length >= 20))
+      assert(r.getBoolean(9) === (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8)))
+    }
+    // the battery must decide, not rubber-stamp: both verdicts present
+    assert(rows.exists(_.getBoolean(9)) && rows.exists(!_.getBoolean(9)),
+      "keep is constant on this corpus — thresholds no longer inside the data's spread")
+  }
+
+  test("q_stats_entropy: quantized sum recomputes exactly; H within [0, ln(vocab)]") {
+    val dir = sf("sf0.001")
+    val rows = Curation.statsEntropy(spark, dir)
+      .select("lang", "n_tokens", "vocab", "h_q", "h_nats")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val toks = graft.tables.Tables.documents(spark, dir)
+      .select("lang", "text").as[(String, String)].collect()
+      .flatMap { case (l, t) => t.trim.split(" ").filter(_.nonEmpty).map(l -> _) }
+    rows.foreach { case (lang, nTok, vocab, hq, hNats) =>
+      val cf = toks.filter(_._1 == lang).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(cf.values.sum === nTok, s"$lang: token mass")
+      assert(cf.size.toLong === vocab, s"$lang: vocab")
+      val expectHq = -cf.values.map { c =>
+        c * math.floor(math.log(c.toDouble / nTok.toDouble) * 1e6).toLong }.sum
+      assert(hq === expectHq, s"$lang: quantized entropy sum drifted")
+      assert(hNats >= 0.0 && hNats <= math.log(vocab.toDouble) + 1e-4,
+        s"$lang: H=$hNats outside [0, ln($vocab)]")
+    }
+  }
+
+  test("q_sample_reservoir: per-stratum top-100 priorities recompute exactly (integer div, no floats)") {
+    val dir = sf("sf0.001")
+    val rows = Curation.sampleReservoir(spark, dir)
+      .select("lang", "rk", "doc_id", "n_chars", "prio")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("lang", "doc_id", "n_chars", "text").as[(String, Long, Long, String)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (l, id, nc, t) =>
+      val u = java.lang.Long.parseLong(md5hex(t).take(6), 16) + 1L
+      (l, id, nc, nc * 1000000000000L / u)
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy(d => (-d._4, d._2)).take(100).toSeq).toMap
+    rows.groupBy(_._1).foreach { case (lang, got) =>
+      val sorted = got.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.length), s"$lang: ranks not 1..k")
+      assert(sorted.length <= 100)
+      val exp = expected(lang)
+      assert(sorted.map(r => (r._3, r._5)).toSeq === exp.map(e => (e._2, e._4)),
+        s"$lang: reservoir membership/priority drifted from brute-force recompute")
+    }
+  }
 }

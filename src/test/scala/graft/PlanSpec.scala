@@ -498,6 +498,35 @@ class PlanSpec extends SparkTestBase {
     assert(exs.size <= 1, s"projection shuffles beyond the output sort:\n$p")
   }
 
+  test("q_quality_c4: the rule battery is map-only — no shuffle below the output sort") {
+    val p = planOf(SparkEntry.queries("q_quality_c4")(spark, dir))
+    val exs = nodeIds(p, "Exchange")
+    assert(exs.size <= 1, s"rule battery shuffles beyond the output sort:\n$p")
+    assert(nodeIds(p, "HashAggregate").isEmpty && !p.contains("Join"),
+      "row-local rules must not aggregate or join")
+  }
+
+  test("q_stats_entropy: token counts aggregate map-side; lang window runs over the vocab frame") {
+    val p = planOf(SparkEntry.queries("q_stats_entropy")(spark, dir))
+    assert(p.contains("partial_count"), "token counting lost its map-side partials")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+    // the per-lang totals window must consume the AGGREGATED vocab frame:
+    // its Exchange (lang) sits above the (lang, w) count agg, never raw tokens
+    val gen = nodeIds(p, "Generate")
+    val aggs = nodeIds(p, "HashAggregate")
+    assert(gen.nonEmpty && aggs.nonEmpty && gen.min < aggs.min,
+      "explode must feed the count agg directly")
+  }
+
+  test("q_sample_reservoir: the k=100 cut runs map-side (WindowGroupLimit below the shuffle)") {
+    val p = planOf(SparkEntry.queries("q_sample_reservoir")(spark, dir))
+    val wgl = nodeIds(p, "WindowGroupLimit")
+    val exs = nodeIds(p, "Exchange")
+    assert(wgl.nonEmpty && exs.nonEmpty && wgl.min < exs.min,
+      s"reservoir cut not applied map-side: WindowGroupLimit $wgl vs Exchange $exs")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+  }
+
   test("q_interval_islands: one user_id hash shuffle serves both windows AND the island collapse") {
     val p = planOf(SparkEntry.queries("q_interval_islands")(spark, dir))
     val hashEx = p.split("""\n\n""").count(b =>
