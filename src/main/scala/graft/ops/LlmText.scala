@@ -90,11 +90,20 @@ object LlmText {
     val t = toks($"text")
     val base = docs.select($"doc_id", size(t).cast(LongType).as("dl"), t.as("tk"))
     val totals = base.agg(count(lit(1)).as("nn"), sum($"dl").as("ll"))
+    // ONE corpus pass: df(term) is a count window over the ALREADY
+    // AGGREGATED per-(doc, term) tf frame (≤ |matching docs|·|terms|
+    // rows), not a second aggregation of the corpus explode — a separate
+    // dft frame joined back would make Catalyst re-run the explode
+    // (different column pruning per consumer defeats ReusedExchange,
+    // verified via ExplainAudit). The window partitions on term (3 keys
+    // here — bounded by the QUERY, not the corpus, so the skew ceiling is
+    // rows-per-term over the tf frame, which is ≤ |docs| and already
+    // shuffled once).
     val tf = base.select($"doc_id", $"dl", explode($"tk").as("term"))
       .where($"term".isin(qTerms: _*))
       .groupBy($"doc_id", $"term")
       .agg(max($"dl").as("dl"), count(lit(1)).as("tf"))
-    val dft = tf.groupBy($"term").agg(count(lit(1)).as("dfc"))
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy($"term")))
     val idfQ = floor(
       log(($"nn" - $"dfc" + lit(0.5)) / ($"dfc" + lit(0.5)) + lit(1.0)) * 1e6)
       .cast(LongType)
@@ -102,8 +111,7 @@ object LlmText {
       idfQ.cast("double") * (lit(22L) * $"tf" * $"ll").cast("double") /
         (lit(10L) * $"tf" * $"ll" + lit(3L) * $"ll" + lit(9L) * $"dl" * $"nn")
           .cast("double")).cast(LongType)
-    tf.join(broadcast(dft), Seq("term"))
-      .crossJoin(broadcast(totals))
+    tf.crossJoin(broadcast(totals))
       .select($"doc_id", contrib.as("contrib"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_terms"), sum($"contrib").as("score_q"))
@@ -1437,7 +1445,160 @@ object LlmText {
       |  ROUND(CAST(chars AS DOUBLE) / CAST(SUM(chars) OVER () AS DOUBLE), 6) AS share_chars
       |FROM g ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- chunking
+  /** Sliding-window chunking (r11) — the RAG/context-window splitter: each
+    * doc's token stream cut into windows of 40 tokens with stride 30
+    * (overlap 10), emitted as (doc_id, chunk_id, start_tok, n_tokens,
+    * chunk_hash). The chunk table is what an embedding/indexing pipeline
+    * materializes from a corpus — one row per model-sized piece,
+    * content-addressed so downstream dedup/caching keys on the hash, not
+    * the text.
+    *
+    * Chunk count = 1 for n ≤ 40, else 1 + ⌈(n−40)/30⌉ — the last window
+    * may be short but always carries ≥10 new tokens (no fully-contained
+    * tail chunks). Determinism: chunk boundaries are exact integer
+    * arithmetic; the hash is md5 of the exact ' '-joined token slice (R1).
+    * Scale: per-row sequence + posexplode (codegen, no UDF) — output is a
+    * ~n/30-fold row expansion but each row is O(window) bounded; no
+    * shuffle below the output sort. */
+  def chunkSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = toks($"text")
+    documents(s, dir)
+      .select($"doc_id", tk.as("tk"), size(tk).cast(LongType).as("n"))
+      .withColumn("nc",
+        expr("case when n <= 40 then 1 else 1 + (n - 11) div 30 end"))
+      .select($"doc_id", $"tk", $"n",
+        explode(sequence(lit(0L), $"nc" - 1L)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        ($"chunk_id" * 30L).as("start_tok"),
+        least(lit(40L), $"n" - $"chunk_id" * 30L).as("n_tokens"),
+        md5(array_join(slice($"tk", ($"chunk_id" * 30L + 1L).cast("int"), lit(40)), " ")
+          .cast("binary")).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val chunkSlidingSql: String =
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+      |c AS (
+      |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+      |    CASE WHEN len(tk) <= 40 THEN 1
+      |         ELSE 1 + (CAST(len(tk) AS BIGINT) - 11) // 30 END AS nc
+      |  FROM t),
+      |x AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS chunk_id FROM c)
+      |SELECT doc_id, chunk_id, chunk_id * 30 AS start_tok,
+      |  LEAST(CAST(40 AS BIGINT), n - chunk_id * 30) AS n_tokens,
+      |  md5(array_to_string(tk[chunk_id*30+1 : chunk_id*30+40], ' ')) AS chunk_hash
+      |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- rank fusion
+  /** Reciprocal-rank-fusion hybrid retrieval (r11) — the RAG answer path:
+    * fuse a LEXICAL ranker (BM25 over the 3-term query, the exact-int
+    * machinery of [[searchBm25]]) with a SEMANTIC ranker (cosine to a
+    * probe embedding — vec_id 0's vector stands in for the encoded query,
+    * the same encoder-stub posture as q_mm_decode_stub) via
+    * RRF(k=60): score(d) = Σ_r 1/(60 + rank_r(d)) over the rankers that
+    * retrieved d (Cormack et al.'s parameter-free fusion). Top-20 fused.
+    *
+    * Determinism: both ranks are row_numbers with doc_id tiebreaks; the
+    * RRF score is ONE double addition of two correctly-rounded divisions
+    * of exact ints — identical in any engine; final ties break on doc_id.
+    * Scale: each ranker returns a BOUNDED top-50 candidate list via
+    * sort+limit (TakeOrderedAndProject — never a global-sort window over
+    * the corpus); the only single-partition windows run over those ≤50-row
+    * frames (bounded-driver-state class), and the fusion join is 50×50. */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.cosine_sim
+    val qTerms = Seq("spark", "window", "join")
+    val docs = documents(s, dir)
+    val t = toks($"text")
+    val base = docs.select($"doc_id", size(t).cast(LongType).as("dl"), t.as("tk"))
+    val totals = base.agg(count(lit(1)).as("nn"), sum($"dl").as("ll"))
+    // ONE corpus pass: df(term) is a count window over the ALREADY
+    // AGGREGATED per-(doc, term) tf frame (≤ |matching docs|·|terms|
+    // rows), not a second aggregation of the corpus explode — a separate
+    // dft frame joined back would make Catalyst re-run the explode
+    // (different column pruning per consumer defeats ReusedExchange,
+    // verified via ExplainAudit). The window partitions on term (3 keys
+    // here — bounded by the QUERY, not the corpus, so the skew ceiling is
+    // rows-per-term over the tf frame, which is ≤ |docs| and already
+    // shuffled once).
+    val tf = base.select($"doc_id", $"dl", explode($"tk").as("term"))
+      .where($"term".isin(qTerms: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(max($"dl").as("dl"), count(lit(1)).as("tf"))
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy($"term")))
+    val idfQ = floor(
+      log(($"nn" - $"dfc" + lit(0.5)) / ($"dfc" + lit(0.5)) + lit(1.0)) * 1e6)
+      .cast(LongType)
+    val contrib = floor(
+      idfQ.cast("double") * (lit(22L) * $"tf" * $"ll").cast("double") /
+        (lit(10L) * $"tf" * $"ll" + lit(3L) * $"ll" + lit(9L) * $"dl" * $"nn")
+          .cast("double")).cast(LongType)
+    val lexTop = tf.crossJoin(broadcast(totals))
+      .select($"doc_id", contrib.as("contrib"))
+      .groupBy($"doc_id").agg(sum($"contrib").as("score_q"))
+      .orderBy($"score_q".desc, $"doc_id").limit(50)
+    val lex = lexTop
+      .withColumn("lex_rank", row_number().over(Window.orderBy($"score_q".desc, $"doc_id")))
+      .select($"doc_id", $"lex_rank")
+    val e = embeddings(s, dir)
+    val probe = e.where($"vec_id" === 0L).select($"embedding".as("pe"))
+    val semTop = e.crossJoin(broadcast(probe))
+      .select($"vec_id".as("doc_id"), cosine_sim($"pe", $"embedding").as("cos"))
+      .orderBy($"cos".desc, $"doc_id").limit(50)
+    val sem = semTop
+      .withColumn("sem_rank", row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+      .select($"doc_id", $"sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"lex_rank", $"sem_rank",
+        round(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0)), 6).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id").limit(20)
+  }
+
+  val rankFusionSql: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+      |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, tk FROM d),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS ll FROM base),
+      |tkx AS (SELECT doc_id, dl, unnest(tk) AS term FROM base),
+      |tf AS (
+      |  SELECT doc_id, term, MAX(dl) AS dl, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tkx WHERE term IN ('spark', 'window', 'join')
+      |  GROUP BY doc_id, term),
+      |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY term),
+      |sc AS (
+      |  SELECT f.doc_id,
+      |    CAST(FLOOR(
+      |      CAST(CAST(FLOOR(LN((t.nn - x.dfc + 0.5) / (x.dfc + 0.5) + 1.0) * 1000000) AS BIGINT) AS DOUBLE)
+      |      * CAST(22 * f.tf * t.ll AS DOUBLE)
+      |      / CAST(10 * f.tf * t.ll + 3 * t.ll + 9 * f.dl * t.nn AS DOUBLE)
+      |    ) AS BIGINT) AS contrib
+      |  FROM tf f JOIN dft x ON f.term = x.term CROSS JOIN tot t),
+      |lexs AS (
+      |  SELECT doc_id, SUM(contrib) AS score_q FROM sc GROUP BY doc_id
+      |  ORDER BY score_q DESC, doc_id LIMIT 50),
+      |lex AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS lex_rank
+      |  FROM lexs),
+      |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+      |sems AS (
+      |  SELECT vec_id AS doc_id,
+      |    list_cosine_similarity(pe, CAST(embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings, probe ORDER BY cos DESC, doc_id LIMIT 50),
+      |sem AS (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+      |  FROM sems)
+      |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+      |  ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+      |      + COALESCE(1.0 / (60 + sem_rank), 0.0), 6) AS rrf
+      |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_sliding"       -> (chunkSliding _),
+    "q_rank_fusion"         -> (rankFusion _),
     "q_quality_repetition"  -> (qualityRepetition _),
     "q_quality_rare_mass"   -> (qualityRareMass _),
     "q_text_perplexity"     -> (textPerplexity _),
@@ -1469,6 +1630,8 @@ object LlmText {
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "q_chunk_sliding"       -> chunkSlidingSql,
+    "q_rank_fusion"         -> rankFusionSql,
     "q_quality_repetition"  -> qualityRepetitionSql,
     "q_text_perplexity"     -> textPerplexitySql,
     "q_corpus_drift"        -> corpusDriftSql,

@@ -366,6 +366,66 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_chunk_sliding: chunks tile each doc with stride-30 overlap and content hashes recompute") {
+    val rows = LlmText.chunkSliding(spark, dir)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_hash")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val texts = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val ws = texts(id).trim.split(" ", -1)
+      val n = ws.length
+      val expectNc = if (n <= 40) 1L else 1L + (n - 40 + 29) / 30
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2) === (0L until expectNc), s"doc $id: chunk ids not 0..${expectNc - 1}")
+      sorted.foreach { case (_, cid, start, nt, hash) =>
+        assert(start === cid * 30, s"doc $id chunk $cid: start_tok")
+        assert(nt === math.min(40L, n - cid * 30), s"doc $id chunk $cid: n_tokens")
+        val slice = ws.slice((cid * 30).toInt, (cid * 30).toInt + 40).mkString(" ")
+        assert(hash === md5hex(slice), s"doc $id chunk $cid: content hash drifted")
+      }
+      // coverage: the last chunk reaches the end of the doc; every non-last
+      // chunk is full-width so consecutive chunks overlap by exactly 10
+      assert(sorted.last._3 + sorted.last._4 === n.toLong, s"doc $id: tail tokens uncovered")
+      sorted.init.foreach { c => assert(c._4 === 40L, s"doc $id chunk ${c._2}: non-tail chunk not full") }
+    }
+  }
+
+  test("q_rank_fusion: RRF arithmetic recomputes from ranks; semantic ranks match brute-force cosine") {
+    val fused = LlmText.rankFusion(spark, dir)
+      .select("doc_id", "lex_rank", "sem_rank", "rrf").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3)))
+    assert(fused.length <= 20 && fused.nonEmpty)
+    fused.foreach { case (id, ra, rb, rrf) =>
+      assert(ra.nonEmpty || rb.nonEmpty, s"doc $id: retrieved by neither ranker")
+      val expect = ra.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 5e-7, s"doc $id: rrf drifted from rank arithmetic")
+      ra.foreach(r => assert(r >= 1 && r <= 50)); rb.foreach(r => assert(r >= 1 && r <= 50))
+    }
+    assert(fused.map(_._4).toSeq === fused.map(_._4).sortBy(-_).toSeq, "not rrf-ordered")
+    // semantic side cross-check: brute-force cosine to probe vec 0, top-50 rank
+    val embs = graft.tables.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val pe = embs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val semRanks = embs.map { case (id, v) => (id, cos(pe, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(50).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    fused.foreach { case (id, _, rb, _) =>
+      assert(rb === semRanks.get(id), s"doc $id: sem_rank disagrees with brute-force cosine") }
+  }
+
   test("q_path_mining: top-25 cut is the true frequency cut and paths recompute brute-force") {
     val rows = Advanced.pathMining(spark, dir)
       .select("path", "n_users").as[(String, Long)].collect()

@@ -498,6 +498,25 @@ class PlanSpec extends SparkTestBase {
     assert(exs.size <= 1, s"projection shuffles beyond the output sort:\n$p")
   }
 
+  test("q_chunk_sliding: chunk expansion is map-only — codegen sequence+explode, no shuffle below the sort") {
+    val p = planOf(SparkEntry.queries("q_chunk_sliding")(spark, dir))
+    assert(nodeIds(p, "Generate").nonEmpty, "chunk explode missing")
+    val exs = nodeIds(p, "Exchange")
+    assert(exs.size <= 1, s"chunking shuffles beyond the output sort:\n$p")
+    assert(nodeIds(p, "HashAggregate").isEmpty && !p.contains("Join"),
+      "row-local chunking must not aggregate or join")
+  }
+
+  test("q_rank_fusion: one corpus explode; both candidate lists fuse to TakeOrderedAndProject") {
+    val p = planOf(SparkEntry.queries("q_rank_fusion")(spark, dir))
+    assert(nodeIds(p, "Generate").size == 1,
+      "corpus exploded more than once — df window rewrite regressed")
+    // three TakeOrderedAndProject: lex top-50, sem top-50, fused top-20
+    assert(nodeIds(p, "TakeOrderedAndProject").size == 3,
+      "a candidate list or the fusion lost its sort+limit fusion")
+    assert(!p.contains("CartesianProduct"), "fusion join degenerated")
+  }
+
   test("q_quality_c4: the rule battery is map-only — no shuffle below the output sort") {
     val p = planOf(SparkEntry.queries("q_quality_c4")(spark, dir))
     val exs = nodeIds(p, "Exchange")
