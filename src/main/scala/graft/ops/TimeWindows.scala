@@ -717,7 +717,91 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** PERMUTE MATCH_RECOGNIZE contract (r11): SQL PATTERN
+    * `PERMUTE(click, purchase)` within 24 h per user — one click and one
+    * purchase in EITHER order, earliest-head greedy, no event reuse
+    * (AFTER MATCH SKIP PAST LAST ROW), via [[graft.streaming.Pattern
+    * .permute]]'s member-set semantics (for type-disjoint members this
+    * coincides with the standard's orderings-alternation — each event can
+    * extend a match exactly one way; deviation documented in
+    * PatternMatcher.sealPermute).
+    *
+    * Oracle validity (monotone-picks, extended to mixed head types): the
+    * engine consumes each member TYPE in strictly increasing (t, id)
+    * order across a user's matches — a smaller unconsumed event of the
+    * same type would have been picked earlier (as the earlier head's
+    * partner, or as an earlier head) — and a failed head is dead forever
+    * (partners must FOLLOW their head; every later head is later than the
+    * failed one). So a recursive CTE carrying only (last head, last click
+    * pick, last purchase pick) and jumping to the earliest head whose
+    * complementary partner exists replays the engine exactly.
+    * Cross-checked against the consumed-set reference on 3000 random
+    * streams (PropertySpec) plus the incremental ≡ one-shot seal
+    * property. */
+  def cepPermute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern.permute(
+      "click"    -> ((e: Event) => e.event_type == "click"),
+      "purchase" -> ((e: Event) => e.event_type == "purchase"))
+      .within(86400000L)
+    val evs = events(s, dir)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepPermuteSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('click','purchase')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS a_t, CAST(-1 AS BIGINT) AS a_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS b_t, CAST(-1 AS BIGINT) AS b_id,
+      |    CAST(-1 AS BIGINT) AS p_t, CAST(-1 AS BIGINT) AS p_id
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1,
+      |    nxt.h_t, nxt.h_id,
+      |    CASE WHEN nxt.h_type = 'click' THEN nxt.h_t ELSE nxt.p_t END,
+      |    CASE WHEN nxt.h_type = 'click' THEN nxt.h_id ELSE nxt.p_id END,
+      |    CASE WHEN nxt.h_type = 'click' THEN nxt.p_t ELSE nxt.h_t END,
+      |    CASE WHEN nxt.h_type = 'click' THEN nxt.p_id ELSE nxt.h_id END,
+      |    nxt.p_t, nxt.p_id
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |           e1.event_type AS h_type, p2.t AS p_t, p2.id AS p_id
+      |    FROM ev e1,
+      |      LATERAL (
+      |        SELECT p.t, p.event_id AS id FROM ev p
+      |        WHERE p.user_id = e1.user_id
+      |          AND p.event_type = (CASE WHEN e1.event_type = 'click'
+      |                                   THEN 'purchase' ELSE 'click' END)
+      |          AND (p.t > e1.t OR (p.t = e1.t AND p.event_id > e1.event_id))
+      |          AND (CASE WHEN p.event_type = 'click'
+      |                THEN (p.t > m.a_t OR (p.t = m.a_t AND p.event_id > m.a_id))
+      |                ELSE (p.t > m.b_t OR (p.t = m.b_t AND p.event_id > m.b_id)) END)
+      |          AND p.t <= e1.t + 86400000
+      |        ORDER BY p.t, p.event_id LIMIT 1) p2
+      |    WHERE e1.user_id = m.user_id
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |      AND (CASE WHEN e1.event_type = 'click'
+      |            THEN (e1.t > m.a_t OR (e1.t = m.a_t AND e1.event_id > m.a_id))
+      |            ELSE (e1.t > m.b_t OR (e1.t = m.b_t AND e1.event_id > m.b_id)) END)
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, p_t AS last_ms,
+      |  CAST(h_id AS VARCHAR) || '/' || CAST(p_id AS VARCHAR) AS ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cep_permute"       -> (cepPermute _),
     "q_cep_alternation"   -> (cepAlternation _),
     "q_cep_quantified"    -> (cepQuantified _),
     "q_cep_guarded"       -> (cepGuarded _),
@@ -736,6 +820,7 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_cep_permute"      -> cepPermuteSql,
     "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,
     "q_cep_guarded"      -> cepGuardedSql,

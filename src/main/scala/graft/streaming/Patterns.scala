@@ -168,10 +168,54 @@ final case class Pattern private (
   }
 }
 
+/** SQL-MATCH_RECOGNIZE `PERMUTE(A, B, …)` as a whole-pattern surface:
+  * one event per member, ANY arrival order, all within the horizon —
+  * greedy member-SET semantics (see [[PatternMatcher.sealPermute]] for
+  * the documented deviation from the standard's n!-alternation desugar;
+  * for type-disjoint DEFINEs the two coincide). Built via
+  * `Pattern.permute("click" -> p1, "purchase" -> p2).within(ms)`; batch
+  * and streaming surfaces share the sealPermute core, so a bounded
+  * replay of any stream yields identical matches (ProcessorsSpec). */
+final case class PermutePattern private[streaming] (
+    members: Seq[(String, Event => Boolean)], horizonMs: Option[Long]) {
+  require(members.size >= 2, "PERMUTE needs at least two members")
+  require(members.map(_._1).distinct.size == members.size,
+    s"duplicate PERMUTE member among ${members.map(_._1).mkString(", ")}")
+
+  def within(ms: Long): PermutePattern = copy(horizonMs = Some(ms))
+
+  private def horizon: Long = horizonMs.getOrElse(
+    throw new IllegalArgumentException("PermutePattern requires .within(ms)"))
+
+  /** Streaming surface for `groupByKey(_.user_id).transformWithState`. */
+  def processor: PermuteProcessor =
+    new PermuteProcessor(members.map(_._2), horizon)
+
+  /** Batch surface: one-shot matching per user — equivalent to replaying
+    * through [[processor]] and sealing every window. */
+  def matchBatch(evs: Dataset[Event]): Dataset[PatternMatch] = {
+    val preds = members.map(_._2)
+    val h = horizon
+    implicit val enc = Encoders.product[PatternMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    evs.groupByKey(_.user_id).flatMapGroups { (uid: Long, it: Iterator[Event]) =>
+      val buf = it.map(e => BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)).toSeq
+      val (matches, rest) = PatternMatcher.sealPermute(uid, buf, preds, h, Long.MaxValue)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      matches.iterator
+    }
+  }
+}
+
 object Pattern {
   /** Start a pattern with its first stage predicate. */
   def begin(name: String)(pred: Event => Boolean): Pattern =
     Pattern(Seq(StageDef(name, pred, optional = false, Nil)), Nil, None)
+
+  /** SQL PATTERN `PERMUTE(A, B, …)` whole-pattern surface — see
+    * [[PermutePattern]]. */
+  def permute(members: (String, Event => Boolean)*): PermutePattern =
+    PermutePattern(members.toSeq, None)
 
   private val DurRe = """(\d+)(ms|s|m|h|d)""".r
   private val NegRe = """!([A-Za-z_][A-Za-z0-9_]*)""".r

@@ -466,6 +466,72 @@ object PatternMatcher {
     val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
     (out.toSeq, keep.toSeq)
   }
+
+  /** SQL-MATCH_RECOGNIZE `PERMUTE(A, B, …)` under this engine's greedy
+    * SKIP-PAST-LAST-ROW semantics: collect ONE event per member, in ANY
+    * arrival order, all within `withinMs` of the head. Leftmost-greedy:
+    * the earliest unconsumed sealed event matching any member heads the
+    * attempt (claiming the FIRST member it satisfies, in declared order —
+    * relevant only for overlapping DEFINEs); each later in-window event
+    * consumes the first still-outstanding member it matches; the match
+    * completes when no member is outstanding, consuming its events.
+    *
+    * Documented deviation from SQL PERMUTE (a third next to the builder's
+    * two, see [[Pattern]]): the standard desugars to an alternation of
+    * the n! orderings with lexicographic preference and backtracking;
+    * this engine matches the member SET greedily — for the common case of
+    * type-disjoint DEFINEs the two coincide (each event can extend the
+    * match in exactly one way, so the earliest-completion ordering IS the
+    * only ordering), and the set form stays linear-scan per key instead
+    * of n!-way backtracking.
+    *
+    * Seal contract, incremental ≡ one-shot, and pruning mirror [[seal]]:
+    * a head's verdict depends only on events in [head, head+within], and
+    * an unconsumed sealed event is dead (just tried as head; a future
+    * unsealed head starts later than every sealed event, and partners
+    * must follow their head) — property-tested against a consumed-set
+    * reference in PropertySpec. */
+  def sealPermute(key: Long, buffer: Seq[BufEv], members: Seq[Event => Boolean],
+      withinMs: Long, wm: Long): (Seq[PatternMatch], Seq[BufEv]) = {
+    require(members.size >= 2, "PERMUTE needs at least two members")
+    def toEvent(b: BufEv): Event =
+      Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
+    val events = buffer.sortBy(e => (e.ts_ms, e.event_id)).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+    val consumed = scala.collection.mutable.HashSet.empty[Long]
+    var i = 0
+    while (i < events.length && events(i).ts_ms + withinMs <= wm) {
+      val head = events(i)
+      if (!consumed(head.event_id)) {
+        val hIdx = members.indexWhere(_(toEvent(head)))
+        if (hIdx >= 0) {
+          val outstanding = scala.collection.mutable.LinkedHashSet(
+            members.indices.filterNot(_ == hIdx): _*)
+          val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
+          var lastMs = head.ts_ms
+          var j = i + 1
+          while (outstanding.nonEmpty && j < events.length
+              && events(j).ts_ms <= head.ts_ms + withinMs) {
+            val e = events(j)
+            if (!consumed(e.event_id)) {
+              val ev = toEvent(e)
+              outstanding.find(members(_)(ev)).foreach { k =>
+                outstanding -= k; ids += e.event_id; lastMs = e.ts_ms
+              }
+            }
+            j += 1
+          }
+          if (outstanding.isEmpty) {
+            ids.foreach(consumed += _)
+            out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)
+          }
+        }
+      }
+      i += 1
+    }
+    val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
+    (out.toSeq, keep.toSeq)
+  }
 }
 
 /** Generic linear CEP pattern — MATCH_RECOGNIZE-lite / flink-cep
@@ -537,6 +603,51 @@ class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
     timerTs.clear()
     val wm = timers.getCurrentWatermarkInMs()
     val (out, keep) = PatternMatcher.seal(key, buf.get().toSeq, stageDefs, withinMs, wm)
+    buf.clear()
+    keep.foreach(buf.appendValue)
+    if (keep.nonEmpty) slideTimer(wm + 1)
+    out.iterator
+  }
+}
+
+/** Streaming surface of [[PatternMatcher.sealPermute]] — identical
+  * watermark-driven buffering/sealing protocol to
+  * [[PatternSequenceProcessor]], with the member-SET matcher core. */
+class PermuteProcessor(members: Seq[Event => Boolean], withinMs: Long)
+    extends StatefulProcessor[Long, Event, PatternMatch] {
+  @transient private var buf: ListState[BufEv] = _
+  @transient private var timerTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[BufEv]("buf", Encoders.product[BufEv], TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def toEvent(key: Long, b: BufEv): Event =
+    Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
+
+  private def slideTimer(fireAt: Long): Unit =
+    if (!timerTs.exists() || timerTs.get() != fireAt) {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(fireAt)
+      timerTs.update(fireAt)
+    }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[PatternMatch] = {
+    rows.foreach { e =>
+      val b = BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)
+      if (members.exists(_(toEvent(key, b)))) buf.appendValue(b)
+    }
+    slideTimer(timers.getCurrentWatermarkInMs() + 1)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[PatternMatch] = {
+    timerTs.clear()
+    val wm = timers.getCurrentWatermarkInMs()
+    val (out, keep) = PatternMatcher.sealPermute(key, buf.get().toSeq, members, withinMs, wm)
     buf.clear()
     keep.foreach(buf.appendValue)
     if (keep.nonEmpty) slideTimer(wm + 1)

@@ -219,4 +219,63 @@ class PatternModifierSpec extends SparkTestBase {
         s"alternation streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
     } finally q.stop()
   }
+
+  test("PERMUTE: hand-computed anchors for either-order matching") {
+    val pat = Pattern.permute(
+      "a" -> ((e: Event) => e.event_type == "A"),
+      "b" -> ((e: Event) => e.event_type == "B")).within(h)
+    def run(evs: Event*): Seq[Seq[Long]] =
+      pat.matchBatch(spark.createDataset(evs.toSeq)).collect().toSeq
+        .sortBy(_.first_ms).map(_.event_ids)
+    // reversed order matches too (the point of PERMUTE)
+    assert(run(mk(1, 0, "B"), mk(2, 10, "A")) === Seq(Seq(1L, 2L)))
+    assert(run(mk(1, 0, "A"), mk(2, 10, "B")) === Seq(Seq(1L, 2L)))
+    // no reuse: one B cannot serve two As; leftmost A wins, second A dead
+    assert(run(mk(1, 0, "A"), mk(2, 5, "A"), mk(3, 10, "B")) === Seq(Seq(1L, 3L)))
+    // outside the horizon: no match
+    assert(run(mk(1, 0, "A"), mk(2, 90, "B")) === Seq.empty)
+    // same-type-only stream: no match
+    assert(run(mk(1, 0, "A"), mk(2, 10, "A")) === Seq.empty)
+    // two disjoint pairs, interleaved heads: A1(B3) then A2(B4)
+    assert(run(mk(1, 0, "A"), mk(2, 5, "A"), mk(3, 10, "B"), mk(4, 20, "B"))
+      === Seq(Seq(1L, 3L), Seq(2L, 4L)))
+    // a failed head stays dead: B1 has no partner in window, but B1 also
+    // cannot be consumed later (partners must follow their head)
+    assert(run(mk(1, 0, "B"), mk(2, 90, "A"), mk(3, 100, "B"))
+      === Seq(Seq(2L, 3L)))
+  }
+
+  test("streaming processor == matchBatch for PERMUTE (reversed replay, q_cep_permute backing)") {
+    val pat = Pattern.permute(
+      "click"    -> ((e: Event) => e.event_type == "click"),
+      "purchase" -> ((e: Event) => e.event_type == "purchase"))
+      .within(24L * 3600000)
+    val evs = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .where($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val expected = pat.matchBatch(spark.createDataset(evs.toSeq)).collect()
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+    assert(expected.nonEmpty, "permute pattern should match on sf0.001 events")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = "pat_perm_snk"
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processor, TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val streamed = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+        .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+      assert(streamed === expected,
+        s"permute streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
 }

@@ -240,4 +240,98 @@ class PropertySpec extends AnyFunSuite {
         s"incremental != one-shot (modifiers) for within=$within seals=$seals")
     }
   }
+
+  test("PERMUTE sealing: incremental matching at any watermark schedule == one-shot") {
+    import graft.streaming.{BufEv, Event, PatternMatcher}
+    val evGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B", "C"))
+    } yield ts.zip(tp).zipWithIndex.map { case ((t, y), i) => BufEv(i.toLong, t, y, 0.0) }
+    val memGen = Gen.oneOf(Seq("A", "B"), Seq("B", "A"), Seq("A", "B", "C"))
+    val caseGen = for {
+      evs <- evGen
+      mem <- memGen
+      within <- Gen.chooseNum(1L, 800L)
+      nSeals <- Gen.chooseNum(1, 5)
+      seals <- Gen.listOfN(nSeals, Gen.chooseNum(0L, 3000L))
+      arrivals <- Gen.listOfN(evs.length, Gen.chooseNum(0, nSeals - 1))
+    } yield (evs, mem, within, seals.sorted, arrivals)
+    forAllN(caseGen, n = 400) { case (evs, mem, within, seals, arrivals) =>
+      val members: Seq[Event => Boolean] = mem.map(t => (e: Event) => e.event_type == t)
+      val fin = seals.last + 5000
+      val (oneShot, rest) = PatternMatcher.sealPermute(1L, evs, members, within, fin)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      def effectiveBatch(e: BufEv, a: Int): Int = {
+        val firstCovering = seals.indexWhere(_ >= e.ts_ms)
+        if (firstCovering < 0) a else a min firstCovering
+      }
+      var buffer = Seq.empty[BufEv]
+      var emitted = Seq.empty[graft.streaming.PatternMatch]
+      (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
+        val due = evs.zip(arrivals).collect {
+          case (e, a) if effectiveBatch(e, a) == batch => e
+        }
+        val (m, keep) = PatternMatcher.sealPermute(1L, buffer ++ due, members, within, wm)
+        emitted ++= m
+        buffer = keep
+      }
+      assert(emitted.toSet === oneShot.toSet,
+        s"incremental != one-shot (permute) for mem=$mem within=$within seals=$seals")
+    }
+  }
+
+  test("PERMUTE oracle model: last-picks recursive replay == consumed-set engine (3000 streams)") {
+    import graft.streaming.{BufEv, Event, PatternMatcher}
+    // the q_cep_permute DuckDB oracle carries only (last head, last A pick,
+    // last B pick) and jumps to the earliest head whose complementary
+    // partner exists — the monotone-picks model. Re-implement that model
+    // here and pit it against the consumed-set engine on random streams.
+    def model(evs: Seq[BufEv], within: Long): Seq[(Long, Long, Seq[Long])] = {
+      val sorted = evs.sortBy(e => (e.ts_ms, e.event_id))
+      def gt(x: (Long, Long), y: (Long, Long)) =
+        x._1 > y._1 || (x._1 == y._1 && x._2 > y._2)
+      var h = (Long.MinValue, -1L); var a = (Long.MinValue, -1L); var b = (Long.MinValue, -1L)
+      def pickOk(e: BufEv) = {
+        val k = (e.ts_ms, e.event_id)
+        if (e.event_type == "A") gt(k, a) else gt(k, b)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Seq[Long])]
+      var go = true
+      while (go) {
+        val cand = sorted.iterator
+          .filter(e => gt((e.ts_ms, e.event_id), h) && pickOk(e))
+          .map { e =>
+            val p = sorted.find(p => p.event_type != e.event_type && pickOk(p) &&
+              gt((p.ts_ms, p.event_id), (e.ts_ms, e.event_id)) &&
+              p.ts_ms <= e.ts_ms + within)
+            (e, p)
+          }.collectFirst { case (e, Some(p)) => (e, p) }
+        cand match {
+          case Some((e, p)) =>
+            h = (e.ts_ms, e.event_id)
+            if (e.event_type == "A") { a = (e.ts_ms, e.event_id); b = (p.ts_ms, p.event_id) }
+            else { b = (e.ts_ms, e.event_id); a = (p.ts_ms, p.event_id) }
+            out += ((e.ts_ms, p.ts_ms, Seq(e.event_id, p.event_id)))
+          case None => go = false
+        }
+      }
+      out.toSeq
+    }
+    val members: Seq[Event => Boolean] =
+      Seq((e: Event) => e.event_type == "A", (e: Event) => e.event_type == "B")
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 300L)) // dense → heavy collision
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B"))
+      within <- Gen.chooseNum(1L, 200L)
+    } yield (ts.zip(tp).zipWithIndex.map { case ((t, y), i) =>
+      BufEv(i.toLong, t, y, 0.0) }, within)
+    forAllN(caseGen, n = 3000) { case (evs, within) =>
+      val (engine, _) = PatternMatcher.sealPermute(1L, evs, members, within, Long.MaxValue)
+      val got = engine.map(m => (m.first_ms, m.last_ms, m.event_ids))
+      assert(got === model(evs, within),
+        s"CTE model != engine for within=$within evs=${evs.map(e => (e.event_id, e.ts_ms, e.event_type))}")
+    }
+  }
 }
