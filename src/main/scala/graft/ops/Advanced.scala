@@ -570,6 +570,156 @@ object Advanced {
       |ORDER BY n_users DESC, path
       |LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- PIT join
+  /** Point-in-time join (r11) — the "attribute AS OF the fact's time"
+    * lookup the SCD2 dimension exists for: each purchase joined to the
+    * user's activity-state version (the q_cdc_scd2 run table, built here
+    * over NON-purchase events) valid at the purchase's timestamp:
+    * valid_from ≤ t < valid_to (open-ended current version included).
+    * This is the feature-store / training-data temporal-correctness
+    * primitive — label rows must see dimension attributes as they were,
+    * never leaked from the future — and the batch face of a Flink
+    * temporal-table join (s_join_temporal's oracle-checked twin).
+    *
+    * Purchases before a user's first version left-join to NULL state (a
+    * real pipeline's cold-start rows, kept visible rather than dropped).
+    * Determinism: interval bounds are exact epoch seconds (R3); each
+    * purchase matches at most ONE version (versions tile the timeline —
+    * the q_cdc_scd2 invariant its spec asserts). Scale: dimension build =
+    * one user_id shuffle (the cdcScd2 plan); the PIT match is a per-user
+    * range join bounded by versions-per-user, followed by nothing — no
+    * window over facts, no driver state. */
+  def joinPit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val runs = events(s, dir)
+      .where($"event_type" =!= "purchase")
+      .select($"user_id", $"event_id", $"event_type", epochS($"ts").as("t"))
+      .withColumn("_chg",
+        when(lag($"event_type", 1).over(wOrd).isNull ||
+             lag($"event_type", 1).over(wOrd) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("version", sum($"_chg").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"version")
+      .agg(min($"event_type").as("state"), min($"t").as("valid_from"))
+    val wVer = Window.partitionBy($"user_id").orderBy($"version")
+    val dim = runs
+      .withColumn("valid_to", lead($"valid_from", 1).over(wVer))
+      .select($"user_id".as("d_user"), $"version", $"state", $"valid_from", $"valid_to")
+    val purchases = events(s, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), epochS($"ts").as("p_t"))
+    purchases
+      .join(dim,
+        $"user_id" === $"d_user" && $"p_t" >= $"valid_from" &&
+          ($"valid_to".isNull || $"p_t" < $"valid_to"),
+        "left")
+      .select($"user_id", $"purchase_id", $"p_t", $"version", $"state",
+        $"valid_from".as("state_since"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val joinPitSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      |  FROM events WHERE event_type <> 'purchase'),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |                   OR lag(event_type) OVER w <> event_type
+      |                 THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS version, t
+      |  FROM flagged),
+      |collapsed AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    MIN(event_type) AS state, MIN(t) AS valid_from
+      |  FROM runs GROUP BY user_id, version),
+      |dim AS (
+      |  SELECT user_id AS d_user, version, state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+      |  FROM collapsed),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_t
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.purchase_id, p.p_t, dim.version, dim.state,
+      |  dim.valid_from AS state_since
+      |FROM p LEFT JOIN dim
+      |  ON p.user_id = dim.d_user AND p.p_t >= dim.valid_from
+      |  AND (dim.valid_to IS NULL OR p.p_t < dim.valid_to)
+      |ORDER BY p.user_id, p.purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- attribution
+  /** Last-touch attribution (r11) — the conversion-credit report: each
+    * purchase credits the user's LATEST non-purchase event within the
+    * preceding 7 days (the marketing "channel" proxy: which activity
+    * last preceded the conversion), aggregated to credits per channel
+    * with integer ppm shares. Purchases with no touch in the lookback
+    * credit the 'direct' bucket — conversions are conserved (spec
+    * asserts Σ credits = |purchases|).
+    *
+    * Determinism: the latest-touch pick is a row_number over (t desc,
+    * event_id desc) — total order; shares are exact int64 `div` (R2).
+    * Scale: the touch match is the q_join_asof backward shape (per-user
+    * range join bounded by events-per-user, keep-latest window on the
+    * purchase key); the report agg is ≤|event types|+1 groups. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), epochS($"ts").as("p_t"))
+    val touches = e.where($"event_type" =!= "purchase")
+      .select($"user_id".as("t_user"), $"event_id".as("touch_id"),
+        $"event_type".as("channel"), epochS($"ts").as("t_t"))
+    val w = Window.partitionBy($"purchase_id").orderBy($"t_t".desc, $"touch_id".desc)
+    val credited = purchases
+      .join(touches,
+        $"user_id" === $"t_user" && $"t_t" <= $"p_t" && $"t_t" > $"p_t" - 604800L,
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"purchase_id", coalesce($"channel", lit("direct")).as("channel"))
+    // the total is a sum window over the PER-CHANNEL frame (≤|types|+1
+    // rows) — a separate count agg cross-joined back would re-run the
+    // whole touch join for the second consumer (no ReusedExchange across
+    // differently-pruned subtrees; same lesson as q_search_bm25's df).
+    credited.groupBy($"channel").agg(count(lit(1)).as("credits"))
+      .withColumn("total", sum($"credits").over(Window.partitionBy()))
+      .select($"channel", $"credits",
+        expr("(credits * 1000000L) div total").as("share_ppm"))
+      .orderBy($"channel")
+  }
+
+  val attributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_t
+      |  FROM events WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT user_id AS t_user, event_id AS touch_id,
+      |    event_type AS channel, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t_t
+      |  FROM events WHERE event_type <> 'purchase'),
+      |credited AS (
+      |  SELECT purchase_id, COALESCE(channel, 'direct') AS channel
+      |  FROM (
+      |    SELECT p.purchase_id, tch.channel,
+      |      ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |                         ORDER BY tch.t_t DESC, tch.touch_id DESC) AS rn
+      |    FROM p LEFT JOIN tch
+      |      ON p.user_id = tch.t_user AND tch.t_t <= p.p_t
+      |      AND tch.t_t > p.p_t - 604800)
+      |  WHERE rn = 1),
+      |per AS (
+      |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS credits
+      |  FROM credited GROUP BY channel)
+      |SELECT channel, credits,
+      |  (credits * 1000000) // CAST(SUM(credits) OVER () AS BIGINT) AS share_ppm
+      |FROM per
+      |ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_scd2"        -> (cdcScd2 _),
     "q_funnel_order"    -> (funnelOrder _),
@@ -585,7 +735,9 @@ object Advanced {
     "q_win_first_last"  -> (winFirstLast _),
     "q_array_agg"       -> (arrayAgg _),
     "q_interval_islands" -> (intervalIslands _),
-    "q_path_mining"     -> (pathMining _))
+    "q_path_mining"     -> (pathMining _),
+    "q_join_pit"        -> (joinPit _),
+    "q_attribution"     -> (attribution _))
 
   def oracle: Map[String, String] = Map(
     "q_cdc_scd2"        -> cdcScd2Sql,
@@ -602,5 +754,7 @@ object Advanced {
     "q_win_first_last"  -> winFirstLastSql,
     "q_array_agg"       -> arrayAggSql,
     "q_interval_islands" -> intervalIslandsSql,
-    "q_path_mining"     -> pathMiningSql)
+    "q_path_mining"     -> pathMiningSql,
+    "q_join_pit"        -> joinPitSql,
+    "q_attribution"     -> attributionSql)
 }

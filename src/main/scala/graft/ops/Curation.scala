@@ -706,6 +706,76 @@ object Curation {
       |FROM r WHERE rk <= 100
       |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- KS drift
+  /** Two-sample Kolmogorov–Smirnov drift statistic (r11) — the NUMERIC
+    * sibling of q_corpus_drift's token-distribution monitor: how far the
+    * event-value distribution moved between the older and newer ingest
+    * half (event_id cut, the same append-only proxy), as the max ECDF
+    * gap. The one-number answer to "did the value distribution shift?"
+    * a pipeline checks before mixing snapshots.
+    *
+    * Binned KS: values bucket at integer floor (≤ ~500 buckets on this
+    * data — the ECDF is evaluated at bucket edges, a standard binned KS;
+    * the bound is the VALUE RANGE, not the row count, the q_median
+    * histogram-trick posture). Determinism: the statistic's core is
+    * EXACT integer arithmetic — gap(b) = |cumA(b)·nB − cumB(b)·nA| on
+    * int64 (cross-multiplied, no float ECDFs), argmax ties break on the
+    * smaller bucket; only the final ks = gap/(nA·nB) is one
+    * correctly-rounded double division (R4 rounding at the boundary).
+    * Scale: one map-side-partial hash agg to the bucket histogram, the
+    * cumulative window runs over ≤500 HISTOGRAM rows (never raw events),
+    * totals broadcast one-row. */
+  def statsKs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    // append-only ingest proxy: older vs newer half of event_ids — one
+    // driver scalar (bounded-state contract, same as q_corpus_drift).
+    val cut = e.agg(max($"event_id")).head().getLong(0) / 2
+    val hist = e
+      .select(floor($"value").cast(LongType).as("bucket"),
+        when($"event_id" <= cut, 1L).otherwise(0L).as("is_a"))
+      .groupBy($"bucket")
+      .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
+    // totals are sum windows over the SAME ≤500-row histogram frame — a
+    // separate agg cross-joined back would re-run the event scan for the
+    // second consumer (the q_search_bm25 ReusedExchange lesson).
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_a", sum($"ca").over(wCum))
+      .withColumn("cum_b", sum($"cb").over(wCum))
+      .withColumn("na", sum($"ca").over(wAll))
+      .withColumn("nb", sum($"cb").over(wAll))
+      .select($"bucket", $"na", $"nb",
+        abs($"cum_a" * $"nb" - $"cum_b" * $"na").as("gap_num"))
+      .orderBy($"gap_num".desc, $"bucket")
+      .limit(1)
+      .select($"bucket".as("ks_bucket"), $"na", $"nb", $"gap_num",
+        round($"gap_num".cast("double") / ($"na" * $"nb").cast("double"), 6).as("ks"))
+  }
+
+  val statsKsSql: String =
+    """WITH cut AS (SELECT CAST(MAX(event_id) AS BIGINT) // 2 AS c FROM events),
+      |hist AS (
+      |  SELECT CAST(FLOOR(value) AS BIGINT) AS bucket,
+      |    SUM(CASE WHEN event_id <= cut.c THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN event_id <= cut.c THEN 0 ELSE 1 END) AS cb
+      |  FROM events, cut GROUP BY bucket),
+      |cum AS (
+      |  SELECT bucket,
+      |    CAST(SUM(ca) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b,
+      |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+      |    CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      |  FROM hist)
+      |SELECT bucket AS ks_bucket, na, nb,
+      |  ABS(cum_a * nb - cum_b * na) AS gap_num,
+      |  ROUND(CAST(ABS(cum_a * nb - cum_b * na) AS DOUBLE)
+      |        / CAST(na * nb AS DOUBLE), 6) AS ks
+      |FROM cum
+      |ORDER BY gap_num DESC, bucket LIMIT 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
@@ -729,7 +799,8 @@ object Curation {
     "q_regex_extract"  -> (regexExtract _),
     "q_quality_c4"     -> (qualityC4 _),
     "q_stats_entropy"  -> (statsEntropy _),
-    "q_sample_reservoir" -> (sampleReservoir _))
+    "q_sample_reservoir" -> (sampleReservoir _),
+    "q_stats_ks"       -> (statsKs _))
 
   // ---------------------------------------------------------------- gopher gate
   /** Composite quality GATE (r10) — the Gopher-/RefinedWeb-style rule
@@ -927,5 +998,6 @@ object Curation {
     "q_regex_extract"  -> regexExtractSql,
     "q_quality_c4"     -> qualityC4Sql,
     "q_stats_entropy"  -> statsEntropySql,
-    "q_sample_reservoir" -> sampleReservoirSql)
+    "q_sample_reservoir" -> sampleReservoirSql,
+    "q_stats_ks"       -> statsKsSql)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Advanced, Aggregations, Joins, LlmText, LlmVector, TimeWindows}
+import graft.ops.{Advanced, Aggregations, Curation, Joins, LlmText, LlmVector, TimeWindows}
 
 /** Semantic checks for the round-4 operator additions (count window, CEP
   * burst, funnel, cohort, conditional agg, right join, tf-idf, normalize,
@@ -364,6 +364,78 @@ class PipelineOpsSpec extends SparkTestBase {
         }
       }
     }
+  }
+
+  test("q_join_pit: every purchase matches the version valid at its time (brute-force recompute)") {
+    val rows = Advanced.joinPit(spark, dir)
+      .select("user_id", "purchase_id", "p_t", "version", "state", "state_since")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = evs.filter(_._3 == "purchase")
+    assert(rows.length === purchases.length, "purchase rows not conserved")
+    assert(rows.map(_._2).distinct.length === rows.length, "a purchase matched two versions")
+    val byUser = evs.filterNot(_._3 == "purchase").groupBy(_._1)
+    rows.foreach { case (u, pid, pt, ver, state) =>
+      // the state at pt = the type of the latest non-purchase event at/before pt
+      val latest = byUser.getOrElse(u, Array.empty)
+        .filter(e => e._4 <= pt).sortBy(e => (e._4, e._2)).lastOption
+      (latest, state) match {
+        case (None, None) => () // cold start: correctly NULL
+        case (Some(l), Some(st)) => assert(st === l._3,
+          s"user $u purchase $pid: state $st != latest prior event type ${l._3}")
+        case other => fail(s"user $u purchase $pid: presence mismatch $other")
+      }
+      assert(ver.isEmpty === state.isEmpty)
+    }
+  }
+
+  test("q_attribution: conversions are conserved and credits recompute brute-force") {
+    val rows = Advanced.attribution(spark, dir)
+      .select("channel", "credits", "share_ppm").as[(String, Long, Long)].collect()
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long, String, Long)].collect()
+    val purchases = evs.filter(_._3 == "purchase")
+    assert(rows.map(_._2).sum === purchases.length, "credits not conserved")
+    val byUser = evs.filterNot(_._3 == "purchase").groupBy(_._1)
+    val expect = purchases.map { case (u, _, _, pt) =>
+      byUser.getOrElse(u, Array.empty)
+        .filter(e => e._4 <= pt && e._4 > pt - 604800L)
+        .sortBy(e => (-e._4, -e._2)).headOption.map(_._3).getOrElse("direct")
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === expect, "per-channel credits drifted")
+    val total = rows.map(_._2).sum
+    rows.foreach { case (ch, c, ppm) =>
+      assert(ppm === c * 1000000L / total, s"$ch: share_ppm arithmetic") }
+  }
+
+  test("q_stats_ks: binned KS recomputes brute-force; statistic in [0,1]") {
+    val Array((bucket, na, nb, gapNum, ks)) = Curation.statsKs(spark, dir)
+      .select("ks_bucket", "na", "nb", "gap_num", "ks")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"value").as[(Long, Double)].collect()
+    val cut = evs.map(_._1).max / 2
+    val a = evs.filter(_._1 <= cut).map(e => math.floor(e._2).toLong)
+    val b = evs.filter(_._1 > cut).map(e => math.floor(e._2).toLong)
+    assert(na === a.length.toLong && nb === b.length.toLong)
+    val buckets = (a ++ b).distinct.sorted
+    val gaps = buckets.map { x =>
+      val ca = a.count(_ <= x).toLong; val cb = b.count(_ <= x).toLong
+      (x, math.abs(ca * nb - cb * na))
+    }
+    val (expB, expG) = gaps.maxBy { case (x, g) => (g, -x) }
+    assert(gapNum === expG, "max ECDF gap numerator drifted")
+    assert(bucket === expB, "argmax bucket drifted (tie-break?)")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(math.abs(ks - expG.toDouble / (na.toDouble * nb.toDouble)) < 1e-6)
   }
 
   test("q_chunk_sliding: chunks tile each doc with stride-30 overlap and content hashes recompute") {

@@ -517,6 +517,41 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "fusion join degenerated")
   }
 
+  test("q_join_pit: one user_id shuffle builds the dimension; PIT match joins without cartesian") {
+    val p = planOf(SparkEntry.queries("q_join_pit")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "PIT range join degenerated to nested-loop")
+    val hashEx = p.split("""\n\n""").count(b =>
+      b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("hashpartitioning"))
+    assert(hashEx <= 2, s"dim build + join should need at most 2 hash exchanges; got $hashEx")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+  }
+
+  test("q_attribution: single touch join; latest-touch cut applied map-side; totals over the channel frame") {
+    val p = planOf(SparkEntry.queries("q_attribution")(spark, dir))
+    val joins = p.split("""\n\n""").count(b => b.matches("""(?s)\(\d+\) \w*Join.*"""))
+    assert(joins == 1, s"touch join re-ran for the totals branch (got $joins joins)")
+    val wgl = nodeIds(p, "WindowGroupLimit")
+    val exs = nodeIds(p, "Exchange")
+    assert(wgl.nonEmpty && exs.nonEmpty && wgl.min < exs.min,
+      "latest-touch rn=1 cut not applied map-side")
+  }
+
+  test("q_stats_ks: one event scan — cum/total windows run over the bucket histogram frame") {
+    val p = planOf(SparkEntry.queries("q_stats_ks")(spark, dir))
+    val scans = p.split("""\n\n""").count(b => b.trim.matches("""(?s)\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"event scan re-ran for a totals branch (got $scans scans)")
+    assert(p.contains("partial_sum"), "bucket histogram lost map-side partials")
+    // the SinglePartition exchange must consume the AGGREGATED histogram
+    val blocks = p.split("""\n\n""")
+    val spx = blocks.find(b =>
+      b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("SinglePartition"))
+    assert(spx.isDefined, "cumulative window lost")
+    val id = """\((\d+)\)""".r.findFirstMatchIn(spx.get).get.group(1).toInt
+    assert(blocks.exists(_.startsWith(s"(${id - 1}) HashAggregate")),
+      "SinglePartition exchange feeds raw events, not the histogram")
+  }
+
   test("q_quality_c4: the rule battery is map-only — no shuffle below the output sort") {
     val p = planOf(SparkEntry.queries("q_quality_c4")(spark, dir))
     val exs = nodeIds(p, "Exchange")
