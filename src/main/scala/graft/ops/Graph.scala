@@ -1,16 +1,109 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tables.Tables._
 
-/** Distributed graph primitives for the dedup family.
+/** Distributed graph primitives.
   *
   * [[connectedComponents]] is the pairs→clusters step shared by every
   * near-dup path (text jaccard, banded embeddings, minhash/simhash): any
   * pair relation clusters the same way, so the iteration lives here once
   * and `q_dedup_cluster` / library callers pass their own edges.
+  * [[graphPagerank]] (r11) adds the other staple iterative primitive —
+  * damped PageRank as a fixed number of join+aggregate rounds, the shape
+  * every distributed graph framework (Pregel, GraphX, GraphFrames)
+  * compiles to anyway.
   */
 object Graph {
+
+  // ---------------------------------------------------------------- pagerank
+  /** Quantized-integer PageRank (r11) over the customer↔supplier
+    * interaction graph (an edge per distinct customer–supplier trading
+    * pair from lineitem⋈orders, BOTH directions, so the bipartite walk
+    * has no dangling sinks): 5 damped iterations (d = 0.85), top-20
+    * nodes. The "which entities dominate the interaction graph" ranking
+    * — centrality over co-interaction edges, the graph sibling of
+    * q_hot_items' plain frequency ranking.
+    *
+    * Determinism (R1 taken to its logical end): ranks are int64
+    * micro-units of a 10¹² total mass; every step is integer arithmetic
+    * — r₀ = 10¹² div N, per-edge contribution ((r div deg) · 85) div
+    * 100, damping base 0.15·10¹² div N — so the per-node sum is an
+    * order-free exact integer and NO float ever exists to drift between
+    * shuffle orders or engines. The oracle replays the identical
+    * arithmetic as 5 unrolled SQL join+agg rounds.
+    *
+    * Scale: the classic distributed PageRank shape — per iteration ONE
+    * join of the rank frame against the (materialized-once) edge list on
+    * src and ONE hash agg on dst, both map-side-partial; each iteration
+    * is [[graft.tables.Layout.materialize]]d (the [[connectedComponents]]
+    * lineage-control pattern; superseded iterations release their blocks)
+    * so the plan never deepens with the iteration count and a failed
+    * executor replays one round, not five. Degree and N are data-derived
+    * once; N is a driver scalar (a count — the bounded-state contract). */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir).select($"l_orderkey", $"l_suppkey")
+    val ords = orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val fwd = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
+      .distinct()
+    val edges = graft.tables.Layout.materialize(
+      fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"))))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val nn = edges.select($"src").distinct().count()
+    val r0 = 1000000000000L / nn
+    val base = 150000000000L / nn
+    var ranks = graft.tables.Layout.materialize(
+      edges.select($"src".as("node")).distinct().withColumn("r", lit(r0)))
+    for (_ <- 1 to 5) {
+      val next = graft.tables.Layout.materialize(
+        edges.join(deg, "src").join(ranks, $"src" === $"node")
+          .select($"dst", expr("((r div d) * 85L) div 100L").as("contrib"))
+          .groupBy($"dst").agg(sum($"contrib").as("csum"))
+          .select($"dst".as("node"), (lit(base) + $"csum").as("r")))
+      graft.tables.Layout.unpersistMaterialized(ranks)
+      ranks = next
+    }
+    val out = ranks.select(
+        when($"node" % 2L === 0L, lit("cust")).otherwise(lit("supp")).as("node_type"),
+        expr("node div 2").as("node_key"), $"r".as("rank_q"))
+      .orderBy($"rank_q".desc, $"node_type", $"node_key")
+      .limit(20)
+    out
+  }
+
+  private def iterSql(prev: String, nxt: String): String =
+    s"""$nxt AS (
+       |  SELECT e.dst AS node,
+       |    (SELECT 150000000000 // nn FROM n) + SUM((($prev.r // d.d) * 85) // 100) AS r
+       |  FROM $prev JOIN edges e ON $prev.node = e.src
+       |  JOIN deg d ON d.src = $prev.node GROUP BY e.dst)""".stripMargin
+
+  val graphPagerankSql: String =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM nodes),
+       |p0 AS (SELECT node, CAST(1000000000000 // nn AS BIGINT) AS r FROM nodes, n),
+       |${iterSql("p0", "p1")},
+       |${iterSql("p1", "p2")},
+       |${iterSql("p2", "p3")},
+       |${iterSql("p3", "p4")},
+       |${iterSql("p4", "p5")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+       |  node // 2 AS node_key, CAST(r AS BIGINT) AS rank_q
+       |FROM p5 ORDER BY rank_q DESC, node_type, node_key LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (graphPagerank _))
+
+  def oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> graphPagerankSql)
 
   /** Connected components in O(log diameter) rounds: iterative hash-min
     * label propagation with a pointer-jumping (path compression) step

@@ -366,6 +366,34 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_graph_pagerank: ranks recompute exactly via reference integer iteration") {
+    val rows = graft.ops.Graph.graphPagerank(spark, dir)
+      .select("node_type", "node_key", "rank_q").as[(String, Long, Long)].collect()
+    assert(rows.length === 20)
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sortBy(-_).toSeq, "not rank-ordered")
+    // reference: same quantized arithmetic, plain Scala maps
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey").as[(Long, Long)].collect()
+    val ords = graft.tables.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect().toMap
+    val fwd = li.flatMap { case (ok, sk) => ords.get(ok).map(ck => (ck * 2, sk * 2 + 1)) }.distinct
+    val edges = (fwd ++ fwd.map(e => (e._2, e._1))).toSeq
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.map(_._1).distinct
+    val nn = nodes.size.toLong
+    var r = nodes.map(v => v -> 1000000000000L / nn).toMap
+    for (_ <- 1 to 5) {
+      val base = 150000000000L / nn
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => (r(u) / deg(u)) * 85L / 100L }.sum).toMap
+      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    val expect = r.toSeq
+      .map { case (v, rv) => (if (v % 2 == 0) "cust" else "supp", v / 2, rv) }
+      .sortBy { case (t, k, rv) => (-rv, t, k) }.take(20)
+    assert(rows.toSeq === expect, "engine ranks diverged from reference integer iteration")
+  }
+
   test("q_join_pit: every purchase matches the version valid at its time (brute-force recompute)") {
     val rows = Advanced.joinPit(spark, dir)
       .select("user_id", "purchase_id", "p_t", "version", "state", "state_since")
