@@ -776,6 +776,140 @@ object Curation {
       |FROM cum
       |ORDER BY gap_num DESC, bucket LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- MAD anomaly
+  /** Median-absolute-deviation anomaly gate (r11) — the robust outlier
+    * detector a data-quality pipeline runs per segment: per event_type,
+    * the exact median and MAD of the value distribution and the count of
+    * values beyond median + 5·MAD (the robust z-score gate; MAD is
+    * immune to the outliers it hunts, unlike stddev-based gates —
+    * q_stats_moments' variance is exactly what a heavy tail corrupts).
+    *
+    * Exactness: values are 2dp money — scaled to EXACT int64 cents
+    * (round(v·100); doubles storing 2dp are within 1e-10 of the integer,
+    * so rounding can never sit on a .5 boundary), after which median,
+    * MAD, threshold, and the gate are pure integer arithmetic. Medians
+    * use the VALUE-HISTOGRAM selection (the q_percentile_exact shape):
+    * rank k = (n+1) div 2 located in the cumulative window over DISTINCT
+    * values, never a per-row window. Scale: ONE event scan builds the
+    * (type, cents) histogram (map-side partials), materialized once (the
+    * q_search_bm25 ReusedExchange lesson — three consumers would re-run
+    * the scan); everything downstream runs over histogram-sized frames
+    * (≤ distinct values per type). */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h1 = graft.tables.Layout.materialize(
+      events(s, dir)
+        .select($"event_type", round($"value" * 100.0).cast(LongType).as("cents"))
+        .groupBy($"event_type", $"cents").agg(count(lit(1)).as("cnt")))
+    def histMedian(hist: DataFrame, valCol: String): DataFrame = {
+      val wCum = Window.partitionBy($"event_type").orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wKey = Window.partitionBy($"event_type")
+      hist
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(wKey))
+        .withColumn("k", expr("(n + 1L) div 2L"))
+        .groupBy($"event_type")
+        .agg(max(when($"k" > $"cum" - $"cnt" && $"k" <= $"cum", col(valCol))).as("m"),
+          max($"n").as("n"))
+    }
+    val med = histMedian(h1, "cents")
+      .select($"event_type".as("m_type"), $"m".as("med"), $"n")
+    val devHist = h1.join(broadcast(med), $"event_type" === $"m_type")
+      .select($"event_type", abs($"cents" - $"med").as("dv"), $"cnt")
+      .groupBy($"event_type", $"dv").agg(sum($"cnt").as("cnt"))
+    val mad = histMedian(devHist.withColumnRenamed("dv", "cents"), "cents")
+      .select($"event_type".as("d_type"), $"m".as("mad"))
+    h1.join(broadcast(med), $"event_type" === $"m_type")
+      .join(broadcast(mad), $"event_type" === $"d_type")
+      .withColumn("thr", $"med" + lit(5L) * $"mad")
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"med").as("med_cents"),
+        max($"mad").as("mad_cents"), max($"thr").as("thr_cents"),
+        coalesce(sum(when($"cents" > $"thr", $"cnt")), lit(0L)).as("n_outliers"),
+        max(when($"cents" > $"thr", $"cents")).as("max_outlier_cents"))
+      .orderBy($"event_type")
+  }
+
+  val anomalyMadSql: String =
+    """WITH h1 AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY event_type, cents),
+      |st AS (
+      |  SELECT event_type, cents, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM h1),
+      |med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN (n+1)//2 > cum - cnt AND (n+1)//2 <= cum THEN cents END) AS med,
+      |    MAX(n) AS n
+      |  FROM st GROUP BY event_type),
+      |dev AS (
+      |  SELECT h1.event_type, ABS(h1.cents - med.med) AS dv,
+      |    CAST(SUM(h1.cnt) AS BIGINT) AS cnt
+      |  FROM h1 JOIN med ON h1.event_type = med.event_type
+      |  GROUP BY h1.event_type, dv),
+      |sd AS (
+      |  SELECT event_type, dv, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN (n+1)//2 > cum - cnt AND (n+1)//2 <= cum THEN dv END) AS mad
+      |  FROM sd GROUP BY event_type)
+      |SELECT h1.event_type AS event_type, MAX(m.n) AS n, MAX(m.med) AS med_cents,
+      |  MAX(d.mad) AS mad_cents, MAX(m.med + 5 * d.mad) AS thr_cents,
+      |  COALESCE(CAST(SUM(CASE WHEN h1.cents > m.med + 5 * d.mad THEN h1.cnt END) AS BIGINT), 0) AS n_outliers,
+      |  MAX(CASE WHEN h1.cents > m.med + 5 * d.mad THEN h1.cents END) AS max_outlier_cents
+      |FROM h1 JOIN med m ON h1.event_type = m.event_type
+      |JOIN mad d ON h1.event_type = d.event_type
+      |GROUP BY h1.event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- profiler
+  /** Table profiler (r11) — the ANALYZE-style column census (deequ/dbt
+    * profiling staple): per lineitem column, row count, null count, and
+    * EXACT distinct cardinality. The report a pipeline materializes
+    * before trusting a new snapshot; the approximate twin at scale is
+    * the HLL family (q_distinct_sketch) — this is the exact
+    * contract-sized form.
+    *
+    * Scale note: one narrow aggregate per column, each a column-pruned
+    * scan (columnar formats price a per-column pass the same as one wide
+    * pass + an 11-way Expand for the multi-countDistinct plan Spark
+    * would otherwise run; the union-of-aggs form keeps every distinct
+    * count a plain two-phase agg with map-side partials). Column list is
+    * the static schema — the op is schema-bounded, not data-bounded. */
+  def schemaProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir)
+    li.columns.toSeq.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), $"n_rows", $"n_nulls", $"n_distinct")
+    }.reduce(_ unionByName _)
+      .orderBy($"column")
+  }
+
+  val schemaProfileSql: String = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
@@ -800,7 +934,9 @@ object Curation {
     "q_quality_c4"     -> (qualityC4 _),
     "q_stats_entropy"  -> (statsEntropy _),
     "q_sample_reservoir" -> (sampleReservoir _),
-    "q_stats_ks"       -> (statsKs _))
+    "q_stats_ks"       -> (statsKs _),
+    "q_anomaly_mad"    -> (anomalyMad _),
+    "q_schema_profile" -> (schemaProfile _))
 
   // ---------------------------------------------------------------- gopher gate
   /** Composite quality GATE (r10) — the Gopher-/RefinedWeb-style rule
@@ -999,5 +1135,7 @@ object Curation {
     "q_quality_c4"     -> qualityC4Sql,
     "q_stats_entropy"  -> statsEntropySql,
     "q_sample_reservoir" -> sampleReservoirSql,
-    "q_stats_ks"       -> statsKsSql)
+    "q_stats_ks"       -> statsKsSql,
+    "q_anomaly_mad"    -> anomalyMadSql,
+    "q_schema_profile" -> schemaProfileSql)
 }

@@ -233,6 +233,46 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_anomaly_mad: median, MAD, and outlier census recompute brute-force in exact cents") {
+    val dir = sf("sf0.001")
+    val rows = Curation.anomalyMad(spark, dir)
+      .select("event_type", "n", "med_cents", "mad_cents", "thr_cents", "n_outliers", "max_outlier_cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .map { case (t, v) => (t, math.round(v * 100.0)) }
+    assert(rows.nonEmpty)
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    rows.foreach { case (tp, n, med, mad, thr, nOut, maxOut) =>
+      val vs = evs.filter(_._1 == tp).map(_._2).toSeq
+      assert(n === vs.length.toLong, s"$tp: n")
+      assert(med === lowerMedian(vs), s"$tp: median")
+      assert(mad === lowerMedian(vs.map(v => math.abs(v - med))), s"$tp: MAD")
+      assert(thr === med + 5 * mad, s"$tp: threshold")
+      val outs = vs.filter(_ > thr)
+      assert(nOut === outs.length.toLong, s"$tp: outlier count")
+      assert(maxOut === (if (outs.isEmpty) None else Some(outs.max)), s"$tp: max outlier")
+    }
+  }
+
+  test("q_schema_profile: exact distinct/null census per column recomputes brute-force") {
+    val dir = sf("sf0.001")
+    val rows = Curation.schemaProfile(spark, dir)
+      .select("column", "n_rows", "n_nulls", "n_distinct")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val li = graft.tables.Tables.lineitem(spark, dir)
+    assert(rows.map(_._1).sorted === li.columns.toSeq.sorted, "column census incomplete")
+    val total = li.count()
+    rows.foreach { case (c, nr, nn, nd) =>
+      assert(nr === total, s"$c: row count")
+      val vals = li.select(c).collect().map(r => if (r.isNullAt(0)) null else r.get(0))
+      assert(nn === vals.count(_ == null).toLong, s"$c: null count")
+      assert(nd === vals.filter(_ != null).distinct.length.toLong, s"$c: distinct count")
+    }
+  }
+
   test("q_quality_c4: every rule recomputes brute-force and keep is the exact conjunction") {
     val dir = sf("sf0.001")
     val rows = Curation.qualityC4(spark, dir)
