@@ -871,6 +871,72 @@ object Curation {
       |GROUP BY h1.event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- chi2 drift
+  /** Chi-squared independence census (r11) — the CATEGORICAL sibling of
+    * q_stats_ks (numeric ECDF drift) and q_corpus_drift (token-mass
+    * drift): is documents.lang independent of documents.source, cell by
+    * cell? Per (lang, source): observed count, expected count in exact
+    * ppm, the cell's χ² contribution in exact ppb, and the global χ² in
+    * ppb — the "did this source's language mix shift" gate a corpus
+    * refresh runs before mixing.
+    *
+    * Exactness: χ² = Σ (O−E)²/E with E = row·col/N is rational in the
+    * counts. Cross-multiplying clears every denominator: diff = O·N −
+    * row·col (int64), contrib_ppb = (diff²·10⁹) div (N·row·col). diff²
+    * ·10⁹ exceeds int64 (N=5e3 already puts it at ~6·10²³), so the
+    * numerator runs in DECIMAL(38,0) with an integral `div` back to
+    * int64 — the quotient is bounded by N·10⁹ (χ² cell ≤ N). The oracle
+    * mirrors with HUGEINT. NO float exists anywhere; the statistic ships
+    * as exact ppb integers.
+    *
+    * Scale: ONE scan → hash agg to the (lang, source) cell frame; row/
+    * col/N totals are window sums OVER THE CELL FRAME (≤ |lang|·|source|
+    * rows — bounded by label domains, never by corpus size; the same
+    * bounded-frame posture as q_corpus_mix). */
+  def statsChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n_obs"))
+    val wRow = Window.partitionBy($"lang")
+    val wCol = Window.partitionBy($"source")
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("row_tot", sum($"n_obs").over(wRow))
+      .withColumn("col_tot", sum($"n_obs").over(wCol))
+      .withColumn("n", sum($"n_obs").over(wAll))
+      .withColumn("exp_ppm", expr("(row_tot * col_tot * 1000000L) div n"))
+      .withColumn("diff", $"n_obs" * $"n" - $"row_tot" * $"col_tot")
+      .withColumn("contrib_ppb",
+        expr("""CAST((CAST(diff AS DECIMAL(19,0)) * CAST(diff AS DECIMAL(19,0))
+               |      * CAST(1000000000 AS DECIMAL(19,0)))
+               |     div (n * row_tot * col_tot) AS BIGINT)""".stripMargin))
+      .withColumn("chi2_ppb", sum($"contrib_ppb").over(wAll))
+      .select($"lang", $"source", $"n_obs", $"exp_ppm", $"contrib_ppb", $"chi2_ppb")
+      .orderBy($"lang", $"source")
+  }
+
+  val statsChi2Sql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM documents GROUP BY lang, source),
+      |tot AS (
+      |  SELECT lang, source, n_obs,
+      |    CAST(SUM(n_obs) OVER (PARTITION BY lang) AS BIGINT) AS row_tot,
+      |    CAST(SUM(n_obs) OVER (PARTITION BY source) AS BIGINT) AS col_tot,
+      |    CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |c AS (
+      |  SELECT lang, source, n_obs,
+      |    (row_tot * col_tot * 1000000) // n AS exp_ppm,
+      |    CAST((CAST(n_obs * n - row_tot * col_tot AS HUGEINT)
+      |          * CAST(n_obs * n - row_tot * col_tot AS HUGEINT)
+      |          * 1000000000)
+      |         // CAST(n * row_tot * col_tot AS HUGEINT) AS BIGINT) AS contrib_ppb
+      |  FROM tot)
+      |SELECT lang, source, n_obs, exp_ppm, contrib_ppb,
+      |  CAST(SUM(contrib_ppb) OVER () AS BIGINT) AS chi2_ppb
+      |FROM c ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- profiler
   /** Table profiler (r11) — the ANALYZE-style column census (deequ/dbt
     * profiling staple): per lineitem column, row count, null count, and
@@ -935,6 +1001,7 @@ object Curation {
     "q_stats_entropy"  -> (statsEntropy _),
     "q_sample_reservoir" -> (sampleReservoir _),
     "q_stats_ks"       -> (statsKs _),
+    "q_stats_chi2"     -> (statsChi2 _),
     "q_anomaly_mad"    -> (anomalyMad _),
     "q_schema_profile" -> (schemaProfile _))
 
@@ -1136,6 +1203,7 @@ object Curation {
     "q_stats_entropy"  -> statsEntropySql,
     "q_sample_reservoir" -> sampleReservoirSql,
     "q_stats_ks"       -> statsKsSql,
+    "q_stats_chi2"     -> statsChi2Sql,
     "q_anomaly_mad"    -> anomalyMadSql,
     "q_schema_profile" -> schemaProfileSql)
 }

@@ -538,6 +538,78 @@ object LlmText {
       |SELECT doc_a, doc_b, n_shared, jaccard FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- dedup: containment
+  /** ASYMMETRIC shingle containment (r11) — C(A,B) = |A∩B| / |A| ≥ 0.8:
+    * doc A is (near-)contained in doc B. The inclusion detector Jaccard
+    * structurally misses: a paragraph quoted whole inside a 10× longer
+    * page has J ≈ 0.1 but C ≈ 1.0 — exactly the quote-inclusion /
+    * boilerplate-superset shape a training-corpus dedup must catch
+    * (RefinedWeb/C4 drop the CONTAINED copy, keep the superset).
+    *
+    * Same filter-verify skeleton as [[jaccardPairs]] with the asymmetric
+    * bounds: a qualifying pair must share one of A's first
+    * ⌊n_a·(1−t)⌋+1 prefix shingles with B's FULL shingle set (the
+    * containment prefix-filter lemma — only the probe side can be
+    * prefix-pruned, the containing side needs the full inverted index;
+    * at 100 TB that index is the standing shingle table the incremental
+    * path already maintains), plus the size bound |B| ≥ t·|A| (B must
+    * have room for 80% of A: 5·n_b ≥ 4·n_a, exact integers). VERIFY is
+    * the same codegen sorted-merge intersect; the gate 5·n_shared ≥
+    * 4·n_a stays integer — the reported `containment` is display-only.
+    * Both directions of a mutual near-dup pair appear (A⊂B and B⊂A) —
+    * the consumer keeps the larger side, so direction matters. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSh = graft.tables.Layout.materialize(
+      documents(s, dir)
+        .select($"doc_id",
+          graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+        .where(size($"sh_arr") > 0)
+        .select($"doc_id", size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr"))
+    // probe prefix: first ⌊n/5⌋+1 sorted shingles (t = 0.8)
+    val pref = docSh.select($"doc_id".as("doc_a"), $"n_sh".as("n_a"),
+      explode(slice($"sh_arr", lit(1), ($"n_sh" / 5 + 1).cast("int"))).as("shingle"))
+    // containing side: FULL inverted index
+    val full = docSh.select($"doc_id".as("doc_b"), $"n_sh".as("n_b"),
+      explode($"sh_arr").as("shingle"))
+    val cands = pref.join(full, Seq("shingle"))
+      .where($"doc_a" =!= $"doc_b" && $"n_b" * 5 >= $"n_a" * 4)
+      .groupBy($"doc_a", $"n_a", $"doc_b").agg(count(lit(1)).as("_c"))
+      .drop("_c")
+    cands
+      .join(docSh.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
+      .join(docSh.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
+      .where($"n_shared" * 5 >= $"n_a" * 4)
+      .select($"doc_a", $"doc_b", $"n_shared",
+        round($"n_shared".cast("double") / $"n_a", 4).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(t) >= 3
+      |        THEN list_transform(generate_series(1, len(t) - 2),
+      |               i -> array_to_string(t[i:i+2], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tk)),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / sa.n_sh, 4) AS containment
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE n_shared * 5 >= sa.n_sh * 4 AND sb.n_sh * 5 >= sa.n_sh * 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- dedup: incremental
   /** Incremental near-dup ADMISSION — the daily-ingest gate a standing
     * corpus needs: yesterday's corpus is immutable (base = doc_id below
@@ -1621,6 +1693,7 @@ object LlmText {
     "q_dedup_minhash"       -> (dedupMinhash _),
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "q_dedup_containment"   -> (dedupContainment _),
     "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_cluster"       -> (dedupCluster _),
     "q_dedup_cluster_incremental" -> (dedupClusterIncremental _),
@@ -1651,6 +1724,7 @@ object LlmText {
     "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_containment"   -> dedupContainmentSql,
     "q_dedup_incremental"   -> dedupIncrementalSql,
     "q_dedup_cluster"       -> dedupClusterSql,
     // the maintenance path must land on the SAME table as a full recluster:

@@ -363,6 +363,63 @@ object TimeWindows {
       |WHERE (rn - 1) % 10 = 0
       |ORDER BY user_id, t, event_id""".stripMargin
 
+  /** Truncated exponentially-weighted moving average (r11) — the
+    * time-series smoother between plain running means (q_win_running)
+    * and gap-sensitive sessionization: per user, ordered by (ts,
+    * event_id), s_t = Σ_{i=0..15} value_{t−i} · α(1−α)^i with α = ½.
+    *
+    * α = ½ is the trick that makes an EWMA EXACT: the weights are the
+    * binary fractions 2^{-(i+1)}, so scaling by 2^16 turns every term
+    * into an integer — ewma_x65536 = Σ cents_{t−i} · 2^{15−i} is exact
+    * int64 (cents ≤ 10⁷ · 2^15 · 16 ≈ 5·10¹² « 2⁶³), order-free, and
+    * drift-free across engines; the float `ewma` column is the division
+    * by the CONSTANT 65536 — a power of two, so even that double is
+    * exact, not rounded (the one place rule R4's "one rounded division"
+    * can be tightened to zero roundings). The 16-term truncation bounds
+    * state (residual weight 2^-16 of the tail — below cent resolution)
+    * and is what makes the operator a fixed-width window instead of an
+    * unbounded recursive scan: 16 lag() terms in ONE window pass,
+    * whole-stage codegen, no recursion, no UDAF.
+    *
+    * Scale: one user_id shuffle serves the single window; each row's
+    * cost is 16 codegen'd lag reads — constant. The streaming twin is a
+    * transformWithState value-state register (s_agg_rolling's shape). */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val base = events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"),
+        round($"value" * 100.0).cast(LongType).as("cents"))
+    val terms = (0 until 16).map { i =>
+      coalesce(lag($"cents", i).over(w), lit(0L)) * lit(1L << (15 - i))
+    }.reduce(_ + _)
+    base
+      .withColumn("n_terms", least(row_number().over(w), lit(16)))
+      .withColumn("ewma_x65536", terms)
+      .select($"user_id", $"event_id", $"t", $"n_terms", $"ewma_x65536",
+        ($"ewma_x65536".cast("double") / 65536.0).as("ewma_cents"))
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
+  val tsEwmaSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"COALESCE(LAG(cents, $i) OVER w, 0) * ${1L << (15 - i)}"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |sm AS (
+       |  SELECT user_id, event_id, t,
+       |    LEAST(ROW_NUMBER() OVER w, 16) AS n_terms,
+       |    CAST($terms AS BIGINT) AS ewma_x65536
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+       |SELECT user_id, event_id, t, n_terms, ewma_x65536,
+       |  CAST(ewma_x65536 AS DOUBLE) / 65536.0 AS ewma_cents
+       |FROM sm ORDER BY user_id, t, event_id""".stripMargin
+  }
+
   /** Calendar gap-fill: daily order counts on a dense epoch-day spine with
     * zero-filled missing days — the densification step every time-series
     * consumer (charts, models, window functions over time) needs. The
@@ -809,6 +866,7 @@ object TimeWindows {
     "q_cumulate_window"   -> (cumulateWindow _),
     "q_cep_pattern_seq"   -> (cepPatternSeq _),
     "q_time_downsample"   -> (timeDownsample _),
+    "q_ts_ewma"           -> (tsEwma _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
@@ -828,6 +886,7 @@ object TimeWindows {
     "q_cumulate_window"  -> cumulateWindowSql,
     "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
+    "q_ts_ewma"          -> tsEwmaSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,

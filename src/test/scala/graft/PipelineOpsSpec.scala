@@ -546,4 +546,108 @@ class PipelineOpsSpec extends SparkTestBase {
     freq.filterNot(kv => kept(kv._1)).foreach { case (p, n) =>
       assert(n <= cut, s"path $p (n=$n) wrongly excluded from top-25 (cut=$cut)") }
   }
+
+  test("q_graph_triangles: degree-oriented enumeration == brute-force triple scan") {
+    val rows = graft.ops.Graph.graphTriangles(spark, dir)
+      .select("p_a", "p_b", "p_c").as[(Long, Long, Long)].collect().toSeq
+    // brute force: edge set in plain Scala, then check every output triple
+    // and every reference triple both ways
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet
+    val byNode = edges.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      (a, nbrs) <- byNode.toSeq
+      b <- nbrs if a < b
+      c <- byNode(b) if b < c && nbrs(c)
+    } yield (a, b, c)).sorted
+    assert(rows === expect, "triangle set diverged from brute-force enumeration")
+    assert(rows.nonEmpty, "no triangles at this SF — spec lost its teeth")
+  }
+
+  test("q_dedup_containment: pairs and shared counts recompute from raw shingle sets") {
+    val rows = LlmText.dedupContainment(spark, dir)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) =>
+      id -> t.trim.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val expect = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+      ns = (sa & sb).size.toLong
+      if ns * 5 >= sa.size.toLong * 4
+    } yield (a, b, ns)).sorted
+    assert(rows.sorted === expect, "containment pairs diverged from raw shingle recompute")
+    assert(rows.nonEmpty, "no containment pairs at this SF — spec lost its teeth")
+    // direction semantics: the reported ratio is vs the CONTAINED side's
+    // own set size — a mutual pair carries two different denominators
+    val nsh = sh.view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (a, b, ns) =>
+      assert(ns * 5 >= nsh(a) * 4 && ns <= math.min(nsh(a), nsh(b)),
+        s"pair ($a,$b): containment bound violated vs raw set sizes")
+    }
+  }
+
+  test("q_stats_chi2: exact ppm/ppb cells recompute with BigInt; chi2 matches float recompute") {
+    val rows = Curation.statsChi2(spark, dir)
+      .select("lang", "source", "n_obs", "exp_ppm", "contrib_ppb", "chi2_ppb")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("lang", "source").as[(String, String)].collect()
+    val obs = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val row = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val col = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    assert(rows.map(r => (r._1, r._2)).toSet === obs.keySet, "cell census incomplete")
+    rows.foreach { case (l, src, o, ppm, ppb, _) =>
+      assert(o === obs((l, src)), s"($l,$src): observed")
+      assert(ppm === row(l) * col(src) * 1000000L / n, s"($l,$src): expected ppm")
+      val diff = BigInt(o) * n - BigInt(row(l)) * col(src)
+      assert(BigInt(ppb) === diff * diff * 1000000000L / (BigInt(n) * row(l) * col(src)),
+        s"($l,$src): contribution ppb")
+    }
+    // the ppb total is one statistic repeated on every row, and it agrees
+    // with the standard float formula to quantization error
+    assert(rows.map(_._6).distinct.length === 1)
+    val chi2Float = obs.map { case ((l, src), o) =>
+      val e = row(l).toDouble * col(src) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(rows.head._6 / 1e9 - chi2Float) < 1e-3,
+      "exact ppb chi2 drifted from float recompute beyond quantization")
+  }
+
+  test("q_ts_ewma: scaled integer EWMA recomputes from per-user lag lists; /65536 is exact") {
+    val rows = TimeWindows.tsEwma(spark, dir)
+      .select("user_id", "event_id", "n_terms", "ewma_x65536", "ewma_cents")
+      .as[(Long, Long, Int, Long, Double)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === evs.length, "row conservation")
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+        .map(e => (e._2, math.round(e._4 * 100.0)))
+      ordered.zipWithIndex.toSeq.map { case ((eid, _), i) =>
+        val s = (0 until math.min(16, i + 1)).map { k =>
+          ordered(i - k)._2 * (1L << (15 - k))
+        }.sum
+        (u, eid) -> ((math.min(16, i + 1), s))
+      }
+    }.toMap
+    rows.foreach { case (u, eid, nt, sc, dbl) =>
+      val (en, es) = expect((u, eid))
+      assert(nt === en, s"user $u event $eid: n_terms")
+      assert(sc === es, s"user $u event $eid: scaled EWMA")
+      assert(dbl === sc.toDouble / 65536.0 && dbl * 65536.0 === sc.toDouble,
+        s"user $u event $eid: /2^16 must be exact in binary")
+    }
+  }
 }
