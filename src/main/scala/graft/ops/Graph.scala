@@ -49,22 +49,30 @@ object Graph {
     val fwd = li.join(ords, $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2L).as("src"), ($"l_suppkey" * 2L + 1L).as("dst"))
       .distinct()
-    val edges = graft.tables.Layout.materialize(
-      fwd.union(fwd.select($"dst".as("src"), $"src".as("dst"))))
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val und = fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+    // degree rides WITH each edge, joined once before the loop — the edge
+    // list is static across iterations, so re-joining deg every round
+    // would price the same static join 5×. (A window count over src was
+    // measured SLOWER than groupBy+join here: the window's sort pass
+    // costs more than the hash agg + AQE-broadcast join it replaces.)
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("d"))
+    val edges = graft.tables.Layout.materialize(und.join(deg, "src"))
     val nn = edges.select($"src").distinct().count()
     val r0 = 1000000000000L / nn
     val base = 150000000000L / nn
-    var ranks = graft.tables.Layout.materialize(
-      edges.select($"src".as("node")).distinct().withColumn("r", lit(r0)))
+    // The 5 rounds run as ONE unrolled declarative plan — unlike the CC
+    // loop there is NO per-round convergence action forcing execution, so
+    // per-iteration materialization would only add 2 driver jobs/round
+    // (measured ~60% of the query at sf0.1) for lineage that is already
+    // shallow: every edge reference below bottoms out in the SAME pinned
+    // edge RDD, so the single final job runs 5 join+agg stage pairs
+    // back-to-back and a lost executor replays stages, not the scan.
+    var ranks = edges.select($"src".as("node")).distinct().withColumn("r", lit(r0))
     for (_ <- 1 to 5) {
-      val next = graft.tables.Layout.materialize(
-        edges.join(deg, "src").join(ranks, $"src" === $"node")
-          .select($"dst", expr("((r div d) * 85L) div 100L").as("contrib"))
-          .groupBy($"dst").agg(sum($"contrib").as("csum"))
-          .select($"dst".as("node"), (lit(base) + $"csum").as("r")))
-      graft.tables.Layout.unpersistMaterialized(ranks)
-      ranks = next
+      ranks = edges.join(ranks, $"src" === $"node")
+        .select($"dst", expr("((r div d) * 85L) div 100L").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("csum"))
+        .select($"dst".as("node"), (lit(base) + $"csum").as("r"))
     }
     val out = ranks.select(
         when($"node" % 2L === 0L, lit("cust")).otherwise(lit("supp")).as("node_type"),
@@ -120,11 +128,17 @@ object Graph {
     * degree agg + both wedge sides + the closing probe. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
-    val b = li.select($"l_orderkey", $"l_partkey".as("p2"))
+    // basket-local pair generation (the q_basket_pairs shape — collect_set
+    // + posexplode/slice beat the self-join form 2× there; work is
+    // Σ C(basket,2) either way but this pays one exchange, not three)
+    val baskets = lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("ps"))
     val und = graft.tables.Layout.materialize(
-      li.join(b, Seq("l_orderkey")).where($"l_partkey" < $"p2")
-        .groupBy($"l_partkey".as("pa"), $"p2".as("pb"))
+      baskets
+        .select($"ps", posexplode($"ps").as(Seq("i", "pa")))
+        .select($"pa", explode(expr("slice(ps, i + 2, size(ps))")).as("pb"))
+        .groupBy($"pa", $"pb")
         .agg(count(lit(1)).as("n_ord")).where($"n_ord" >= 2)
         .select($"pa", $"pb"))
     val deg = und.select($"pa".as("v")).unionAll(und.select($"pb".as("v")))
