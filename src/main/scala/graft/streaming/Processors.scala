@@ -47,6 +47,40 @@ class CountWindowProcessor(n: Int)
   }
 }
 
+/** Streaming twin of batch `q_ts_ewma` (SURVEY §2.8 s_ts_ewma): per-key
+  * truncated EWMA with α = ½ over the last 16 values, scaled by 2¹⁶ so
+  * every emitted point is the EXACT int64 the batch window computes —
+  * settle-equivalence is integer equality, not float tolerance. State is
+  * the 16-deep ring of recent cent values (bounded, ~128 bytes/key).
+  * Within a micro-batch rows fold in (ts, event_id) order (the iterator's
+  * arrival order is shuffle-dependent); across batches arrival order is
+  * trusted, the KeyedProcessFunction contract. */
+case class EwmaPoint(user_id: Long, event_id: Long, n_terms: Int, ewma_x65536: Long)
+
+class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
+  @transient private var ring: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getListState[Long]("ring", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[EwmaPoint] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+    var buf = ring.get().toVector // oldest..newest
+    // epoch-SECOND then event_id — the batch window's exact sort key (its
+    // t column is epochS; ms-precision ordering could disagree on ties)
+    rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
+      buf = (buf :+ math.round(e.value * 100.0)).takeRight(16)
+      val s = buf.reverseIterator.zipWithIndex
+        .map { case (c, k) => c * (1L << (15 - k)) }.sum
+      out += EwmaPoint(key, e.event_id, buf.length, s)
+    }
+    ring.clear()
+    buf.foreach(ring.appendValue)
+    out.iterator
+  }
+}
+
 /** Temperature-rise alert (the canonical KeyedProcessFunction + timer
   * example): if a key's value rises and keeps rising for `horizonMs` of
   * event time, emit an alert when the event-time timer fires. A falling

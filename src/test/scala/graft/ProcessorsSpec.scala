@@ -683,4 +683,30 @@ class ProcessorsSpec extends SparkTestBase {
       assert(streamed === batchTbl, "folded changelog diverged from the batch SCD2 table")
     } finally q.stop()
   }
+
+  test("s_ts_ewma: streaming ring-state EWMA == batch q_ts_ewma to exact integer equality") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.tsEwma(spark, dir)
+      .select("user_id", "event_id", "n_terms", "ewma_x65536")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime / 1000L, e.event_id)).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor, TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // two in-order batches: the ring must survive the state-store
+      // round-trip between micro-batches for the halves to agree
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val streamed = spark.table(sink).as[EwmaPoint].collect()
+        .map(p => (p.user_id, p.event_id, p.n_terms, p.ewma_x65536)).toSet
+      assert(streamed === batch, "streaming EWMA diverged from the batch window — exact integers must agree")
+    } finally q.stop()
+  }
 }
