@@ -804,6 +804,66 @@ object LlmVector {
       |  CAST(SUM(dall) AS BIGINT) AS s_all
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- outliers
+  /** Embedding-space outlier census (r11) — the "drop the weird vectors"
+    * curation gate (mislabeled scrapes, encoder failures, adversarial
+    * junk sit far from the corpus mass): top-20 vectors by squared L2
+    * distance to the GLOBAL centroid, exact in quantized integer space.
+    *
+    * Determinism: elements quantize to ⌊x·10⁶⌋ int64 (the embedCentroid
+    * discipline); the centroid is the per-dim integer division s_d div n
+    * (exact, engine-identical), and dist2_q = Σ_d (q(x_d) − c_d)² stays
+    * pure int64 (≤ 64·(2·10⁶)² ≈ 2.6·10¹¹ per vector) — no float ever,
+    * so the top-20 cut is stable across engines and shuffle orders.
+    *
+    * Scale: pass 1 computes per-dim sums via posexplode → dim hash-agg
+    * (map-side partials cut the shuffle to 64 rows/partition); the 64
+    * c_d values collect to the driver — BOUNDED state, d longs (the PCA
+    * driver-eigensolve contract) — and return as an array LITERAL, so
+    * pass 2 is ONE scan with a row-local zip_with/aggregate fold and a
+    * TakeOrdered top-20: the corpus is never shuffled at all. */
+  def embedOutlier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = $"embedding".cast("array<double>")
+    val q6 = (c: Column) => floor(c * lit(1000000.0)).cast(LongType)
+    val qvec = embeddings(s, dir)
+      .select($"vec_id", $"label", transform(e, x => q6(x)).as("q"))
+    val cent = qvec
+      .select(posexplode($"q").as(Seq("dim", "v")))
+      .groupBy($"dim").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+      .select($"dim", expr("s div n").as("c"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    val centLit = array(cent.map(lit(_)): _*)
+    qvec
+      .withColumn("dist2_q",
+        aggregate(zip_with($"q", centLit, (x, c) => (x - c) * (x - c)),
+          lit(0L), (a, x) => a + x))
+      .select($"vec_id", $"label", $"dist2_q")
+      .orderBy($"dist2_q".desc, $"vec_id")
+      .limit(20)
+  }
+
+  val embedOutlierSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |flat AS (
+      |  SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v
+      |  FROM q),
+      |cent AS (
+      |  SELECT dim, CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM flat GROUP BY dim),
+      |d AS (
+      |  SELECT f.vec_id,
+      |    CAST(SUM((f.v - cent.c) * (f.v - cent.c)) AS BIGINT) AS dist2_q
+      |  FROM flat f JOIN cent ON f.dim = cent.dim
+      |  GROUP BY f.vec_id)
+      |SELECT q.vec_id, q.label, d.dist2_q
+      |FROM q JOIN d ON q.vec_id = d.vec_id
+      |ORDER BY d.dist2_q DESC, q.vec_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- PCA
   /** Distributed PCA projection (r10) — embedding whitening/compression,
     * the dimensionality-reduction member of the vector family: top-2
@@ -958,6 +1018,7 @@ object LlmVector {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_frame_sample"    -> (mmFrameSample _),
     "q_embed_centroid"     -> (embedCentroid _),
+    "q_embed_outlier"      -> (embedOutlier _),
     "q_embed_pca"          -> (embedPca _),
     "q_sim_cosine_topk"    -> (simCosineTopk _),
     "q_embed_norm"         -> (embedNorm _),
@@ -976,6 +1037,7 @@ object LlmVector {
   def oracle: Map[String, String] = Map(
     "q_mm_frame_sample"    -> mmFrameSampleSql,
     "q_embed_centroid"     -> embedCentroidSql,
+    "q_embed_outlier"      -> embedOutlierSql,
     "q_sim_cosine_topk"    -> simCosineTopkSql,
     "q_embed_norm"         -> embedNormSql,
     "q_multimodal_join"    -> multimodalJoinSql,

@@ -420,6 +420,61 @@ object TimeWindows {
        |FROM sm ORDER BY user_id, t, event_id""".stripMargin
   }
 
+  /** Rolling band anomaly flags (r11) — Bollinger-style volatility bands,
+    * the moving-STATS sibling of [[tsEwma]] (a moving MEAN): per user over
+    * the trailing 20-event frame, is this value outside mean ± 2σ of its
+    * own recent history? The "sudden spend spike vs normal volatility"
+    * monitor; unlike q_anomaly_mad (global, per-type) the baseline here is
+    * LOCAL — each event is judged against its own trailing window.
+    *
+    * Exactness: with s = Σcents, ss = Σcents² over the n-row frame (both
+    * exact int64 window sums — cents² ≤ 10¹⁴, ×20 well inside range),
+    * mean = s/n and σ² = (n·ss − s²)/n² are rational; the band test
+    * (x−mean)² > 4σ² cross-multiplies to (x·n − s)² > 4·(n·ss − s²) —
+    * pure int64 (LHS ≤ ~1.6·10¹⁷), NO division, NO float, same verdict in
+    * any engine. The emitted columns are the exact integer window sums +
+    * the flag; consumers derive display floats downstream.
+    *
+    * Scale: one user_id shuffle, both window sums + count share the single
+    * sorted frame pass; arithmetic is whole-stage codegen. */
+  def tsBollinger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(-19, Window.currentRow)
+    events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"),
+        round($"value" * 100.0).cast(LongType).as("cents"))
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .withColumn("sum_cents", sum($"cents").over(w))
+      .withColumn("sumsq_cents", sum($"cents" * $"cents").over(w))
+      .withColumn("var_num", $"n_frame" * $"sumsq_cents" - $"sum_cents" * $"sum_cents")
+      .withColumn("breach",
+        ($"cents" * $"n_frame" - $"sum_cents") * ($"cents" * $"n_frame" - $"sum_cents")
+          > lit(4L) * $"var_num")
+      .select($"user_id", $"event_id", $"t", $"cents", $"n_frame",
+        $"sum_cents", $"var_num", $"breach")
+      .orderBy($"user_id", $"t", $"event_id")
+  }
+
+  val tsBollingerSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |fr AS (
+      |  SELECT user_id, event_id, t, cents,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_frame,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents,
+      |    CAST(SUM(cents * cents) OVER w AS BIGINT) AS sumsq_cents
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, t, cents, n_frame, sum_cents,
+      |  n_frame * sumsq_cents - sum_cents * sum_cents AS var_num,
+      |  (cents * n_frame - sum_cents) * (cents * n_frame - sum_cents)
+      |    > 4 * (n_frame * sumsq_cents - sum_cents * sum_cents) AS breach
+      |FROM fr ORDER BY user_id, t, event_id""".stripMargin
+
   /** Calendar gap-fill: daily order counts on a dense epoch-day spine with
     * zero-filled missing days — the densification step every time-series
     * consumer (charts, models, window functions over time) needs. The
@@ -867,6 +922,7 @@ object TimeWindows {
     "q_cep_pattern_seq"   -> (cepPatternSeq _),
     "q_time_downsample"   -> (timeDownsample _),
     "q_ts_ewma"           -> (tsEwma _),
+    "q_ts_bollinger"      -> (tsBollinger _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
@@ -887,6 +943,7 @@ object TimeWindows {
     "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
     "q_ts_ewma"          -> tsEwmaSql,
+    "q_ts_bollinger"     -> tsBollingerSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,

@@ -623,6 +623,63 @@ class PipelineOpsSpec extends SparkTestBase {
       "exact ppb chi2 drifted from float recompute beyond quantization")
   }
 
+  test("q_ts_bollinger: frame sums and band verdicts recompute from trailing-20 slices") {
+    val rows = TimeWindows.tsBollinger(spark, dir)
+      .select("user_id", "event_id", "cents", "n_frame", "sum_cents", "var_num", "breach")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === evs.length, "row conservation")
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2)).map(e => (e._2, math.round(e._4 * 100.0)))
+      ordered.zipWithIndex.foreach { case ((eid, c), i) =>
+        val frame = ordered.slice(math.max(0, i - 19), i + 1).map(_._2)
+        val (n, s, ss) = (frame.length.toLong, frame.sum, frame.map(x => x * x).sum)
+        val vn = n * ss - s * s
+        val r = byKey((u, eid))
+        assert(r._3 === c && r._4 === n && r._5 === s && r._6 === vn,
+          s"user $u event $eid: frame stats drifted")
+        assert(r._7 === ((c * n - s) * (c * n - s) > 4 * vn),
+          s"user $u event $eid: band verdict drifted")
+        // the cross-multiplied verdict IS the float band test (guard vs n=1 frames)
+        if (n > 1) {
+          val mean = s.toDouble / n
+          val sigma2 = vn.toDouble / (n * n)
+          val floatVerdict = (c - mean) * (c - mean) > 4 * sigma2
+          assert(r._7 === floatVerdict, s"user $u event $eid: integer form != float band test")
+        }
+      }
+    }
+    assert(rows.exists(_._7) && rows.exists(!_._7), "data must exercise both verdicts")
+  }
+
+  test("q_embed_outlier: quantized distances recompute brute-force; top-20 is the true cut") {
+    val rows = graft.ops.LlmVector.embedOutlier(spark, dir)
+      .select("vec_id", "label", "dist2_q").as[(Long, Int, Long)].collect().toSeq
+    assert(rows.length === 20)
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val q = vecs.map { case (id, l, v) =>
+      (id, l, v.map(x => math.floor(x * 1e6).toLong)) }
+    val dims = q.head._3.length
+    val n = q.length.toLong
+    // centroid: per-dim integer division, truncation toward zero (both engines)
+    val cent = (0 until dims).map { d => q.map(_._3(d)).sum / n }
+    val dist = q.map { case (id, l, v) =>
+      (id, l, v.zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum) }
+    val expect = dist.sortBy(t => (-t._3, t._1)).take(20).toSeq
+    assert(rows === expect, "top-20 outliers diverged from brute-force recompute")
+    // the cut is genuine: everything outside has dist2 <= the last kept
+    val cut = expect.last._3
+    val kept = expect.map(_._1).toSet
+    dist.filterNot(t => kept(t._1)).foreach { t =>
+      assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
+  }
+
   test("q_ts_ewma: scaled integer EWMA recomputes from per-user lag lists; /65536 is exact") {
     val rows = TimeWindows.tsEwma(spark, dir)
       .select("user_id", "event_id", "n_terms", "ewma_x65536", "ewma_cents")
