@@ -1334,6 +1334,60 @@ object LlmText {
       |FROM t JOIN tf USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- boilerplate
+  /** Boilerplate-mass quality gate (r11) — the SHINGLE-df complement of
+    * [[qualityRareMass]] (token-cf rarity): what fraction of a doc's
+    * distinct 3-gram shingles appear in ≥ 3 documents? Headers, footers,
+    * navigation, legal text — templated spans shared across many pages —
+    * are invisible to token-level signals (their words are ordinary) but
+    * light up at shingle granularity; C4/RefinedWeb-style pipelines drop
+    * or strip docs whose shingle mass is mostly cross-document template.
+    * Flags docs with boilerplate ratio ≥ 0.5 (integer cross-multiply
+    * 2·n_boiler ≥ n_sh — no float in the verdict).
+    *
+    * Scale: the same inverted-index economics as the dedup family —
+    * df is ONE hash agg over exploded per-doc DISTINCT shingle hashes
+    * (map-side partials), the re-join is linear in shingle mass, and the
+    * df table (≤ |shingle vocab|) is the natural AQE broadcast candidate;
+    * per-doc reduction is exact ints, one display division (R4). */
+  def qualityBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSh = documents(s, dir)
+      .select($"doc_id",
+        graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+      .where(size($"sh_arr") > 0)
+      .select($"doc_id", explode($"sh_arr").as("shingle"))
+    val df = docSh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    docSh.join(df, Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when($"df" >= 3, 1L).otherwise(0L)).as("n_boiler"))
+      .select($"doc_id", $"n_sh", $"n_boiler",
+        round($"n_boiler".cast("double") / $"n_sh".cast("double"), 4).as("boiler_ratio"),
+        ($"n_boiler" * 2 >= $"n_sh").as("flag_boilerplate"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityBoilerplateSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(CASE WHEN len(t) >= 3
+      |        THEN list_transform(generate_series(1, len(t) - 2),
+      |               i -> array_to_string(t[i:i+2], ' '))
+      |        ELSE [] END) AS shingle
+      |    FROM tk)),
+      |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+      |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  ROUND(CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE), 4) AS boiler_ratio,
+      |  CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) * 2
+      |    >= CAST(COUNT(*) AS BIGINT) AS flag_boilerplate
+      |FROM sh JOIN df USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- perplexity
   /** Unigram-LM perplexity scoring (r9) — the CCNet-style fluency gate the
     * within-doc ([[qualityRepetition]]) and corpus-frequency
@@ -1673,6 +1727,7 @@ object LlmText {
     "q_rank_fusion"         -> (rankFusion _),
     "q_quality_repetition"  -> (qualityRepetition _),
     "q_quality_rare_mass"   -> (qualityRareMass _),
+    "q_quality_boilerplate" -> (qualityBoilerplate _),
     "q_text_perplexity"     -> (textPerplexity _),
     "q_corpus_drift"        -> (corpusDrift _),
     "q_corpus_mix"          -> (corpusMix _),
@@ -1709,6 +1764,7 @@ object LlmText {
     "q_text_perplexity"     -> textPerplexitySql,
     "q_corpus_drift"        -> corpusDriftSql,
     "q_quality_rare_mass"   -> qualityRareMassSql,
+    "q_quality_boilerplate" -> qualityBoilerplateSql,
     "q_corpus_mix"          -> corpusMixSql,
     "q_text_tfidf"          -> textTfidfSql,
     "q_text_normalize"      -> textNormalizeSql,

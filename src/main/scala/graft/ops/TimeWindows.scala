@@ -475,6 +475,65 @@ object TimeWindows {
       |    > 4 * (n_frame * sumsq_cents - sum_cents * sum_cents) AS breach
       |FROM fr ORDER BY user_id, t, event_id""".stripMargin
 
+  /** Longest consecutive-day activity streak per user (r11) — the
+    * engagement metric gaps-and-islands answers on DAYS rather than
+    * intervals (q_interval_islands merges second-resolution covers; a
+    * streak is day-granular and breaks on any missing day, however small
+    * the wall-clock gap). The day − row_number() grouping idiom: within a
+    * user's DISTINCT active days in order, day minus its rank is constant
+    * exactly along a consecutive run, so the difference IS the streak id.
+    *
+    * Exact throughout: days are integer epoch-days (rule R3 — floor
+    * division of epoch seconds, no calendar/timezone conventions), the
+    * idiom is integer subtraction, and the winning streak per user
+    * tie-breaks to the EARLIEST start (R1). Scale: one user_id shuffle
+    * serves the distinct, the rank window, and both aggregations — the
+    * per-user day frame is bounded by the observation span. */
+  def winStreak(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wRank = Window.partitionBy($"user_id").orderBy($"day")
+    val days = events(s, dir)
+      .select($"user_id", epochS($"ts").as("t"))
+      .select($"user_id", expr("t div 86400L").as("day"))
+      .distinct()
+    days
+      .withColumn("grp", $"day" - row_number().over(wRank))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"), min($"day").as("streak_start"),
+        max($"day").as("streak_end"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_active_days"),
+        max(struct($"len", (-$"streak_start").as("neg_start"),
+          $"streak_start", $"streak_end")).as("best"))
+      .select($"user_id", $"n_active_days", $"best.len".as("longest_streak"),
+        $"best.streak_start", $"best.streak_end")
+      .orderBy($"user_id")
+  }
+
+  val winStreakSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+      |    day
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MIN(day) AS s_start, MAX(day) AS s_end
+      |  FROM runs GROUP BY user_id, grp),
+      |ranked AS (
+      |  SELECT user_id, len, s_start, s_end,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY len DESC, s_start ASC) AS rn,
+      |    CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days
+      |  FROM streaks)
+      |SELECT user_id, n_active_days, len AS longest_streak,
+      |  s_start AS streak_start, s_end AS streak_end
+      |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Calendar gap-fill: daily order counts on a dense epoch-day spine with
     * zero-filled missing days — the densification step every time-series
     * consumer (charts, models, window functions over time) needs. The
@@ -923,6 +982,7 @@ object TimeWindows {
     "q_time_downsample"   -> (timeDownsample _),
     "q_ts_ewma"           -> (tsEwma _),
     "q_ts_bollinger"      -> (tsBollinger _),
+    "q_win_streak"        -> (winStreak _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
@@ -944,6 +1004,7 @@ object TimeWindows {
     "q_time_downsample"  -> timeDownsampleSql,
     "q_ts_ewma"          -> tsEwmaSql,
     "q_ts_bollinger"     -> tsBollingerSql,
+    "q_win_streak"       -> winStreakSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,

@@ -680,6 +680,50 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_win_streak: longest consecutive-day runs recompute from raw day sets") {
+    val rows = TimeWindows.winStreak(spark, dir)
+      .select("user_id", "n_active_days", "longest_streak", "streak_start", "streak_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long)].collect()
+    val byUser = evs.groupBy(_._1).view.mapValues(_.map(_._2 / 86400L).distinct.sorted.toSeq).toMap
+    assert(rows.map(_._1).toSet === byUser.keySet, "user census incomplete")
+    rows.foreach { case (u, nDays, len, s0, e0) =>
+      val days = byUser(u)
+      assert(nDays === days.length.toLong, s"user $u: active days")
+      // runs: split where the day gap exceeds 1
+      val runs = days.foldLeft(List.empty[List[Long]]) {
+        case (acc, d) if acc.nonEmpty && d == acc.head.head + 1 => (d :: acc.head) :: acc.tail
+        case (acc, d) => List(d) :: acc
+      }.map(_.reverse).reverse
+      val best = runs.map(r => (r.length.toLong, r.head, r.last))
+        .sortBy(t => (-t._1, t._2)).head
+      assert((len, s0, e0) === best, s"user $u: winning streak drifted")
+    }
+    assert(rows.map(_._3).distinct.length > 1, "streak lengths degenerate — spec lost its teeth")
+  }
+
+  test("q_quality_boilerplate: shingle-df mass recomputes brute-force; flag is the exact half cut") {
+    val rows = LlmText.qualityBoilerplate(spark, dir)
+      .select("doc_id", "n_sh", "n_boiler", "flag_boilerplate")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) =>
+      id -> t.trim.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_._1).toSet === sh.keySet, "doc census incomplete")
+    rows.foreach { case (id, nSh, nB, flag) =>
+      val mine = sh(id)
+      assert(nSh === mine.size.toLong, s"doc $id: shingle count")
+      assert(nB === mine.count(s => df(s) >= 3).toLong, s"doc $id: boilerplate count")
+      assert(flag === (nB * 2 >= nSh), s"doc $id: flag")
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "data must exercise both verdicts")
+  }
+
   test("q_ts_ewma: scaled integer EWMA recomputes from per-user lag lists; /65536 is exact") {
     val rows = TimeWindows.tsEwma(spark, dir)
       .select("user_id", "event_id", "n_terms", "ewma_x65536", "ewma_cents")
