@@ -104,6 +104,22 @@ object Invariants {
       Seq(Check("max_rel_err_p50_p95", maxRel, 0.02, "<="))
     }
 
+    add("q_overlap_sketch") {
+      // KmvSketchSpec: overlap/distinct estimates vs the exact twin
+      // columns within the 3×RSE envelope (k=512 → 14%); exact-mode rows
+      // (sketch not full) must match exactly, which this bound subsumes.
+      val rows = SparkEntry.queries("q_overlap_sketch")(spark, dir).collect()
+      val maxRel = rows.map { r =>
+        val relO = math.abs(r.getAs[Long]("est_overlap") - r.getAs[Long]("exact_overlap")).toDouble /
+          math.max(1.0, r.getAs[Long]("exact_overlap").toDouble)
+        val relA = math.abs(r.getAs[Long]("est_a") - r.getAs[Long]("exact_a")).toDouble /
+          math.max(1.0, r.getAs[Long]("exact_a").toDouble)
+        math.max(relO, relA)
+      }.max
+      Seq(Check("max_rel_err_vs_exact_twin", maxRel, 0.14, "<="),
+        determinism(spark, dir, "q_overlap_sketch"))
+    }
+
     // -------------------------------------------------- ANN family
     Seq("q_ann_ivf", "q_ann_ivf_incremental", "q_ann_pq", "q_ann_ivf_pq")
       .foreach(k => add(k) { Seq(annRecall(spark, dir, k)) })

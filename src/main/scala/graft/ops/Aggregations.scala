@@ -213,6 +213,64 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Audience-overlap via KMV/theta sketches (r11) — the SET-ALGEBRA
+    * question the HLL family cannot answer: estimated |users(A) ∩
+    * users(B)| for every event-type pair. HLL registers carry no sample,
+    * so they union but never intersect; a KMV sketch IS a bottom-k
+    * uniform sample of the hashed set ([[graft.functions.Kmv]]), so
+    * intersections (audience overlap, segment Jaccard — the "how many
+    * buyers also browsed" ledger question) estimate directly.
+    *
+    * ONE corpus pass builds a ≤4 KB sketch per type; every estimator
+    * below runs on the 5-row sketch frame with BUILT-IN array functions
+    * (array_intersect/filter/size over the sorted hash arrays — no UDF,
+    * no driver math): θ_pair = min of the two k-th minima (2⁶³ when a
+    * sketch is exact/partial — the factor collapses to 1 and the
+    * estimate is the exact shared count), est = |A∩B below θ| · 2⁶³/θ.
+    * Exact twin columns make the rows-only dump self-describing; the
+    * spec asserts the (k=512, ~4.4% RSE) envelope and exact-mode
+    * equality. Deterministic: merge is associative/commutative/
+    * idempotent, arrays are sorted — a pure function of the input set. */
+  def aggOverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 512
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    val sketches = graft.tables.Layout.materialize(
+      events(s, dir).groupBy($"event_type")
+        .agg(kmv($"user_id").as("kmv"), countDistinct($"user_id").as("exact_uv")))
+    val p263 = lit(math.pow(2.0, 63))
+    val est = (arr: Column) => when(size(arr) < k, size(arr).cast(LongType))
+      .otherwise(round((lit(k - 1).cast("double") * p263) /
+        element_at(arr, k).cast("double")).cast(LongType))
+    val a = sketches.select($"event_type".as("type_a"), $"kmv".as("kmv_a"),
+      $"exact_uv".as("exact_a"))
+    val b = sketches.select($"event_type".as("type_b"), $"kmv".as("kmv_b"),
+      $"exact_uv".as("exact_b"))
+    val exactPairs = {
+      val u = events(s, dir).select($"event_type", $"user_id").distinct()
+      val ua = u.select($"event_type".as("type_a"), $"user_id")
+      val ub = u.select($"event_type".as("type_b"), $"user_id")
+      ua.join(ub, Seq("user_id")).where($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("exact_overlap"))
+    }
+    a.join(b, $"type_a" < $"type_b")
+      .withColumn("theta_l",
+        when(size($"kmv_a") < k || size($"kmv_b") < k, lit(Long.MaxValue))
+          .otherwise(least(element_at($"kmv_a", k), element_at($"kmv_b", k))))
+      .withColumn("theta_d",
+        when($"theta_l" === Long.MaxValue, p263).otherwise($"theta_l".cast("double")))
+      .withColumn("n_shared",
+        size(filter(array_intersect($"kmv_a", $"kmv_b"), x => x < $"theta_l")))
+      .select($"type_a", $"type_b",
+        est($"kmv_a").as("est_a"), est($"kmv_b").as("est_b"),
+        round($"n_shared".cast("double") * p263 / $"theta_d").cast(LongType)
+          .as("est_overlap"),
+        $"exact_a", $"exact_b")
+      .join(exactPairs, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_overlap", coalesce($"exact_overlap", lit(0L)))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Sketch-merge rollup — the query-level PROOF of the HLL family's
     * mergeability (the reason a first-class sketch exists next to
     * `approx_count_distinct` at all): ONE corpus pass builds a 1 KB
@@ -369,6 +427,7 @@ object Aggregations {
     "q_agg_having"          -> (aggHaving _),
     "q_agg_approx_distinct" -> (aggApproxDistinct _),
     "q_distinct_sketch"     -> (aggDistinctSketch _),
+    "q_overlap_sketch"      -> (aggOverlapSketch _),
     "q_distinct_sketch_rollup" -> (aggDistinctSketchRollup _),
     "q_membership_sketch" -> (aggMembershipSketch _))
 
