@@ -224,6 +224,24 @@ object StreamOps {
       .agg(hll(col("user_id")).as("sketch_uv"))
   }
 
+  /** Streaming KMV/theta overlap sketch (r11, SURVEY §2.8
+    * s_overlap_sketch) — live per-type bottom-k audience sketches
+    * maintained in update mode; the INTERSECTION (audience overlap)
+    * happens at read time over the emitted sketch arrays via
+    * [[graft.functions.Kmv.intersect]], which is why the streaming form
+    * emits the ARRAY, not an estimate: stream-side pair self-joins of
+    * aggregates are not expressible, and don't need to be — the sketch
+    * IS the persistable product, exactly like the batch ledger pattern.
+    * Merge is associative/commutative/idempotent, so the settled frame
+    * equals the batch sketch BITWISE (asserted in StreamingSpec — the
+    * s_distinct_sketch contract). State: ≤ k longs (4 KB at k = 512)
+    * per key, cardinality-independent. */
+  def overlapSketch(events: DataFrame, k: Int = 512): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    events.groupBy(col("event_type"))
+      .agg(kmv(col("user_id")).as("kmv"))
+  }
+
   /** Streaming KLL-style quantile sketch (r9) — live per-key p50/p90/p99
     * over an unbounded value stream in O(k·log(n/k)) state per key, where
     * exact streaming percentiles would buffer every value. Same

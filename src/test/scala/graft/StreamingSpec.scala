@@ -93,6 +93,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_overlap_sketch: settled per-type KMV arrays are bitwise the batch sketch; read-side intersect is exact here") {
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.overlapSketch(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    // users 1-40 view; users 21-60 click → true overlap 20; re-sends are
+    // absorbed idempotently (the set-function contract)
+    val b1 = (1L to 40L).map(u => ev(u, u.toInt, user = u, typ = "view")) ++
+      (21L to 60L).map(u => ev(100 + u, u.toInt, user = u, typ = "click"))
+    val b2 = (30L to 40L).map(u => ev(200 + u, 60 + u.toInt, user = u, typ = "view"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val finalSketch = spark.table(sink).as[(String, Array[Long])].collect()
+        .groupBy(_._1).view.mapValues(_.last._2).toMap
+      val batch = StreamOps.overlapSketch(
+          spark.createDataset(b1 ++ b2).toDF())
+        .as[(String, Array[Long])].collect().toMap
+      for (t <- Seq("view", "click"))
+        assert(finalSketch(t).toSeq === batch(t).toSeq,
+          s"$t: settled streaming sketch != batch sketch (set-function contract)")
+      // read-side set algebra: both sets are below k → intersect is EXACT
+      assert(graft.functions.Kmv.intersect(finalSketch("view"), finalSketch("click"), 512) === 20L)
+    } finally q.stop()
+  }
+
   test("s_membership_sketch: monotone fill; final bits bitwise-equal the batch build; no false negatives") {
     val in = MemoryStream[Event]
     val sink = nextSink()
