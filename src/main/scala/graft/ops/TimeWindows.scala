@@ -444,9 +444,13 @@ object TimeWindows {
     events(s, dir)
       .select($"user_id", $"event_id", epochS($"ts").as("t"),
         round($"value" * 100.0).cast(LongType).as("cents"))
-      .withColumn("n_frame", count(lit(1)).over(w))
-      .withColumn("sum_cents", sum($"cents").over(w))
-      .withColumn("sumsq_cents", sum($"cents" * $"cents").over(w))
+      // all three frame aggregates in ONE select so CollapseWindow fuses
+      // them into a single Window operator (withColumn chains interleave
+      // Projects that block the fusion — plan-asserted in PlanSpec)
+      .select($"user_id", $"event_id", $"t", $"cents",
+        count(lit(1)).over(w).as("n_frame"),
+        sum($"cents").over(w).as("sum_cents"),
+        sum($"cents" * $"cents").over(w).as("sumsq_cents"))
       .withColumn("var_num", $"n_frame" * $"sumsq_cents" - $"sum_cents" * $"sum_cents")
       .withColumn("breach",
         ($"cents" * $"n_frame" - $"sum_cents") * ($"cents" * $"n_frame" - $"sum_cents")

@@ -590,6 +590,65 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
   }
 
+  test("q_stats_chi2: one documents scan; SinglePartition exchanges consume the cell frame, not the corpus") {
+    val p = planOf(SparkEntry.queries("q_stats_chi2")(spark, dir))
+    val scans = p.split("""\n\n""").count(b => b.trim.matches("""(?s)\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"documents scan re-ran for a totals branch (got $scans scans)")
+    assert(p.contains("partial_count"), "cell census lost map-side partials")
+    // every SinglePartition exchange must sit above the first HashAggregate
+    // (the ≤|lang|·|source| cell frame), never on raw documents
+    val blocks = p.split("""\n\n""")
+    val aggIds = nodeIds(p, "HashAggregate")
+    for (b <- blocks if b.matches("""(?s)\(\d+\) Exchange.*""") && b.contains("SinglePartition")) {
+      val id = """\((\d+)\)""".r.findFirstMatchIn(b).get.group(1).toInt
+      // formatted-explain numbers children SMALLER: an aggregate must sit
+      // BELOW (smaller id than) every SinglePartition exchange
+      assert(aggIds.exists(_ < id), s"SinglePartition exchange $id below the cell aggregate")
+    }
+  }
+
+  test("q_dedup_containment: prefix-index candidate join is an equi hash join — no cartesian, no nested loop") {
+    val p = planOf(SparkEntry.queries("q_dedup_containment")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "containment filter-verify degenerated to an all-pairs join")
+    // candidate dedup is a two-phase aggregate (partial below its exchange;
+    // the counted column is pruned, so no named partial_count survives)
+    assert(nodeIds(p, "HashAggregate").size >= 2, "candidate dedup lost its partial phase")
+  }
+
+  test("q_graph_triangles: wedge and closing joins are equi joins — no cartesian, no nested loop") {
+    val p = planOf(SparkEntry.queries("q_graph_triangles")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "triangle enumeration degenerated to an all-pairs join")
+  }
+
+  test("q_ts_bollinger: both frame sums share ONE window pass over one user_id shuffle") {
+    val p = planOf(SparkEntry.queries("q_ts_bollinger")(spark, dir))
+    val scans = p.split("""\n\n""").count(b => b.trim.matches("""(?s)\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"event scan re-ran (got $scans scans)")
+    assert(nodeIds(p, "Window").size == 1,
+      "count/sum/sumsq split into multiple Window operators — frame pass not shared")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+  }
+
+  test("q_ts_ewma: 16 lag terms + rank share ONE window pass; no extra exchange") {
+    val p = planOf(SparkEntry.queries("q_ts_ewma")(spark, dir))
+    assert(nodeIds(p, "Window").size == 1,
+      "lag terms and row_number split into multiple Window operators")
+    assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
+  }
+
+  test("q_win_streak: day-distinct partitioning is reused by the run aggregation — no extra exchange") {
+    val p = planOf(SparkEntry.queries("q_win_streak")(spark, dir))
+    val scans = p.split("""\n\n""").count(b => b.trim.matches("""(?s)\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"event scan re-ran (got $scans scans)")
+    // hash(user_id) from the rank window satisfies groupBy(user_id, grp)
+    // and groupBy(user_id): at most the distinct, window, and output-sort
+    // exchanges may appear
+    assert(nodeIds(p, "Exchange").size <= 3,
+      s"streak aggregation re-shuffled beyond distinct/window/sort:\n$p")
+  }
+
   test("q_path_mining: first-8 cap runs map-side (WindowGroupLimit below the shuffle); top-25 fuses") {
     val p = planOf(SparkEntry.queries("q_path_mining")(spark, dir))
     // Spark pushes the rn<=8 filter to a partial WindowGroupLimit BEFORE the
