@@ -720,7 +720,100 @@ object Advanced {
       |FROM per
       |ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------- RFM
+  /** RFM segmentation (r11) — the marketing-analytics staple: every
+    * customer scored 1–5 on Recency (latest order day), Frequency (order
+    * count), and Monetary (lifetime cents), 5 = best, segment code
+    * r·100 + f·10 + m. The "which customers are champions vs churned"
+    * census a CRM runs over the whole order history.
+    *
+    * Scale — NO global NTILE (a 10⁹-customer single-partition window is
+    * the q_curriculum_order cliff): quintile THRESHOLDS come from value
+    * histograms whose domains are RANGE-bounded, not customer-bounded —
+    * recency days (date span), frequency (orders/customer), monetary in
+    * 10-dollar buckets (price span; the q_stats_ks bound-is-the-value-
+    * range posture). t_k = min value with 5·cum ≥ n·k (exact integer
+    * cross-multiply, no ceil floats); scoring is then ROW-LOCAL against
+    * the 12 collected threshold longs (bounded driver state, the
+    * embed_outlier/PCA contract) — one orders scan + three bounded
+    * histogram aggs, the customer frame never re-shuffles.
+    *
+    * Ties share a bucket (threshold semantics, not NTILE's positional
+    * split) — deterministic and engine-identical, unlike NTILE whose
+    * big-tiles-first assignment the oracle would have to replay rank by
+    * rank. */
+  def rfmSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = graft.tables.Layout.materialize(
+      orders(s, dir)
+        .select($"o_custkey", epochS($"o_orderdate").as("ts"),
+          round($"o_totalprice" * 100.0).cast(LongType).as("cents"))
+        .select($"o_custkey", expr("ts div 86400L").as("day"), $"cents")
+        .groupBy($"o_custkey")
+        .agg(max($"day").as("r_day"), count(lit(1)).as("f_orders"),
+          sum($"cents").as("m_cents"))
+        .withColumn("m_bucket", expr("m_cents div 1000L")))
+    def thresholds(col0: String): Seq[Long] = {
+      val wCum = Window.orderBy(col(col0))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = m.groupBy(col(col0)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+      // all four thresholds in ONE aggregation job: 5·cum ≥ n·k is
+      // monotone in the value, so min over the qualifying rows is t_k
+      val aggs = (1 to 4).map(k =>
+        min(when($"cum" * 5 >= $"n" * lit(k.toLong), col(col0))).as(s"t$k"))
+      val r = hist.agg(aggs.head, aggs.tail: _*).collect()(0)
+      (0 until 4).map(r.getLong)
+    }
+    val (rt, ft, mt) = (thresholds("r_day"), thresholds("f_orders"), thresholds("m_bucket"))
+    def score(c: org.apache.spark.sql.Column,
+        ts: Seq[Long]): org.apache.spark.sql.Column =
+      ts.map(t => when(c > t, 1).otherwise(0)).reduce(_ + _) + lit(1)
+    m.select($"o_custkey",
+        score($"r_day", rt).as("r_score"),
+        score($"f_orders", ft).as("f_score"),
+        score($"m_bucket", mt).as("m_score"))
+      .withColumn("rfm", $"r_score" * 100 + $"f_score" * 10 + $"m_score")
+      .orderBy($"o_custkey")
+  }
+
+  val rfmSegmentSql: String = {
+    def hist(metric: String) =
+      s"""SELECT $metric AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(COUNT(*)) OVER (ORDER BY $metric
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+         |  FROM m GROUP BY $metric""".stripMargin
+    def th(h: String) =
+      s"""SELECT k, MIN(v) AS t FROM $h, (VALUES (1),(2),(3),(4)) ks(k)
+         |  WHERE cum * 5 >= n * k GROUP BY k""".stripMargin
+    s"""WITH m AS (
+       |  SELECT o_custkey,
+       |    MAX(CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400) AS r_day,
+       |    CAST(COUNT(*) AS BIGINT) AS f_orders,
+       |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 1000 AS m_bucket
+       |  FROM orders GROUP BY o_custkey),
+       |rh AS (${hist("r_day")}),
+       |fh AS (${hist("f_orders")}),
+       |mh AS (${hist("m_bucket")}),
+       |rt AS (${th("rh")}),
+       |ft AS (${th("fh")}),
+       |mt AS (${th("mh")}),
+       |sc AS (
+       |  SELECT o_custkey,
+       |    1 + (SELECT COUNT(*) FROM rt WHERE m.r_day    > rt.t) AS r_score,
+       |    1 + (SELECT COUNT(*) FROM ft WHERE m.f_orders > ft.t) AS f_score,
+       |    1 + (SELECT COUNT(*) FROM mt WHERE m.m_bucket > mt.t) AS m_score
+       |  FROM m)
+       |SELECT o_custkey, CAST(r_score AS INT) AS r_score,
+       |  CAST(f_score AS INT) AS f_score, CAST(m_score AS INT) AS m_score,
+       |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+       |FROM sc ORDER BY o_custkey""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segment"     -> (rfmSegment _),
     "q_cdc_scd2"        -> (cdcScd2 _),
     "q_funnel_order"    -> (funnelOrder _),
     "q_cohort_retention" -> (cohortRetention _),
@@ -746,6 +839,7 @@ object Advanced {
     "q_win_nth_value"   -> winNthValueSql,
     "q_percentile_exact" -> percentileExactSql,
     "q_basket_pairs"    -> basketPairsSql,
+    "q_rfm_segment"     -> rfmSegmentSql,
     "q_join_asof"       -> joinAsofSql,
     "q_pivot"           -> pivotTypesSql,
     "q_stats_moments"   -> statsMomentsSql,

@@ -680,6 +680,43 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_rfm_segment: threshold quintiles recompute brute-force; ties share buckets") {
+    val rows = Advanced.rfmSegment(spark, dir)
+      .select("o_custkey", "r_score", "f_score", "m_score", "rfm")
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    val ords = graft.tables.Tables.orders(spark, dir)
+      .select($"o_custkey", org.apache.spark.sql.functions.unix_timestamp($"o_orderdate").as("ts"),
+        $"o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val m = ords.groupBy(_._1).view.mapValues { os =>
+      (os.map(_._2 / 86400L).max, os.length.toLong,
+        os.map(o => math.round(o._3 * 100.0)).sum / 1000L)
+    }.toMap
+    assert(rows.map(_._1).toSet === m.keySet, "customer census incomplete")
+    def thresholds(vs: Seq[Long]): Seq[Long] = {
+      val n = vs.length.toLong
+      val sorted = vs.sorted
+      (1 to 4).map { k =>
+        // min v with 5*cum(v) >= n*k, cum = count of values <= v
+        sorted.find(v => 5L * sorted.count(_ <= v) >= n * k).get
+      }
+    }
+    val rt = thresholds(m.values.map(_._1).toSeq)
+    val ft = thresholds(m.values.map(_._2).toSeq)
+    val mt = thresholds(m.values.map(_._3).toSeq)
+    def score(v: Long, ts: Seq[Long]): Int = 1 + ts.count(v > _)
+    rows.foreach { case (c, r, f, mo, seg) =>
+      val (rv, fv, mv) = m(c)
+      assert(r === score(rv, rt), s"cust $c: recency score")
+      assert(f === score(fv, ft), s"cust $c: frequency score")
+      assert(mo === score(mv, mt), s"cust $c: monetary score")
+      assert(seg === r * 100 + f * 10 + mo, s"cust $c: segment code")
+    }
+    // quintiles are real: at least 4 distinct classes on each axis
+    assert(rows.map(_._2).distinct.size >= 4 && rows.map(_._4).distinct.size >= 4,
+      "score axes degenerate — thresholds collapsed")
+  }
+
   test("q_win_streak: longest consecutive-day runs recompute from raw day sets") {
     val rows = TimeWindows.winStreak(spark, dir)
       .select("user_id", "n_active_days", "longest_streak", "streak_start", "streak_end")
