@@ -213,6 +213,58 @@ object Aggregations {
       .orderBy($"event_type")
   }
 
+  /** Incremental aggregate maintenance (r11) — the materialized-view
+    * delta-merge primitive, the AGGREGATION sibling of
+    * q_dedup_incremental's index maintenance: a standing per-user spend
+    * table (base = event_id below the ⌊max·4/5⌋ cut — ids are ingest
+    * order, so the top 20% model "today's batch") absorbs the delta
+    * WITHOUT re-aggregating history. Emits the refreshed rows for
+    * exactly the users the delta touched — the upsert set a daily ledger
+    * writes back.
+    *
+    * Why its own shape: count/sum/max are MERGEABLE aggregates, so
+    * standing ⊕ delta is row-local per affected group. Work = one
+    * delta-sized aggregation + one join against the (materialized-once;
+    * in production: persisted, bucketed by user) standing table —
+    * history is touched zero times per refresh. Cold-start users (in
+    * delta, absent from base) coalesce from zero. The cut is a one-row
+    * broadcast (the dedupIncremental pattern); all money math is exact
+    * cents (R2), timestamps epoch seconds (R3). The oracle recomputes
+    * the same rows from scratch restricted to delta-touched users —
+    * maintenance must be indistinguishable from recomputation. */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = events(s, dir).agg(expr("max(event_id) * 4 div 5").as("cut"))
+    val evs = events(s, dir).crossJoin(broadcast(cut))
+      .select($"user_id", $"event_id", $"cut",
+        round($"value" * 100.0).cast(LongType).as("cents"),
+        unix_timestamp($"ts").as("t"))
+    val standing = graft.tables.Layout.materialize(
+      evs.where($"event_id" < $"cut")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_b"), sum($"cents").as("s_b"), max($"t").as("t_b")))
+    evs.where($"event_id" >= $"cut")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_d"), sum($"cents").as("s_d"), max($"t").as("t_d"))
+      .join(standing, Seq("user_id"), "left")
+      .select($"user_id",
+        ($"n_d" + coalesce($"n_b", lit(0L))).as("n_events"),
+        ($"s_d" + coalesce($"s_b", lit(0L))).as("sum_cents"),
+        greatest($"t_d", coalesce($"t_b", lit(Long.MinValue))).as("last_t"))
+      .orderBy($"user_id")
+  }
+
+  val aggIncrementalSql: String =
+    """WITH cut AS (SELECT MAX(event_id) * 4 // 5 AS c FROM events),
+      |touched AS (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_id >= (SELECT c FROM cut))
+      |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS BIGINT) AS last_t
+      |FROM events e JOIN touched USING (user_id)
+      |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
+
   /** Audience-overlap via KMV/theta sketches (r11) — the SET-ALGEBRA
     * question the HLL family cannot answer: estimated |users(A) ∩
     * users(B)| for every event-type pair. HLL registers carry no sample,
@@ -428,11 +480,13 @@ object Aggregations {
     "q_agg_approx_distinct" -> (aggApproxDistinct _),
     "q_distinct_sketch"     -> (aggDistinctSketch _),
     "q_overlap_sketch"      -> (aggOverlapSketch _),
+    "q_agg_incremental"     -> (aggIncremental _),
     "q_distinct_sketch_rollup" -> (aggDistinctSketchRollup _),
     "q_membership_sketch" -> (aggMembershipSketch _))
 
   def oracle: Map[String, String] = Map(
     "q_agg_histogram"      -> aggHistogramSql,
+    "q_agg_incremental"    -> aggIncrementalSql,
     "q_agg_bool"           -> aggBoolSql,
     "q_agg_filter"         -> aggFilterSql,
     "q_agg_group"          -> aggGroupSql,

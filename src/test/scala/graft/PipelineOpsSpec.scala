@@ -680,6 +680,32 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_agg_incremental: delta merge == from-scratch recompute on exactly the touched users") {
+    val rows = Aggregations.aggIncremental(spark, dir)
+      .select("user_id", "n_events", "sum_cents", "last_t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val cut = evs.map(_._2).max * 4 / 5
+    val touched = evs.filter(_._2 >= cut).map(_._1).toSet
+    assert(rows.map(_._1).toSet === touched, "output must be exactly the delta-touched users")
+    assert(touched.size < evs.map(_._1).distinct.length || touched.size == evs.map(_._1).distinct.length,
+      "sanity")
+    rows.foreach { case (u, n, sc, lt) =>
+      val mine = evs.filter(_._1 == u)
+      assert(n === mine.length.toLong, s"user $u: merged count != full recompute")
+      assert(sc === mine.map(e => math.round(e._4 * 100.0)).sum, s"user $u: merged sum")
+      assert(lt === mine.map(_._3).max, s"user $u: merged last_t")
+    }
+    // the merge genuinely exercises both sides: some touched user has
+    // base history (n_events > delta-only count)
+    val deltaOnly = evs.filter(_._2 >= cut).groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(rows.exists { case (u, n, _, _) => n > deltaOnly(u) },
+      "no touched user had standing history — the standing join is untested")
+  }
+
   test("q_rfm_segment: threshold quintiles recompute brute-force; ties share buckets") {
     val rows = Advanced.rfmSegment(spark, dir)
       .select("o_custkey", "r_score", "f_score", "m_score", "rfm")
