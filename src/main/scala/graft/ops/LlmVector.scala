@@ -71,6 +71,53 @@ object LlmVector {
       |FROM ranked WHERE rk <= 5
       |ORDER BY probe_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- filtered top-k
+  /** FILTERED vector search (r11) — top-5 cosine neighbors restricted to
+    * a metadata predicate (label ≠ the probe's own label — "similar but
+    * from another class", the cross-domain retrieval/contamination-audit
+    * shape). The composition every production vector store must get
+    * right: the predicate applies BEFORE distance work, so the scored
+    * candidate set shrinks to the selectivity of the filter — never
+    * "search then discard", which prices the full corpus and can return
+    * < k survivors.
+    *
+    * At this brute-force tier the filter is a join predicate pushed into
+    * the broadcast probe join (codegen, no post-rank re-filter). The
+    * indexed tier composes the same way: IVF invlists are already keyed
+    * (cell, label)-partitionable, so the predicate prunes whole lists —
+    * documented here as the scale path; recall spec stays the ANN
+    * family's job. Oracle: same predicate in SQL, rank ties broken by
+    * vec_id (R1). */
+  def simFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+    val probes = e.where($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"), $"label".as("probe_label"))
+    val scored = e.join(broadcast(probes), $"label" =!= $"probe_label")
+      .select($"probe_id", $"vec_id", cosine($"pe", $"embedding").as("cos"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rk", row_number().over(w))
+      .where($"rk" <= 5)
+      .select($"probe_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val simFilteredTopkSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv, label AS pl
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |scored AS (
+      |  SELECT probe_id, vec_id, list_cosine_similarity(pv, v) AS cos
+      |  FROM p JOIN c ON c.label <> p.pl),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT probe_id, rk, vec_id, ROUND(cos, 4) AS cos
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY probe_id, rk""".stripMargin
+
   // ---------------------------------------------------------------- norms
   /** Per-vector L2 norm → exact-decimal per-label stats (R2+R4). */
   def embedNorm(s: SparkSession, dir: String): DataFrame = {
@@ -1019,6 +1066,7 @@ object LlmVector {
     "q_mm_frame_sample"    -> (mmFrameSample _),
     "q_embed_centroid"     -> (embedCentroid _),
     "q_embed_outlier"      -> (embedOutlier _),
+    "q_sim_filtered_topk"  -> (simFilteredTopk _),
     "q_embed_pca"          -> (embedPca _),
     "q_sim_cosine_topk"    -> (simCosineTopk _),
     "q_embed_norm"         -> (embedNorm _),
@@ -1038,6 +1086,7 @@ object LlmVector {
     "q_mm_frame_sample"    -> mmFrameSampleSql,
     "q_embed_centroid"     -> embedCentroidSql,
     "q_embed_outlier"      -> embedOutlierSql,
+    "q_sim_filtered_topk"  -> simFilteredTopkSql,
     "q_sim_cosine_topk"    -> simCosineTopkSql,
     "q_embed_norm"         -> embedNormSql,
     "q_multimodal_join"    -> multimodalJoinSql,

@@ -680,6 +680,31 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_sim_filtered_topk: every neighbor honors the predicate; top-5 matches brute force") {
+    val rows = graft.ops.LlmVector.simFilteredTopk(spark, dir)
+      .select("probe_id", "rk", "vec_id").as[(Long, Int, Long)].collect().toSeq
+    val vecs = graft.tables.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = vecs.filter(_._1 < 5)
+    assert(rows.groupBy(_._1).keySet === probes.map(_._1).toSet)
+    probes.foreach { case (pid, pl, pv) =>
+      val got = rows.filter(_._1 == pid).sortBy(_._2).map(_._3)
+      assert(got.size === 5 && got.forall(byId(_)._2 != pl),
+        s"probe $pid: a neighbor shares the excluded label")
+      val expect = vecs.filter(_._2 != pl)
+        .map(v => (v._1, cos(pv, v._3)))
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      assert(got === expect.toSeq, s"probe $pid: filtered top-5 diverged from brute force")
+    }
+  }
+
   test("q_agg_incremental: delta merge == from-scratch recompute on exactly the touched users") {
     val rows = Aggregations.aggIncremental(spark, dir)
       .select("user_id", "n_events", "sum_cents", "last_t")
