@@ -790,6 +790,65 @@ object LlmVector {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ViT-style patch-grid accounting + batch packing (r11) — the vision
+    * side of q_pack_sequences: per "image" (binary payload; dimensions
+    * derive deterministically from the byte count, the mmDecodeStub
+    * fake-decode convention expressed in pure arithmetic so the op stays
+    * oracle-able), the 16-px patch grid (⌈w/16⌉×⌈h/16⌉), the transformer
+    * sequence length (patches + CLS), and the training batch each image
+    * packs into under a 4096-patch budget.
+    *
+    * Scale: packing is sequential per STREAM (the q_pack_sequences
+    * contract) — part = doc_id mod 32 gives 32 deterministic streams,
+    * the running patch sum is a window over (part), corpus/32 rows per
+    * partition, never a global reducer. All arithmetic exact ints. */
+  def mmPatchGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"part").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select($"doc_id", pmod($"doc_id", lit(32L)).as("part"),
+        octet_length($"text".cast("binary")).cast(LongType).as("n_bytes"))
+      .select($"doc_id", $"part",
+        (lit(64L) + pmod($"n_bytes", lit(193L))).as("img_w"),
+        (lit(64L) + pmod($"n_bytes" * 7L, lit(149L))).as("img_h"))
+      .select($"doc_id", $"part", $"img_w", $"img_h",
+        expr("(img_w + 15L) div 16L").as("pw"),
+        expr("(img_h + 15L) div 16L").as("ph"))
+      .withColumn("n_patches", $"pw" * $"ph")
+      .withColumn("seq_len", $"n_patches" + 1L)
+      .withColumn("cum", sum($"n_patches").over(w))
+      .withColumn("batch_id", expr("(cum - n_patches) div 4096L"))
+      .select($"doc_id", $"img_w", $"img_h", $"pw", $"ph",
+        $"n_patches", $"seq_len", $"part", $"batch_id")
+      .orderBy($"doc_id")
+  }
+
+  val mmPatchGridSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, doc_id % 32 AS part,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, part,
+      |    64 + (n_bytes % 193) AS img_w,
+      |    64 + ((n_bytes * 7) % 149) AS img_h
+      |  FROM b),
+      |grid AS (
+      |  SELECT doc_id, part, img_w, img_h,
+      |    (img_w + 15) // 16 AS pw, (img_h + 15) // 16 AS ph,
+      |    ((img_w + 15) // 16) * ((img_h + 15) // 16) AS n_patches
+      |  FROM dims),
+      |packed AS (
+      |  SELECT doc_id, part, img_w, img_h, pw, ph, n_patches,
+      |    n_patches + 1 AS seq_len,
+      |    CAST(SUM(n_patches) OVER (PARTITION BY part ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM grid)
+      |SELECT doc_id, img_w, img_h, pw, ph, n_patches, seq_len, part,
+      |  CAST((cum - n_patches) // 4096 AS BIGINT) AS batch_id
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   /** Partition-wise media decode plumbing (rows-only). The decoder here is a
     * clearly-marked DETERMINISTIC STUB (no image/audio libs offline): it
     * derives fake dimensions from the byte stream. The Spark shape is the
@@ -1080,6 +1139,7 @@ object LlmVector {
     "q_ann_ivf_pq"         -> (annIvfPq _),
     "q_sim_lsh_bucket"     -> (simLshBucket _),
     "q_mm_binary_meta"     -> (mmBinaryMeta _),
+    "q_mm_patch_grid"      -> (mmPatchGrid _),
     "q_mm_decode_stub"     -> (mmDecodeStub _))
 
   def oracle: Map[String, String] = Map(
@@ -1091,5 +1151,6 @@ object LlmVector {
     "q_embed_norm"         -> embedNormSql,
     "q_multimodal_join"    -> multimodalJoinSql,
     "q_dedup_embed_cosine" -> dedupEmbedCosineSql,
-    "q_mm_binary_meta"     -> mmBinaryMetaSql)
+    "q_mm_binary_meta"     -> mmBinaryMetaSql,
+    "q_mm_patch_grid"      -> mmPatchGridSql)
 }

@@ -680,6 +680,36 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_mm_patch_grid: grids recompute from byte counts; batches respect the patch budget") {
+    val rows = graft.ops.LlmVector.mmPatchGrid(spark, dir)
+      .select("doc_id", "img_w", "img_h", "pw", "ph", "n_patches", "seq_len", "part", "batch_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(rows.length === docs.length)
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val nb = text.getBytes("UTF-8").length.toLong
+      val (w, h) = (64 + nb % 193, 64 + (nb * 7) % 149)
+      val (pw, ph) = ((w + 15) / 16, (h + 15) / 16)
+      val r = byId(id)
+      assert((r._2, r._3, r._4, r._5, r._6, r._7) === (w, h, pw, ph, pw * ph, pw * ph + 1),
+        s"doc $id: grid arithmetic drifted")
+      assert(r._8 === id % 32, s"doc $id: stream assignment")
+    }
+    // batch packing: within each stream, batch ids are non-decreasing in
+    // doc order and each batch's pre-assignment cum stays under budget
+    rows.groupBy(_._8).foreach { case (part, rs) =>
+      val ordered = rs.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r._9 === cum / 4096, s"stream $part doc ${r._1}: batch id != cum-div-budget")
+        cum += r._6
+      }
+      assert(ordered.map(_._9).toSeq === ordered.map(_._9).sorted, s"stream $part: batch ids regressed")
+    }
+  }
+
   test("q_sim_filtered_topk: every neighbor honors the predicate; top-5 matches brute force") {
     val rows = graft.ops.LlmVector.simFilteredTopk(spark, dir)
       .select("probe_id", "rk", "vec_id").as[(Long, Int, Long)].collect().toSeq
