@@ -81,6 +81,44 @@ class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
   }
 }
 
+/** Streaming twin of batch `q_sample_reservoir` (SURVEY §2.8
+  * s_sample_reservoir): per-key bounded priority reservoir — keep the
+  * top-k docs by (priority desc, doc_id asc) over an unbounded ingest
+  * stream. Priorities are the batch op's exact integers (content-keyed,
+  * computed upstream), so the settled reservoir EQUALS the batch top-k
+  * rows — integer equality, no sampling tolerance. State: ≤ k (prio,
+  * doc_id) pairs per key, cardinality-independent — the streaming
+  * reservoir never materializes a stratum, the same bound the batch
+  * plan's WindowGroupLimit gives. Each trigger emits a full snapshot
+  * tagged with a per-key revision; readers keep the max revision. */
+case class ReservoirDoc(doc_id: Long, lang: String, n_chars: Long, prio: Long)
+case class ReservoirRow(lang: String, rev: Long, rk: Int, doc_id: Long, prio: Long)
+
+class ReservoirProcessor(k: Int)
+    extends StatefulProcessor[String, ReservoirDoc, ReservoirRow] {
+  @transient private var entries: ListState[(Long, Long)] = _ // (prio, doc_id)
+  @transient private var revState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    entries = getHandle.getListState[(Long, Long)]("entries",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    revState = getHandle.getValueState[Long]("rev", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[ReservoirDoc],
+      timers: TimerValues): Iterator[ReservoirRow] = {
+    val merged = (entries.get().toSeq ++ rows.map(d => (d.prio, d.doc_id)))
+      .sortBy { case (p, id) => (-p, id) }.take(k)
+    entries.clear()
+    merged.foreach(entries.appendValue)
+    val rev = (if (revState.exists()) revState.get() else 0L) + 1L
+    revState.update(rev)
+    merged.iterator.zipWithIndex.map { case ((p, id), i) =>
+      ReservoirRow(key, rev, i + 1, id, p)
+    }
+  }
+}
+
 /** Temperature-rise alert (the canonical KeyedProcessFunction + timer
   * example): if a key's value rises and keeps rising for `horizonMs` of
   * event time, emit an alert when the event-time timer fires. A falling

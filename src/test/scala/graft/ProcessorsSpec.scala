@@ -684,6 +684,39 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_sample_reservoir: settled streaming reservoir == batch q_sample_reservoir exactly") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Curation.sampleReservoir(spark, dir)
+      .select("lang", "rk", "doc_id", "prio").as[(String, Int, Long, Long)]
+      .collect().toSet
+    // the same content-keyed priorities the batch op derives (md5 prefix)
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars", "text").as[(Long, String, Long, String)]
+      .collect().map { case (id, lang, nc, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val u = java.lang.Long.parseLong(md.take(6), 16) + 1L
+        ReservoirDoc(id, lang, nc, nc * 1000000000000L / u)
+      }.toSeq
+    val in = MemoryStream[ReservoirDoc]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.lang)
+      .transformWithState(new ReservoirProcessor(100), TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val all = spark.table(sink).as[ReservoirRow].collect()
+      val settled = all.groupBy(_.lang).toSeq.flatMap { case (_, rs) =>
+        val last = rs.map(_.rev).max
+        rs.filter(_.rev == last).toSeq
+      }.map(r => (r.lang, r.rk, r.doc_id, r.prio)).toSet
+      assert(settled === batch,
+        "settled streaming reservoir diverged from the batch top-k (exact integers)")
+    } finally q.stop()
+  }
+
   test("s_ts_ewma: streaming ring-state EWMA == batch q_ts_ewma to exact integer equality") {
     val dir = sf("sf0.001")
     val batch = graft.ops.TimeWindows.tsEwma(spark, dir)
