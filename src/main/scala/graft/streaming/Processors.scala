@@ -81,6 +81,52 @@ class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
   }
 }
 
+/** Streaming twin of batch `q_win_streak` (SURVEY §2.8 s_win_streak):
+  * per-user consecutive-day streak maintenance — the live engagement
+  * counter a dashboard reads ("current streak / best streak"), folded
+  * from O(1) state per key: last active day, current run (len, start),
+  * best run (len, start, end; EARLIEST start wins ties, the batch R1
+  * rule), and total active days. In-batch rows fold in day order;
+  * duplicate days are absorbed; across batches arrival order is trusted
+  * (the KeyedProcessFunction contract, same as [[EwmaProcessor]]).
+  * Emits a snapshot per trigger tagged with a revision; the settled
+  * frame equals the batch query exactly. */
+case class StreakState(lastDay: Long, curLen: Long, curStart: Long,
+                       bestLen: Long, bestStart: Long, bestEnd: Long, nDays: Long)
+case class StreakRow(user_id: Long, rev: Long, n_active_days: Long,
+                     longest_streak: Long, streak_start: Long, streak_end: Long)
+
+class StreakProcessor extends StatefulProcessor[Long, Event, StreakRow] {
+  @transient private var st: ValueState[StreakState] = _
+  @transient private var revState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    st = getHandle.getValueState[StreakState]("streak",
+      Encoders.product[StreakState], TTLConfig.NONE)
+    revState = getHandle.getValueState[Long]("rev", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[StreakRow] = {
+    var s = if (st.exists()) st.get()
+      else StreakState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L)
+    rows.toSeq.map(_.ts.getTime / 86400000L).sorted.foreach { day =>
+      if (day != s.lastDay) {
+        val (len, start) =
+          if (day == s.lastDay + 1) (s.curLen + 1, s.curStart) else (1L, day)
+        // strictly-greater keeps the EARLIEST start on equal length
+        val (bl, bs, be) =
+          if (len > s.bestLen) (len, start, day) else (s.bestLen, s.bestStart, s.bestEnd)
+        s = StreakState(day, len, start, bl, bs, be, s.nDays + 1)
+      }
+    }
+    st.update(s)
+    val rev = (if (revState.exists()) revState.get() else 0L) + 1L
+    revState.update(rev)
+    Iterator.single(StreakRow(key, rev, s.nDays, s.bestLen, s.bestStart, s.bestEnd))
+  }
+}
+
 /** Streaming twin of batch `q_sample_reservoir` (SURVEY §2.8
   * s_sample_reservoir): per-key bounded priority reservoir — keep the
   * top-k docs by (priority desc, doc_id asc) over an unbounded ingest

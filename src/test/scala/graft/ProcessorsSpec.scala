@@ -684,6 +684,34 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_win_streak: settled streak state == batch q_win_streak on in-order replay") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.winStreak(spark, dir)
+      .select("user_id", "n_active_days", "longest_streak", "streak_start", "streak_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new StreakProcessor, TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // two batches: the current-run state must bridge a mid-streak split
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val all = spark.table(sink).as[StreakRow].collect()
+      val settled = all.groupBy(_.user_id).map { case (_, rs) =>
+        val last = rs.maxBy(_.rev)
+        (last.user_id, last.n_active_days, last.longest_streak,
+          last.streak_start, last.streak_end)
+      }.toSet
+      assert(settled === batch, "settled streaming streaks diverged from the batch query")
+    } finally q.stop()
+  }
+
   test("s_sample_reservoir: settled streaming reservoir == batch q_sample_reservoir exactly") {
     val dir = sf("sf0.001")
     val batch = graft.ops.Curation.sampleReservoir(spark, dir)
