@@ -240,6 +240,96 @@ object Scalars {
       |WHERE n_big >= 3
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- recursive CTE
+  /** WITH RECURSIVE graph reachability (r11) — Spark 4's recursive CTE
+    * surface on a real fixpoint: BFS over the part co-purchase graph
+    * (the q_graph_triangles edge set) from the smallest part in it,
+    * min-hop per reachable part within 3 hops. The SQL-standard
+    * iterative construct (hierarchies, reachability, bill-of-materials)
+    * that Flink SQL lacks entirely and Spark gained in 4.0 — exercised
+    * here end-to-end through Catalyst's UnionLoop execution.
+    *
+    * Determinism: the recursion enumerates (part, hop) pairs — the
+    * post-aggregation min(hop) is set-deterministic regardless of the
+    * order the loop discovers rows in. Termination is the explicit
+    * hop < 3 guard, not engine convergence. Scale: each loop step is
+    * one equi-join of the frontier against the edge list + the running
+    * UNION — the same join+agg-per-round shape the hand-built CC and
+    * PageRank loops use; the construct is the declarative spelling. */
+  def sqlRecursive(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""WITH RECURSIVE items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM parquet.`$dir/lineitem.parquet`),
+         |e0 AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |e AS (SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0),
+         |seed AS (SELECT MIN(pa) AS root FROM e),
+         |reach (part, hop) AS (
+         |  SELECT root, 0 FROM seed
+         |  UNION ALL
+         |  SELECT e.pb, r.hop + 1
+         |  FROM reach r JOIN e ON e.pa = r.part
+         |  WHERE r.hop < 3)
+         |SELECT part, CAST(MIN(hop) AS BIGINT) AS min_hops
+         |FROM reach GROUP BY part ORDER BY part""".stripMargin)
+
+  val sqlRecursiveSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0),
+      |seed AS (SELECT MIN(pa) AS root FROM e),
+      |reach (part, hop) AS (
+      |  SELECT root, 0 FROM seed
+      |  UNION ALL
+      |  SELECT e.pb, r.hop + 1
+      |  FROM reach r JOIN e ON e.pa = r.part
+      |  WHERE r.hop < 3)
+      |SELECT part, CAST(MIN(hop) AS BIGINT) AS min_hops
+      |FROM reach GROUP BY part ORDER BY part""".stripMargin
+
+  // ---------------------------------------------------------------- lateral join
+  /** LATERAL correlated subquery (r11) — per-order top-2 line items by
+    * price: the lateral top-n-per-group idiom, the OTHER SQL spelling
+    * of q_win_rownum_topn's window-rank. Catalyst decorrelates the
+    * correlated LIMIT subquery; money compares as exact cents with a
+    * full tie-break key (lineitem's (orderkey, linenumber) is NOT
+    * unique in this data — README gotcha — so the order key includes
+    * part+supplier). */
+  def joinLateral(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT o.o_orderkey, t.cents, t.l_linenumber, t.l_partkey
+         |FROM parquet.`$dir/orders.parquet` o,
+         |LATERAL (
+         |  SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         |    l.l_linenumber, l.l_partkey
+         |  FROM parquet.`$dir/lineitem.parquet` l
+         |  WHERE l.l_orderkey = o.o_orderkey
+         |  ORDER BY cents DESC, l.l_linenumber, l.l_partkey, l.l_suppkey
+         |  LIMIT 2) t
+         |WHERE o.o_totalprice > 200000.0
+         |ORDER BY o.o_orderkey, t.cents DESC, t.l_linenumber, t.l_partkey""".stripMargin)
+
+  val joinLateralSql: String =
+    """SELECT o.o_orderkey, t.cents, t.l_linenumber, t.l_partkey
+      |FROM orders o,
+      |LATERAL (
+      |  SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+      |    l.l_linenumber, l.l_partkey
+      |  FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |  ORDER BY cents DESC, l.l_linenumber, l.l_partkey, l.l_suppkey
+      |  LIMIT 2) t
+      |WHERE o.o_totalprice > 200000.0
+      |ORDER BY o.o_orderkey, t.cents DESC, t.l_linenumber, t.l_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_funcs"     -> (strFuncs _),
     "q_date_funcs"    -> (dateFuncs _),
@@ -248,7 +338,9 @@ object Scalars {
     "q_array_funcs"   -> (arrayFuncs _),
     "q_case_coalesce" -> (caseCoalesce _),
     "q_bit_funcs"     -> (bitFuncs _),
-    "q_sql_cte"       -> (sqlCte _))
+    "q_sql_cte"       -> (sqlCte _),
+    "q_sql_recursive" -> (sqlRecursive _),
+    "q_join_lateral"  -> (joinLateral _))
 
   def oracle: Map[String, String] = Map(
     "q_str_funcs"     -> strFuncsSql,
@@ -258,5 +350,7 @@ object Scalars {
     "q_array_funcs"   -> arrayFuncsSql,
     "q_case_coalesce" -> caseCoalesceSql,
     "q_bit_funcs"     -> bitFuncsSql,
-    "q_sql_cte"       -> sqlCteSql)
+    "q_sql_cte"       -> sqlCteSql,
+    "q_sql_recursive" -> sqlRecursiveSql,
+    "q_join_lateral"  -> joinLateralSql)
 }

@@ -680,6 +680,49 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_sql_recursive: UnionLoop BFS == brute-force breadth-first over the same edges") {
+    val rows = graft.ops.Scalars.sqlRecursive(spark, dir)
+      .select("part", "min_hops").as[(Long, Long)].collect().toSeq.sorted
+    // brute force: same edge derivation, plain BFS
+    val li = graft.tables.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val root = adj.keys.min
+    val dist = scala.collection.mutable.Map(root -> 0L)
+    var frontier = Set(root)
+    for (hop <- 1L to 3L) {
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(dist(_) = hop)
+    }
+    assert(rows === dist.toSeq.sorted, "recursive CTE reachability diverged from BFS")
+    assert(rows.map(_._2).max === 3L, "recursion never reached the hop bound — spec lost its teeth")
+  }
+
+  test("q_join_lateral: correlated-LIMIT lateral == the window-rank formulation") {
+    val rows = graft.ops.Scalars.joinLateral(spark, dir)
+      .select("o_orderkey", "cents", "l_linenumber", "l_partkey")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+      .orderBy($"cents".desc, $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val viaWindow = graft.tables.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", org.apache.spark.sql.functions.round($"l_extendedprice" * 100.0)
+        .cast("long").as("cents"), $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rk" <= 2)
+      .join(graft.tables.Tables.orders(spark, dir).where($"o_totalprice" > 200000.0)
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .select("o_orderkey", "cents", "l_linenumber", "l_partkey")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(rows.sorted === viaWindow.sorted,
+      "lateral top-2 diverged from the window-rank formulation")
+    assert(rows.nonEmpty)
+  }
+
   test("q_mm_patch_grid: grids recompute from byte counts; batches respect the patch budget") {
     val rows = graft.ops.LlmVector.mmPatchGrid(spark, dir)
       .select("doc_id", "img_w", "img_h", "pw", "ph", "n_patches", "seq_len", "part", "batch_id")
