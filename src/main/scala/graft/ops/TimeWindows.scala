@@ -420,6 +420,64 @@ object TimeWindows {
        |FROM sm ORDER BY user_id, t, event_id""".stripMargin
   }
 
+  /** Iterative-condition CEP (r11) — maximal strictly-ASCENDING value
+    * runs of length ≥ 4 per user: the Flink `IterativeCondition` shape
+    * (each event's predicate references the PREVIOUS accepted event —
+    * "keeps rising"), which the fixed-predicate pattern surface
+    * (q_cep_pattern_seq's stages, q_cep_quantified's uniform Kleene)
+    * cannot express. The monitoring staple behind "N consecutive
+    * increases" alerts (s_process_timer_alert is its streaming timer
+    * cousin with a wall-clock horizon instead of a count).
+    *
+    * Relational form: ascending flag via lag(), run ids via the
+    * gaps-and-islands running sum over the flag's complement, then one
+    * aggregate per run — maximality is structural (a run ends exactly
+    * where the flag breaks), not search-based, so there is no greedy/
+    * reluctant ambiguity to replicate cross-engine. Values compare as
+    * exact cents (R2); order is (t, event_id) (R1). ONE user_id shuffle
+    * serves the lag window, the run numbering, and the aggregate. */
+  def cepAscending(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wSeq = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"),
+        round($"value" * 100.0).cast(LongType).as("cents"))
+      .withColumn("brk",
+        when($"cents" > lag($"cents", 1).over(wSeq), lit(0L)).otherwise(lit(1L)))
+      .withColumn("run_id", sum($"brk").over(wRun))
+      .groupBy($"user_id", $"run_id")
+      .agg(count(lit(1)).as("run_len"), min($"t").as("t_start"),
+        max($"t").as("t_end"), min($"cents").as("cents_first"),
+        max($"cents").as("cents_last"))
+      .where($"run_len" >= 4)
+      .select($"user_id", $"run_len", $"t_start", $"t_end",
+        $"cents_first", $"cents_last")
+      .orderBy($"user_id", $"t_start")
+  }
+
+  val cepAscendingSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, t, cents,
+      |    CASE WHEN cents > LAG(cents) OVER w THEN 0 ELSE 1 END AS brk
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |runs AS (
+      |  SELECT user_id, t, cents,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+      |  MIN(t) AS t_start, MAX(t) AS t_end,
+      |  MIN(cents) AS cents_first, MAX(cents) AS cents_last
+      |FROM runs GROUP BY user_id, run_id
+      |HAVING COUNT(*) >= 4
+      |ORDER BY user_id, t_start""".stripMargin
+
   /** Rolling band anomaly flags (r11) — Bollinger-style volatility bands,
     * the moving-STATS sibling of [[tsEwma]] (a moving MEAN): per user over
     * the trailing 20-event frame, is this value outside mean ± 2σ of its
@@ -987,6 +1045,7 @@ object TimeWindows {
     "q_ts_ewma"           -> (tsEwma _),
     "q_ts_bollinger"      -> (tsBollinger _),
     "q_win_streak"        -> (winStreak _),
+    "q_cep_ascending"     -> (cepAscending _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
@@ -1009,6 +1068,7 @@ object TimeWindows {
     "q_ts_ewma"          -> tsEwmaSql,
     "q_ts_bollinger"     -> tsBollingerSql,
     "q_win_streak"       -> winStreakSql,
+    "q_cep_ascending"    -> cepAscendingSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,

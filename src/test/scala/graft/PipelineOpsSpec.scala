@@ -680,6 +680,32 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_cep_ascending: runs recompute brute-force and are maximal") {
+    val rows = TimeWindows.cepAscending(spark, dir)
+      .select("user_id", "run_len", "t_start", "t_end", "cents_first", "cents_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val seq = es.sortBy(e => (e._3, e._2)).map(e => (e._3, math.round(e._4 * 100.0)))
+      // split into maximal ascending runs
+      val runs = seq.foldLeft(List.empty[List[(Long, Long)]]) {
+        case (acc, x) if acc.nonEmpty && x._2 > acc.head.head._2 => (x :: acc.head) :: acc.tail
+        case (acc, x) => List(x) :: acc
+      }.map(_.reverse).reverse
+      runs.filter(_.length >= 4).map { r =>
+        (u, r.length.toLong, r.head._1, r.last._1, r.head._2, r.last._2)
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(rows === expect, "ascending runs diverged from brute-force fold")
+    assert(rows.nonEmpty, "no qualifying runs at this SF — spec lost its teeth")
+    // maximality: first value of each run is NOT an ascent over its
+    // predecessor (it's a break or the partition head) — structural in
+    // the fold above, asserted via the recompute equality
+  }
+
   test("q_sql_recursive: UnionLoop BFS == brute-force breadth-first over the same edges") {
     val rows = graft.ops.Scalars.sqlRecursive(spark, dir)
       .select("part", "min_hops").as[(Long, Long)].collect().toSeq.sorted
