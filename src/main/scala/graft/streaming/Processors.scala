@@ -81,6 +81,49 @@ class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
   }
 }
 
+/** Streaming twin of batch `q_cep_ascending` (SURVEY §2.8
+  * s_cep_ascending) — a true Flink-style IterativeCondition: the accept
+  * predicate compares each event to the PREVIOUS accepted event ("keeps
+  * strictly rising"), state is O(1) per key (last cents + current run
+  * register), and a completed run ≥ minLen emits exactly when the
+  * ascent BREAKS. Runs still open when the stream pauses are
+  * (correctly) unreported — the batch query sees them only because its
+  * input ends; tests close them with a sentinel break event. */
+case class AscendRun(user_id: Long, run_len: Long, t_start: Long, t_end: Long,
+                     cents_first: Long, cents_last: Long)
+case class AscendState(lastCents: Long, len: Long, tStart: Long,
+                       centsFirst: Long, tLast: Long)
+
+class AscendingRunProcessor(minLen: Int)
+    extends StatefulProcessor[Long, Event, AscendRun] {
+  @transient private var st: ValueState[AscendState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[AscendState]("run",
+      Encoders.product[AscendState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[AscendRun] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AscendRun]
+    var s = if (st.exists()) st.get() else null
+    // epoch-second + event_id order, the batch sort key (see EwmaProcessor)
+    rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
+      val t = e.ts.getTime / 1000L
+      val c = math.round(e.value * 100.0)
+      if (s == null) s = AscendState(c, 1L, t, c, t)
+      else if (c > s.lastCents) // the ITERATIVE condition: vs previous accepted
+        s = AscendState(c, s.len + 1, s.tStart, s.centsFirst, t)
+      else { // ascent breaks: close the run, start a new one at this event
+        if (s.len >= minLen)
+          out += AscendRun(key, s.len, s.tStart, s.tLast, s.centsFirst, s.lastCents)
+        s = AscendState(c, 1L, t, c, t)
+      }
+    }
+    if (s != null) st.update(s)
+    out.iterator
+  }
+}
+
 /** Streaming twin of batch `q_win_streak` (SURVEY §2.8 s_win_streak):
   * per-user consecutive-day streak maintenance — the live engagement
   * counter a dashboard reads ("current streak / best streak"), folded

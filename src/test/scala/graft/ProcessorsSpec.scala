@@ -684,6 +684,39 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_cep_ascending: iterative-condition runs == batch q_cep_ascending after sentinel close") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.cepAscending(spark, dir)
+      .select("user_id", "run_len", "t_start", "t_end", "cents_first", "cents_last")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime / 1000L, e.event_id)).toSeq
+    val maxMs = evs.map(_.ts.getTime).max
+    // one sentinel break per user, far in the future with a value below
+    // everything — closes each user's tail run (the batch query closes
+    // them implicitly because its input ends)
+    val sentinels = evs.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+      Event(-1000L - i, new java.sql.Timestamp(maxMs + 3600_000L), u, "sentinel", -1e7)
+    }
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new AscendingRunProcessor(4), TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      in.addData(sentinels); q.processAllAvailable()
+      val streamed = spark.table(sink).as[AscendRun].collect()
+        .map(r => (r.user_id, r.run_len, r.t_start, r.t_end, r.cents_first, r.cents_last))
+        .toSet
+      assert(streamed === batch,
+        "streaming iterative-condition runs diverged from the batch gaps-and-islands form")
+    } finally q.stop()
+  }
+
   test("s_win_streak: settled streak state == batch q_win_streak on in-order replay") {
     val dir = sf("sf0.001")
     val batch = graft.ops.TimeWindows.winStreak(spark, dir)
