@@ -420,6 +420,53 @@ object TimeWindows {
        |FROM sm ORDER BY user_id, t, event_id""".stripMargin
   }
 
+  /** DAU / WAU census (r11) — daily and trailing-7-day distinct active
+    * users per epoch-day: the engagement dashboard staple. The subtlety
+    * is that rolling DISTINCT does not decompose — WAU is NOT a window
+    * sum of DAUs (users repeat across days) — so the correct scalable
+    * formulation is contribution-explode: each (user, day) activity
+    * fact contributes to the 7 window-days [day, day+6], and WAU(d) is
+    * a plain countDistinct per window-day. Work = 7× the distinct
+    * activity facts (constant factor, shuffle on the window-day key,
+    * map-side partial-distinct) — never a per-day set union, never a
+    * driver bitmap. The KMV/HLL sketch families are the approximate
+    * path when 7× is too dear; this is the exact contract-sized form.
+    * Days are integer epoch-days (R3); trailing days beyond the
+    * observed max are truncated. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val au = graft.tables.Layout.materialize(
+      events(s, dir)
+        .select($"user_id", epochS($"ts").as("t"))
+        .select($"user_id", expr("t div 86400L").as("day"))
+        .distinct())
+    val maxDay = au.agg(max($"day").as("mx"))
+    val dau = au.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = au
+      .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("wday"))
+      .crossJoin(broadcast(maxDay))
+      .where($"wday" <= $"mx")
+      .groupBy($"wday").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, $"day" === $"wday")
+      .select($"day", $"dau", $"wau")
+      .orderBy($"day")
+  }
+
+  val activeUsersSql: String =
+    """WITH au AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM au GROUP BY day),
+      |wau AS (
+      |  SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM (
+      |    SELECT user_id, unnest(generate_series(day, day + 6)) AS wday FROM au)
+      |  WHERE wday <= (SELECT MAX(day) FROM au)
+      |  GROUP BY wday)
+      |SELECT dau.day AS day, dau.dau, wau.wau
+      |FROM dau JOIN wau ON wau.wday = dau.day
+      |ORDER BY day""".stripMargin
+
   /** Iterative-condition CEP (r11) — maximal strictly-ASCENDING value
     * runs of length ≥ 4 per user: the Flink `IterativeCondition` shape
     * (each event's predicate references the PREVIOUS accepted event —
@@ -1046,6 +1093,7 @@ object TimeWindows {
     "q_ts_bollinger"      -> (tsBollinger _),
     "q_win_streak"        -> (winStreak _),
     "q_cep_ascending"     -> (cepAscending _),
+    "q_active_users"      -> (activeUsers _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
@@ -1069,6 +1117,7 @@ object TimeWindows {
     "q_ts_bollinger"     -> tsBollingerSql,
     "q_win_streak"       -> winStreakSql,
     "q_cep_ascending"    -> cepAscendingSql,
+    "q_active_users"     -> activeUsersSql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,

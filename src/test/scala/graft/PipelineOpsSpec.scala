@@ -680,6 +680,25 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_active_users: DAU and trailing-7-day WAU recompute from raw day sets") {
+    val rows = TimeWindows.activeUsers(spark, dir)
+      .select("day", "dau", "wau").as[(Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"))
+      .as[(Long, Long)].collect()
+    val au = evs.map { case (u, t) => (u, t / 86400L) }.distinct
+    val days = au.map(_._2).distinct.sorted
+    assert(rows.map(_._1) === days, "day census incomplete")
+    rows.foreach { case (d, dau, wau) =>
+      assert(dau === au.count(_._2 == d).toLong, s"day $d: DAU")
+      val win = au.filter(x => x._2 >= d - 6 && x._2 <= d).map(_._1).distinct
+      assert(wau === win.length.toLong, s"day $d: WAU")
+      assert(wau >= dau, s"day $d: WAU below DAU — impossible")
+    }
+    // the distinction is real in the data: some WAU strictly exceeds its DAU
+    assert(rows.exists(r => r._3 > r._2), "WAU == DAU everywhere — window never mattered")
+  }
+
   test("q_cep_ascending: runs recompute brute-force and are maximal") {
     val rows = TimeWindows.cepAscending(spark, dir)
       .select("user_id", "run_len", "t_start", "t_end", "cents_first", "cents_last")
