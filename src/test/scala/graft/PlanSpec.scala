@@ -649,6 +649,14 @@ class PlanSpec extends SparkTestBase {
       s"streak aggregation re-shuffled beyond distinct/window/sort:\n$p")
   }
 
+  test("q_join_lateral: correlated LIMIT decorrelates to a Window — no nested loop per outer row") {
+    val p = planOf(SparkEntry.queries("q_join_lateral")(spark, dir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "lateral subquery executed as a per-row nested loop")
+    assert(nodeIds(p, "Window").nonEmpty,
+      "correlated LIMIT did not decorrelate to the window-rank form")
+  }
+
   test("q_path_mining: first-8 cap runs map-side (WindowGroupLimit below the shuffle); top-25 fuses") {
     val p = planOf(SparkEntry.queries("q_path_mining")(spark, dir))
     // Spark pushes the rn<=8 filter to a partial WindowGroupLimit BEFORE the
