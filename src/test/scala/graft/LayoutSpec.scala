@@ -115,4 +115,27 @@ class LayoutSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(salted === plain)
   }
+
+  test("standing(): second call serves the persisted copy; cached == fresh build row-identically") {
+    var builds = 0
+    def build() = { builds += 1; spark.range(0, 1000).select($"id", ($"id" * 3).as("v")) }
+    val name = s"layoutspec_${System.nanoTime()}"
+    val first = Layout.standing(spark, name, build()).collect().map(_.toString).sorted
+    val second = Layout.standing(spark, name, build()).collect().map(_.toString).sorted
+    assert(builds === 1, "standing() rebuilt on the second call — cache not serving")
+    assert(first.toSeq === second.toSeq, "cached read diverged from the build")
+    // the graph standing tables: cached copurchase edges == a fresh derivation
+    val dir = sf("sf0.001")
+    val standingEdges = graft.ops.Graph.copurchaseEdges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val fresh = {
+      val li = graft.tables.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+      li.groupBy(_._1).values.flatMap { b =>
+        val ps = b.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet
+    }
+    assert(standingEdges === fresh, "standing co-purchase edges != fresh brute-force derivation")
+  }
 }
