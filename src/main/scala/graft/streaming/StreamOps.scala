@@ -224,6 +224,25 @@ object StreamOps {
       .agg(hll(col("user_id")).as("sketch_uv"))
   }
 
+  /** Streaming DAU census (r11, SURVEY §2.8 s_active_users) — live
+    * distinct-active-users per epoch-day, the streaming half of
+    * q_active_users: stateful first-occurrence dedup on (user, day)
+    * (each user counts once per day however many events they emit),
+    * then a per-day count in update mode. Streaming aggregation cannot
+    * run countDistinct — the dedup IS the distinct, factored into its
+    * own stateful operator, which is exactly how a streaming engine has
+    * to spell it; the trailing-7-day WAU composes the same way over the
+    * contribution-explode (the batch op's formulation) when needed.
+    * State: one dedup key per (user, day) — bounded by active span, the
+    * same census the batch distinct materializes. */
+  def activeUsersDaily(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400L").as("day"))
+      .dropDuplicates(Seq("user_id", "day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+
   /** Streaming KMV/theta overlap sketch (r11, SURVEY §2.8
     * s_overlap_sketch) — live per-type bottom-k audience sketches
     * maintained in update mode; the INTERSECTION (audience overlap)

@@ -93,6 +93,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_active_users: settled per-day DAU equals the batch census; re-sent users absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.activeUsers(spark, dir)
+      .select("day", "dau").as[(Long, Long)].collect().toMap
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.activeUsersDaily(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      // re-send a slice of h1: the dedup state must absorb idempotently
+      in.addData(h1.take(50)); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val settled = spark.table(sink).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(settled === batch, "settled streaming DAU diverged from the batch census")
+    } finally q.stop()
+  }
+
   test("s_overlap_sketch: settled per-type KMV arrays are bitwise the batch sketch; read-side intersect is exact here") {
     val in = MemoryStream[Event]
     val sink = nextSink()
