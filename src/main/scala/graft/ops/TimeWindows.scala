@@ -420,6 +420,79 @@ object TimeWindows {
        |FROM sm ORDER BY user_id, t, event_id""".stripMargin
   }
 
+  /** Sliding-window time-series similarity search (r11) — the distributed
+    * motif/template query (EDBT'19 "Time Series Similarity Search for
+    * Streaming Data" family): take the opening 8-value spend pattern of
+    * the smallest user id as the TEMPLATE, slide an 8-wide window over
+    * every OTHER user's series, and return the top-10 closest windows by
+    * squared Euclidean distance — "whose spending opens like this
+    * user's". Un-normalized distance on exact cents keeps the entire
+    * query integer: dist² = Σ(w_k − t_k)² ≤ 8·(2·10⁷)² ≈ 3·10¹⁵ — no
+    * float, no sqrt, rank ties broken by (user, t, event_id) (R1).
+    *
+    * Scale: the template is 8 collected longs (bounded driver state →
+    * literals, the embed_outlier contract); candidate windows come from
+    * 8 lag() reads in ONE window pass per user partition (the q_ts_ewma
+    * shape) — no self-join, no cross-join; top-10 fuses to
+    * TakeOrderedAndProject. At 100 TB: linear scan per template, the
+    * batch analog of streaming template matching; the ANN/LSH families
+    * are the multi-template index path. */
+  def tsSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val base = events(s, dir)
+      .select($"user_id", $"event_id", epochS($"ts").as("t"),
+        round($"value" * 100.0).cast(LongType).as("cents"))
+    val tplUser = base.agg(min($"user_id")).collect()(0).getLong(0)
+    val tpl = base.where($"user_id" === tplUser)
+      .orderBy($"t", $"event_id").limit(8)
+      .select($"cents").collect().map(_.getLong(0))
+    require(tpl.length == 8, "template user has < 8 events")
+    // window row = the 8 values ending here, chronological w1..w8
+    val dist2 = (0 until 8).map { k =>
+      val d = coalesce(lag($"cents", 7 - k).over(w), lit(0L)) - lit(tpl(k))
+      d * d
+    }.reduce(_ + _)
+    base
+      .where($"user_id" =!= tplUser)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dist2", dist2)
+      .where($"rn" >= 8)
+      .select($"user_id", ($"rn" - 7).as("win_start_rn"), $"t".as("t_end"), $"dist2")
+      .orderBy($"dist2", $"user_id", $"t_end", $"win_start_rn")
+      .limit(10)
+  }
+
+  val tsSimilaritySql: String = {
+    val tplCol = (k: Int) =>
+      s"(SELECT cents FROM tpl WHERE rn = ${k + 1})"
+    val dist = (0 until 8).map { k =>
+      s"(COALESCE(LAG(cents, ${7 - k}) OVER w, 0) - ${tplCol(k)}) * " +
+        s"(COALESCE(LAG(cents, ${7 - k}) OVER w, 0) - ${tplCol(k)})"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |tpl AS (
+       |  SELECT cents, rn FROM (
+       |    SELECT cents, ROW_NUMBER() OVER (ORDER BY t, event_id) AS rn
+       |    FROM base WHERE user_id = (SELECT MIN(user_id) FROM base))
+       |  WHERE rn <= 8),
+       |wins AS (
+       |  SELECT user_id, t,
+       |    ROW_NUMBER() OVER w AS rn,
+       |    CAST($dist AS BIGINT) AS dist2
+       |  FROM base
+       |  WHERE user_id <> (SELECT MIN(user_id) FROM base)
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+       |SELECT user_id, CAST(rn - 7 AS BIGINT) AS win_start_rn,
+       |  t AS t_end, dist2
+       |FROM wins WHERE rn >= 8
+       |ORDER BY dist2, user_id, t_end, win_start_rn
+       |LIMIT 10""".stripMargin
+  }
+
   /** DAU / WAU census (r11) — daily and trailing-7-day distinct active
     * users per epoch-day: the engagement dashboard staple. The subtlety
     * is that rolling DISTINCT does not decompose — WAU is NOT a window
@@ -1094,6 +1167,7 @@ object TimeWindows {
     "q_win_streak"        -> (winStreak _),
     "q_cep_ascending"     -> (cepAscending _),
     "q_active_users"      -> (activeUsers _),
+    "q_ts_similarity"     -> (tsSimilarity _),
     "q_gap_fill_daily"    -> (gapFillDaily _),
     "q_count_window"      -> (countWindow _),
     "q_cep_fail_burst"    -> (cepFailBurst _),
@@ -1118,6 +1192,7 @@ object TimeWindows {
     "q_win_streak"       -> winStreakSql,
     "q_cep_ascending"    -> cepAscendingSql,
     "q_active_users"     -> activeUsersSql,
+    "q_ts_similarity"    -> tsSimilaritySql,
     "q_gap_fill_daily"   -> gapFillDailySql,
     "q_count_window"     -> countWindowSql,
     "q_cep_fail_burst"   -> cepFailBurstSql,

@@ -680,6 +680,31 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(t._3 <= cut, s"vec ${t._1} wrongly excluded") }
   }
 
+  test("q_ts_similarity: top-10 window distances recompute brute-force; the cut is genuine") {
+    val rows = TimeWindows.tsSimilarity(spark, dir)
+      .select("user_id", "win_start_rn", "t_end", "dist2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.length === 10)
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"), $"value")
+      .as[(Long, Long, Long, Double)].collect()
+    val series = evs.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._3, e._2)).map(e => (e._3, math.round(e._4 * 100.0)))).toMap
+    val tplUser = series.keys.min
+    val tpl = series(tplUser).take(8).map(_._2)
+    val all = series.filterNot(_._1 == tplUser).toSeq.flatMap { case (u, sv) =>
+      sv.sliding(8).zipWithIndex.filter(_._1.length == 8).map { case (win, i) =>
+        val d = win.map(_._2).zip(tpl).map { case (a, b) => (a - b) * (a - b) }.sum
+        (u, i + 1L, win.last._1, d)
+      }
+    }
+    val expect = all.sortBy(t => (t._4, t._1, t._3, t._2)).take(10)
+    assert(rows === expect, "top-10 windows diverged from brute-force scan")
+    val cut = expect.last._4
+    assert(all.count(_._4 < cut) < 10, "a closer window was wrongly excluded")
+  }
+
   test("q_active_users: DAU and trailing-7-day WAU recompute from raw day sets") {
     val rows = TimeWindows.activeUsers(spark, dir)
       .select("day", "dau", "wau").as[(Long, Long, Long)].collect().toSeq
