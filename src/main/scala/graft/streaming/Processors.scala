@@ -81,6 +81,43 @@ class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
   }
 }
 
+/** Streaming twin of batch `q_ts_similarity` (SURVEY §2.8
+  * s_ts_similarity) — live template matching over unbounded series: per
+  * key, a ring of the last `template.length` cent values; every event
+  * that completes a window emits its exact-integer squared Euclidean
+  * distance to the broadcast template. This is the shape the
+  * streaming-similarity literature runs ("alert when the last k ticks
+  * look like pattern P") — the batch query's top-10 cut becomes a
+  * downstream threshold/rank over this score stream. State: ≤ k longs
+  * per key; distances are int64-exact so the settle test is equality. */
+case class SimScore(user_id: Long, t_end: Long, dist2: Long)
+
+class TemplateMatchProcessor(template: Array[Long])
+    extends StatefulProcessor[Long, Event, SimScore] {
+  @transient private var ring: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getListState[Long]("ring", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[SimScore] = {
+    val k = template.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[SimScore]
+    var buf = ring.get().toVector // oldest..newest
+    rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
+      buf = (buf :+ math.round(e.value * 100.0)).takeRight(k)
+      if (buf.length == k) {
+        var d = 0L; var i = 0
+        while (i < k) { val x = buf(i) - template(i); d += x * x; i += 1 }
+        out += SimScore(key, e.ts.getTime / 1000L, d)
+      }
+    }
+    ring.clear()
+    buf.foreach(ring.appendValue)
+    out.iterator
+  }
+}
+
 /** Streaming twin of batch `q_cep_ascending` (SURVEY §2.8
   * s_cep_ascending) — a true Flink-style IterativeCondition: the accept
   * predicate compares each event to the PREVIOUS accepted event ("keeps

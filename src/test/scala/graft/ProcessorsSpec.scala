@@ -684,6 +684,46 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_ts_similarity: streamed window scores == brute-force; batch top-10 is a rank over this stream") {
+    val dir = sf("sf0.001")
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime / 1000L, e.event_id)).toSeq
+    // same template derivation as the batch query
+    val byUser = evs.groupBy(_.user_id)
+    val tplUser = byUser.keys.min
+    val tpl = byUser(tplUser).sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+      .take(8).map(e => math.round(e.value * 100.0)).toArray
+    val others = evs.filterNot(_.user_id == tplUser)
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new TemplateMatchProcessor(tpl), TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = others.splitAt(others.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val streamed = spark.table(sink).as[SimScore].collect()
+        .map(s => (s.user_id, s.t_end, s.dist2)).toSet
+      // brute force over the same series
+      val expect = others.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        val sv = es.sortBy(e => (e.ts.getTime / 1000L, e.event_id))
+          .map(e => (e.ts.getTime / 1000L, math.round(e.value * 100.0)))
+        sv.sliding(8).filter(_.length == 8).map { win =>
+          val d = win.map(_._2).zip(tpl).map { case (a, b) => (a - b) * (a - b) }.sum
+          (u, win.last._1, d)
+        }
+      }.toSet
+      assert(streamed === expect, "streamed window scores diverged from brute force")
+      // the batch query's top-10 dist2 multiset is a rank cut over this stream
+      val batchTop = graft.ops.TimeWindows.tsSimilarity(spark, dir)
+        .select("dist2").as[Long].collect().toSeq.sorted
+      val streamTop = streamed.toSeq.map(_._3).sorted.take(10)
+      assert(batchTop === streamTop, "batch top-10 is not the rank cut of the streamed scores")
+    } finally q.stop()
+  }
+
   test("s_cep_ascending: iterative-condition runs == batch q_cep_ascending after sentinel close") {
     val dir = sf("sf0.001")
     val batch = graft.ops.TimeWindows.cepAscending(spark, dir)
