@@ -589,6 +589,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("s_checkpoint_recovery: EwmaProcessor ring state survives stop/restart (transformWithState)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ring").toString
+    val in = MemoryStream[Event]
+    def stream = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    // append-mode memory sink can't recover from a checkpoint — use the
+    // file sink (the HotItemsProcessor recovery test's convention)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ring_out").toString
+    def start() = stream.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // 3 values before the restart fill part of the ring
+    in.addData(ev(1, 1, user = 9, v = 1.0), ev(2, 2, user = 9, v = 2.0), ev(3, 3, user = 9, v = 3.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint; a 4th value must see the restored ring
+    in.addData(ev(4, 4, user = 9, v = 4.0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val post = spark.read.parquet(outDir).as[EwmaPoint].collect()
+        .filter(_.event_id == 4L)
+      assert(post.length === 1)
+      // ring restored: n_terms counts the pre-restart values too, and the
+      // scaled EWMA equals the full 4-term fold (exact integers)
+      assert(post.head.n_terms === 4, "ring state lost across restart")
+      val cents = Seq(100L, 200L, 300L, 400L)
+      val expect = cents.reverse.zipWithIndex.map { case (c, k) => c * (1L << (15 - k)) }.sum
+      assert(post.head.ewma_x65536 === expect, "restored ring produced a different fold")
+    } finally q2.stop()
+  }
+
   test("s_sink_foreach: ForeachWriter open/process/close per partition-epoch") {
     val in = MemoryStream[Event]
     SparkTestBase.foreachSink.clear()
