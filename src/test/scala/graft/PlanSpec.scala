@@ -649,6 +649,34 @@ class PlanSpec extends SparkTestBase {
       s"streak aggregation re-shuffled beyond distinct/window/sort:\n$p")
   }
 
+  test("q_ts_similarity: candidate windows come from ONE window pass — no self-join; top-10 fuses") {
+    val p = planOf(SparkEntry.queries("q_ts_similarity")(spark, dir))
+    assert(nodeIds(p, "Window").size == 1,
+      "the 8 lag reads + rank split into multiple Window operators")
+    assert(!p.contains("Join"), "template matching joined instead of sliding row-locally")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 did not fuse — a global Sort over all windows appeared")
+  }
+
+  test("q_active_users: WAU explode feeds a two-phase distinct — no cartesian, no driver set union") {
+    val p = planOf(SparkEntry.queries("q_active_users")(spark, dir))
+    // the one-row max-day frame rides a BroadcastNestedLoopJoin (the
+    // corpus_drift one-row-totals pattern) — only a true cartesian is wrong
+    assert(!p.contains("CartesianProduct"), "DAU/WAU degenerated to an all-pairs plan")
+    assert(nodeIds(p, "Generate").nonEmpty, "contribution explode missing")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "distinct/count aggregates lost their partial phases")
+  }
+
+  test("q_rfm_segment: scoring is row-local against literals — the customer frame never re-shuffles") {
+    val p = planOf(SparkEntry.queries("q_rfm_segment")(spark, dir))
+    // the metric frame reads from the standing-state parquet or checkpoint;
+    // scoring adds no join and no window over customers — one output sort
+    assert(!p.contains("Join"), "threshold scoring joined instead of using literals")
+    assert(nodeIds(p, "Window").isEmpty,
+      "a window appeared in the scoring plan — quintiles must come from collected thresholds")
+  }
+
   test("q_join_lateral: correlated LIMIT decorrelates to a Window — no nested loop per outer row") {
     val p = planOf(SparkEntry.queries("q_join_lateral")(spark, dir))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
