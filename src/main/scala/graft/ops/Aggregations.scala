@@ -276,9 +276,13 @@ object Aggregations {
     * ONE corpus pass builds a ≤4 KB sketch per type; every estimator
     * below runs on the 5-row sketch frame with BUILT-IN array functions
     * (array_intersect/filter/size over the sorted hash arrays — no UDF,
-    * no driver math): θ_pair = min of the two k-th minima (2⁶³ when a
-    * sketch is exact/partial — the factor collapses to 1 and the
-    * estimate is the exact shared count), est = |A∩B below θ| · 2⁶³/θ.
+    * no driver math): θ_pair = min of the two PER-SIDE thetas, where a
+    * partial/exact sketch's theta is 2⁶³ — so one full side still
+    * scales by 2⁶³/θ_full (a partial∩full pair retains only hashes
+    * below the full side's threshold), and only when BOTH sides are
+    * partial does the factor collapse to 1 and the estimate become the
+    * exact shared count — exactly [[graft.functions.Kmv.intersect]];
+    * est = |A∩B below θ| · 2⁶³/θ.
     * Exact twin columns make the rows-only dump self-describing; the
     * spec asserts the (k=512, ~4.4% RSE) envelope and exact-mode
     * equality. Deterministic: merge is associative/commutative/
@@ -306,9 +310,11 @@ object Aggregations {
         .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("exact_overlap"))
     }
     a.join(b, $"type_a" < $"type_b")
-      .withColumn("theta_l",
-        when(size($"kmv_a") < k || size($"kmv_b") < k, lit(Long.MaxValue))
-          .otherwise(least(element_at($"kmv_a", k), element_at($"kmv_b", k))))
+      .withColumn("theta_a",
+        when(size($"kmv_a") < k, lit(Long.MaxValue)).otherwise(element_at($"kmv_a", k)))
+      .withColumn("theta_b",
+        when(size($"kmv_b") < k, lit(Long.MaxValue)).otherwise(element_at($"kmv_b", k)))
+      .withColumn("theta_l", least($"theta_a", $"theta_b"))
       .withColumn("theta_d",
         when($"theta_l" === Long.MaxValue, p263).otherwise($"theta_l".cast("double")))
       .withColumn("n_shared",

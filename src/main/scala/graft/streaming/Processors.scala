@@ -16,6 +16,16 @@ import org.apache.spark.sql.streaming._
   * CEP lists prune to their time horizon, timer state clears on fire.
   */
 
+/** Shared cent quantization for processors whose batch twins use Spark
+  * SQL `round()` (HALF_UP, away from zero). Java `math.round` rounds half
+  * toward +infinity, which disagrees on negative exact half-cents
+  * (-0.025 → -2 vs HALF_UP's -3); settle-equivalence is integer equality,
+  * so streaming must quantize with the batch semantics (ADVICE r11). */
+private[streaming] object Quantize {
+  def cents(v: Double): Long =
+    BigDecimal(v * 100.0).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+}
+
 /** Count-based window (Flink countWindow(n)): buffer per key, flush an
   * aggregate every n records. Emits (key, windowIndex, count, sum). */
 case class CountWindowResult(user_id: Long, window_idx: Long, n: Long, sum_value: Double)
@@ -70,7 +80,7 @@ class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
     // epoch-SECOND then event_id — the batch window's exact sort key (its
     // t column is epochS; ms-precision ordering could disagree on ties)
     rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
-      buf = (buf :+ math.round(e.value * 100.0)).takeRight(16)
+      buf = (buf :+ Quantize.cents(e.value)).takeRight(16)
       val s = buf.reverseIterator.zipWithIndex
         .map { case (c, k) => c * (1L << (15 - k)) }.sum
       out += EwmaPoint(key, e.event_id, buf.length, s)
@@ -105,7 +115,7 @@ class TemplateMatchProcessor(template: Array[Long])
     val out = scala.collection.mutable.ArrayBuffer.empty[SimScore]
     var buf = ring.get().toVector // oldest..newest
     rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
-      buf = (buf :+ math.round(e.value * 100.0)).takeRight(k)
+      buf = (buf :+ Quantize.cents(e.value)).takeRight(k)
       if (buf.length == k) {
         var d = 0L; var i = 0
         while (i < k) { val x = buf(i) - template(i); d += x * x; i += 1 }
@@ -146,7 +156,7 @@ class AscendingRunProcessor(minLen: Int)
     // epoch-second + event_id order, the batch sort key (see EwmaProcessor)
     rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
       val t = e.ts.getTime / 1000L
-      val c = math.round(e.value * 100.0)
+      val c = Quantize.cents(e.value)
       if (s == null) s = AscendState(c, 1L, t, c, t)
       else if (c > s.lastCents) // the ITERATIVE condition: vs previous accepted
         s = AscendState(c, s.len + 1, s.tStart, s.centsFirst, t)
@@ -233,8 +243,11 @@ class ReservoirProcessor(k: Int)
 
   override def handleInputRows(key: String, rows: Iterator[ReservoirDoc],
       timers: TimerValues): Iterator[ReservoirRow] = {
+    // .distinct: at-least-once replays must absorb idempotently — a
+    // re-sent doc already in the reservoir would otherwise occupy two
+    // slots and evict a legitimate k-th entry (ADVICE r11)
     val merged = (entries.get().toSeq ++ rows.map(d => (d.prio, d.doc_id)))
-      .sortBy { case (p, id) => (-p, id) }.take(k)
+      .distinct.sortBy { case (p, id) => (-p, id) }.take(k)
     entries.clear()
     merged.foreach(entries.appendValue)
     val rev = (if (revState.exists()) revState.get() else 0L) + 1L

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Kmv, KmvBuf, KmvSketch}
+import graft.ops.Aggregations
 
 /** KMV/theta sketch invariants: exact-mode equality, the full-sketch
   * accuracy envelope on synthetic sets with KNOWN overlap, and the
@@ -54,6 +55,36 @@ class KmvSketchSpec extends SparkTestBase {
     val merged = agg.merge(fold(xs), fold(ys)).hashes
     val direct = fold(xs ++ ys).hashes
     assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("mixed regime: partial x full pair scales by the full side's theta (ADVICE r11)") {
+    // type "small": 400 distinct users (< k=512, partial sketch);
+    // type "big": 2000 distinct users (full sketch), superset of small's —
+    // true overlap 400. The pair must scale the retained shared count
+    // (~400*512/2000 ~= 102) by 2^63/theta_big back to ~400; a 2^63 theta
+    // (the pre-fix either-side-partial collapse) would emit ~102, 4x low.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_mixed").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    ((0L until 2000L).map(u => (u, t0, u, "big", 1.0, "{}")) ++
+     (0L until 400L).map(u => (2000L + u, t0, u, "small", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val r = Aggregations.aggOverlapSketch(spark, tmp)
+      .select("type_a", "type_b", "est_overlap", "exact_overlap", "est_a", "est_b")
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "big" && row.getString(1) === "small")
+    assert(row.getLong(3) === 400L)
+    // exact same arithmetic as the driver-side reference implementation
+    val (sBig, sSmall) = (fold(0L until 2000L).hashes, fold(0L until 400L).hashes)
+    assert(sBig.length === k && sSmall.length === 400)
+    assert(row.getLong(2) === Kmv.intersect(sBig, sSmall, k),
+      "DataFrame estimator must match Kmv.intersect in the mixed regime")
+    assert(math.abs(row.getLong(2) - 400L) <= 120,
+      s"mixed-regime overlap ${row.getLong(2)} outside the 30% envelope of 400")
+    assert(row.getLong(5) === 400L, "partial side's distinct estimate must be exact")
   }
 
   test("q_overlap_sketch: exact-mode rows equal their exact twin columns; estimator engages at sf0.1") {

@@ -807,7 +807,11 @@ class ProcessorsSpec extends SparkTestBase {
     try {
       val (h1, h2) = docs.splitAt(docs.length / 2)
       in.addData(h1); q.processAllAvailable()
+      // at-least-once replay: re-send part of h1 — duplicates must absorb
+      // idempotently, not occupy second reservoir slots (ADVICE r11)
+      in.addData(h1.take(h1.length / 2)); q.processAllAvailable()
       in.addData(h2); q.processAllAvailable()
+      in.addData(h2.takeRight(math.max(1, h2.length / 3))); q.processAllAvailable()
       val all = spark.table(sink).as[ReservoirRow].collect()
       val settled = all.groupBy(_.lang).toSeq.flatMap { case (_, rs) =>
         val last = rs.map(_.rev).max
