@@ -4,9 +4,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Optional args: query-name filter (dev micro-benchmarking only; the
-    // driver invokes with no args and times the full suite).
+    // driver invokes with no args and times the full suite). Two forms:
+    //   tools/run.sh graft.Bench --only q_a,q_b   (isolated-run protocol)
+    //   tools/run.sh graft.Bench q_a q_b          (positional, same effect)
+    // Isolated runs are the regression-diagnosis primitive: full-suite
+    // position inflates individual timings up to 5x (BASELINE.md r11 note).
+    val wanted: Set[String] = args.toSeq match {
+      case Seq("--only", csv) => csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      case other              => other.toSet
+    }
+    val unknown = wanted -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown query keys ignored: ${unknown.toSeq.sorted.mkString(",")}")
     val onlyQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      if (args.nonEmpty) SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+      if (wanted.nonEmpty) SparkEntry.queries.filter { case (k, _) => wanted.contains(k) }
       else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -138,4 +138,37 @@ class LayoutSpec extends SparkTestBase {
     }
     assert(standingEdges === fresh, "standing co-purchase edges != fresh brute-force derivation")
   }
+
+  test("r12 standing text/vector indexes: cached copy == fresh in-query derivation, row-identically") {
+    val dir = sf("sf0.001")
+    // shingle table vs a direct (uncached) rebuild of the same expression
+    val fresh = graft.tables.Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
+      .where(size($"sh_arr") > 0)
+      .select($"doc_id", size($"sh_arr").cast("long").as("n_sh"), $"sh_arr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val standing = graft.ops.LlmText.standingDocShingles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(standing === fresh, "standing shingle table != fresh derivation")
+    // pair graph vs the full-price contract query (same rows, different sort)
+    val freshPairs = graft.ops.LlmText.dedupNgramJaccard(spark, dir)
+      .collect().map(_.toString).toSet
+    val standingPairs = graft.ops.LlmText.standingJaccardPairs(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(standingPairs === freshPairs, "standing jaccard pair graph != contract query rows")
+    // embed pair graph vs the banded contract query
+    val freshEmb = graft.ops.LlmVector.dedupEmbedBanded(spark, dir)
+      .collect().map(_.toString).toSet
+    val standingEmb = graft.ops.LlmVector.standingEmbedPairs(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(standingEmb === freshEmb, "standing embed pair graph != contract query rows")
+    // gram postings vs the decontaminate-side derivation: bloom output ==
+    // plain decontaminate output (exactness through the standing postings)
+    val plain = graft.ops.LlmText.decontaminate(spark, dir)
+      .collect().map(_.toString).toSeq
+    val bloom = graft.ops.LlmText.decontaminateBloom(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(bloom === plain, "standing-postings bloom decontamination != full-price decontaminate")
+  }
 }
