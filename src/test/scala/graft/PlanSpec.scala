@@ -685,6 +685,53 @@ class PlanSpec extends SparkTestBase {
       "correlated LIMIT did not decorrelate to the window-rank form")
   }
 
+  test("q_graph_pagerank: 5 unrolled join+agg rounds over the pinned edge RDD — no per-round re-derivation") {
+    val p = planOf(SparkEntry.queries("q_graph_pagerank")(spark, dir))
+    // exactly one join per damped iteration — a 6th join or a dropped one
+    // means the unrolled loop shape changed
+    val joins = nodeIds(p, "SortMergeJoin") ++ nodeIds(p, "ShuffledHashJoin") ++
+      nodeIds(p, "BroadcastHashJoin")
+    assert(joins.size === 5, s"expected 5 per-round joins, found ${joins.size}")
+    // every edge reference bottoms out in the SAME pinned standing-edge RDD:
+    // a parquet scan here would mean some round re-derives the graph
+    assert(!p.contains("Scan parquet"),
+      "pagerank plan re-reads parquet — rounds are not served from the pinned edges")
+    assert(nodeIds(p, "Scan ExistingRDD").size >= 5,
+      "fewer pinned-edge scans than rounds — loop shape changed")
+    // per-round Exchange growth (the 9.6s-class re-pricing signature) would
+    // blow well past the unrolled plan's constant ~1 exchange/round + final sort
+    val exch = nodeIds(p, "Exchange") ++ nodeIds(p, "BroadcastExchange")
+    assert(exch.size <= 12, s"exchange count grew to ${exch.size} — per-round re-pricing returned")
+  }
+
+  test("q_sql_recursive: UnionLoop body is ONE frontier join against the hoisted edge RDD") {
+    val p = planOf(SparkEntry.queries("q_sql_recursive")(spark, dir))
+    assert(p.contains("UnionLoop") && p.contains("UnionLoopRef"),
+      "recursive CTE no longer executes through UnionLoop")
+    // the loop body must contain exactly one Join (frontier x edges) and no
+    // edge re-derivation: edges arrive as the pre-materialized LogicalRDD,
+    // never as parquet relations or an in-loop pair aggregation
+    assert(nodeIds(p, "Join").size === 1,
+      s"loop body should hold ONE frontier join, found ${nodeIds(p, "Join").size}")
+    assert(!p.contains("Scan parquet") && !p.toLowerCase.contains("lineitem"),
+      "edge derivation leaked back inside the recursive loop")
+    assert(nodeIds(p, "Aggregate").size === 1,
+      "only the seed MIN aggregate belongs inside the loop — edge agg re-derivation returned")
+  }
+
+  test("q_dedup_cluster: prices CC + report over the standing pair graph — no pair re-discovery") {
+    val p = planOf(SparkEntry.queries("q_dedup_cluster")(spark, dir))
+    // the shingle pipeline (explode + codegen intersect) must NOT appear:
+    // pairs come from the standing table, labels from the completed CC loop
+    assert(nodeIds(p, "Generate").isEmpty,
+      "a shingle/token explode appeared — pair discovery re-priced inside the cluster query")
+    assert(!p.contains("sorted_intersect"),
+      "the verify kernel appeared — pair verification re-priced inside the cluster query")
+    // exactly one parquet scan: documents (canonical-pick text length)
+    assert(nodeIds(p, "Scan parquet").size === 1,
+      "unexpected parquet scans — report should read documents once, pairs from the CC output")
+  }
+
   test("q_path_mining: first-8 cap runs map-side (WindowGroupLimit below the shuffle); top-25 fuses") {
     val p = planOf(SparkEntry.queries("q_path_mining")(spark, dir))
     // Spark pushes the rn<=8 filter to a partial WindowGroupLimit BEFORE the
