@@ -647,6 +647,121 @@ object LlmText {
       |WHERE n_shared * 5 >= sa.n_sh * 4 AND sb.n_sh * 5 >= sa.n_sh * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- dedup: exact substring
+  /** Span length of the exact-substring detector: 10 tokens — long enough
+    * that a shared run is memorization/boilerplate evidence rather than a
+    * common phrase, short enough that every true duplicate span ≥ L is
+    * detected (a shared run of length ≥ L contains a shared L-gram at
+    * every offset, so L-gram matching finds the FULL span, merged by the
+    * interval union below — the length-bounded formulation of the
+    * suffix-array ExactSubstr approach). */
+  private val substrL = 10
+
+  /** STANDING positional L-gram index (r12): (doc_id, pos, gh) — one row
+    * per token position, gh = xxhash64 of the L-token window starting
+    * there. The positional sibling of [[standingDocShingles]] (which
+    * keeps SET-valued shingles and cannot answer span questions): built
+    * once per corpus dir and persisted; in production this is the
+    * maintained gram-postings table the substring screen probes daily.
+    * Row-local construction — transform(sequence) windows + posexplode,
+    * no self-join, no shuffle before the consumer's aggregation. */
+  private[graft] def standingPosGrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = substrL
+    graft.tables.Layout.standing(s, s"posgrams_${dirKey(dir)}", {
+      documents(s, dir)
+        .select($"doc_id", toks($"text").as("tk"))
+        .withColumn("n", size($"tk"))
+        .where($"n" >= L)
+        .select($"doc_id", posexplode(
+          expr(s"transform(sequence(1, n - ${L - 1}), i -> xxhash64(slice(tk, i, $L)))"))
+          .as(Seq("p0", "gh")))
+        .select($"doc_id", ($"p0" + 1).cast(LongType).as("pos"), $"gh")
+    })
+  }
+
+  /** EXACT-substring dedup (r12) — the Lee et al. 2022 ExactSubstr class
+    * ("Deduplicating Training Data Makes Language Models Better"): find
+    * every maximal run of ≥ L tokens that a doc shares verbatim with a
+    * DIFFERENT doc, and report per doc how much of it is an exact copy
+    * of text elsewhere — the signal the paper's dedup cuts on, and the
+    * detector the set-similarity family (Jaccard/MinHash) structurally
+    * lacks (a 200-token verbatim quote inside two otherwise-unrelated
+    * docs moves Jaccard barely, but is exactly what memorization audits
+    * must find).
+    *
+    * Formulation: positions whose L-gram hash occurs in ≥ 2 distinct
+    * docs are duplicated; a maximal duplicated span is the interval
+    * union of their [pos, pos+L−1] windows (runs ≥ L surface at every
+    * offset, so the union reconstructs full span extents — no suffix
+    * array needed for the bounded-L contract). Islands via the running
+    * max-end window, the q_interval_islands technique: per-doc rows,
+    * never a global sort. Scale: work is gram-count-bounded (index
+    * groupBy + semi-join + per-doc window) — the same
+    * inverted-index-not-pairwise discipline as the rest of the family;
+    * the index itself is the STANDING [[standingPosGrams]] table.
+    * Exact integers throughout (R1); oracle = the identical
+    * string-gram arithmetic in DuckDB. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = substrL
+    val g = standingPosGrams(s, dir)
+    // cross-doc duplicated grams: distinct-doc count ≥ 2 (within-doc
+    // repetition alone is q_quality_repetition's business, not dedup's)
+    val dup = g.groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
+      .where($"nd" >= 2).select($"gh")
+    val hits = g.join(dup, Seq("gh"), "left_semi").select($"doc_id", $"pos")
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"doc_id").orderBy($"pos")
+    val isl = hits
+      .withColumn("brk",
+        when($"pos" > coalesce(max($"pos" + (L - 1)).over(wPrev), lit(-1L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"brk").over(wRun))
+    val spans = isl.groupBy($"doc_id", $"island")
+      .agg((max($"pos") + (L - 1) - min($"pos") + 1).as("covered"))
+    val nTok = documents(s, dir)
+      .select($"doc_id", size(toks($"text")).cast(LongType).as("n_tokens"))
+    spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"covered").as("dup_tokens"))
+      .join(nTok, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
+        round($"dup_tokens".cast("double") / $"n_tokens".cast("double"), 4).as("coverage"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSubstringSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(1, len(t) - 9)) AS pos,
+      |    unnest(list_transform(generate_series(1, len(t) - 9),
+      |      i -> array_to_string(t[i:i+9], ' '))) AS gram
+      |  FROM tk WHERE len(t) >= 10),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+      |h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM h),
+      |isl2 AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl),
+      |sp AS (
+      |  SELECT doc_id, island, MAX(pos) + 9 - MIN(pos) + 1 AS covered
+      |  FROM isl2 GROUP BY doc_id, island),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(covered) AS BIGINT) AS dup_tokens
+      |  FROM sp GROUP BY doc_id)
+      |SELECT a.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens, a.n_spans, a.dup_tokens,
+      |  ROUND(CAST(a.dup_tokens AS DOUBLE) / len(tk.t), 4) AS coverage
+      |FROM agg a JOIN tk ON tk.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dedup: incremental
   /** Incremental near-dup ADMISSION — the daily-ingest gate a standing
     * corpus needs: yesterday's corpus is immutable (base = doc_id below
@@ -1813,6 +1928,7 @@ object LlmText {
     "q_dedup_simhash"       -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "q_dedup_containment"   -> (dedupContainment _),
+    "q_dedup_substring"     -> (dedupSubstring _),
     "q_dedup_incremental"   -> (dedupIncremental _),
     "q_dedup_cluster"       -> (dedupCluster _),
     "q_dedup_cluster_incremental" -> (dedupClusterIncremental _),
@@ -1845,6 +1961,7 @@ object LlmText {
     "q_dedup_exact"         -> dedupExactSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_containment"   -> dedupContainmentSql,
+    "q_dedup_substring"     -> dedupSubstringSql,
     "q_dedup_incremental"   -> dedupIncrementalSql,
     "q_dedup_cluster"       -> dedupClusterSql,
     // the maintenance path must land on the SAME table as a full recluster:

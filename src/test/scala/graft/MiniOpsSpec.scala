@@ -25,6 +25,35 @@ class MiniOpsSpec extends SparkTestBase {
     assert(s0 === sDup, "identical content must produce identical minhash signatures")
   }
 
+  test("q_dedup_substring: planted verbatim spans recovered exactly; unique docs absent") {
+    // docs 1/2 share one 15-token verbatim span inside disjoint filler
+    // alphabets (windows straddling a span boundary differ between docs,
+    // so the recovered interval is EXACTLY the planted span); docs 4/5
+    // share two separated spans (12 + 11 tokens); doc 3 is unique.
+    val span  = (1 to 15).map(i => s"s$i").mkString(" ")
+    val spanX = (1 to 12).map(i => s"x$i").mkString(" ")
+    val spanY = (1 to 11).map(i => s"y$i").mkString(" ")
+    def f(p: String, r: Range) = r.map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${f("a", 1 to 20)} $span ${f("a", 21 to 25)}", "en", "s", 1L),
+      (2L, s"${f("b", 1 to 10)} $span ${f("b", 11 to 30)}", "en", "s", 1L),
+      (3L, f("u", 1 to 30), "en", "s", 1L),
+      (4L, s"${f("c", 1 to 8)} $spanX ${f("c", 9 to 18)} $spanY ${f("c", 19 to 23)}", "en", "s", 1L),
+      (5L, s"${f("d", 1 to 5)} $spanX ${f("d", 6 to 12)} $spanY ${f("d", 13 to 15)}", "en", "s", 1L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    val rows = LlmText.dedupSubstring(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // (doc_id, n_tokens, n_spans, dup_tokens)
+    assert(rows === Seq(
+      (1L, 40L, 1L, 15L),
+      (2L, 45L, 1L, 15L),
+      (4L, 46L, 2L, 23L),
+      (5L, 38L, 2L, 23L)),
+      "planted span extents not recovered (or a unique doc leaked in)")
+  }
+
   test("cosine: self-similarity 1, symmetry (via the contract query path)") {
     val topk = LlmVector.simCosineTopk(spark, dir).collect()
     // each probe's rank-1 neighbor is itself with cosine 1.0
