@@ -51,6 +51,31 @@ class SourcesSpec extends SparkTestBase {
     assert(back === want, "CSV round-trip corrupted adversarial text")
   }
 
+  test("q_scan_jsonl: round-trip is faithful on adversarial text — control chars, " +
+       "unicode, JSON metachars, null and empty (VERDICT r11 #5)") {
+    // same fixture discipline as the CSV case: the contract query itself
+    // round-trips a planted documents table whose text holds every JSON
+    // string hazard (quote/backslash escaping, literal braces, \n \t \r
+    // control chars, a unicode surrogate pair, the literal word null)
+    val tmp = Files.createTempDirectory("graft_jsonl_adv").toString
+    val docs = Seq(
+      (1L, "plain text", "en", "s", 10L),
+      (2L, "line\nbreak\ttab\rcarriage", "en", "s", 24L),
+      (3L, "she said \"hi\" and \\ backslash", "en", "s", 30L),
+      (4L, "{\"looks\": [\"like\", \"json\"]}", "en", "s", 27L),
+      (5L, null.asInstanceOf[String], "en", "s", 0L),
+      (6L, "", "en", "s", 0L),
+      (7L, "emoji 😀 and accents éü", "en", "s", 24L),
+      (8L, "null", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(tmp + "/documents.parquet")
+    val back = graft.ops.Scans.scanJsonl(spark, tmp)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    val want = docs.orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(back === want, "JSONL round-trip corrupted adversarial text")
+  }
+
   test("json sink/source round-trip preserves nested structure") {
     val dir = Files.createTempDirectory("graft_json").toString + "/out"
     val df = Seq((1L, Seq(1, 2), Map("k" -> 9L))).toDF("id", "arr", "m")
