@@ -977,6 +977,9 @@ object Curation {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_rebalance"  -> (mixRebalance _),
+    "q_shuffle_epoch"  -> (shuffleEpoch _),
+    "q_stats_auc"      -> (statsAuc _),
     "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_skew_diagnose"  -> (skewDiagnose _),
@@ -1181,7 +1184,178 @@ object Curation {
       |SELECT doc_id, score, decile, (rid - 1) * 10 + decile AS step
       |FROM r ORDER BY step, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- mix rebalance
+  /** Corpus-mix rebalancer (r12) — the step AFTER q_corpus_mix measures:
+    * downsample every language to the char mass of the SMALLEST one (the
+    * "balance domains before training" rule), deterministically. Keep
+    * rate per lang r = C_min/C_lang; a doc survives iff its 24-bit md5
+    * draw falls in the keep interval — h·C_lang < C_min·2²⁴ (exact
+    * integers; the min lang satisfies it for every h, so min(1,·) needs
+    * no branch). Same content-hash-draw contract as q_sample_hash /
+    * q_sample_split: reproducible across runs, engines, partitionings,
+    * and stable under corpus append within a lang's mass.
+    *
+    * Output is the per-lang audit a mixing pipeline materializes: in/kept
+    * docs + chars, the applied rate (ppm), and the before/after char
+    * shares (ppm) — after-shares should flatten toward uniform. Exact
+    * int64 throughout (bound: h·C_lang < 2²⁴·C_lang ≈ 10²⁶ needs only
+    * C_lang ≲ 5·10¹¹ chars/lang in int64; above that, lift the draw to
+    * DECIMAL(38) — same op shape). Scale: one map-side-combined hash agg
+    * for the lang frame (|langs| rows, broadcast back), one filtered agg
+    * for the kept frame; share windows run over the ≤|langs|-row report
+    * frame, never raw rows. */
+  def mixRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = documents(s, dir).groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+    val minChars = perLang.agg(min($"chars").as("c_min"))
+    val h = conv(substring(md5($"text".cast("binary")), 1, 6), 16, 10).cast(LongType)
+    val kept = documents(s, dir)
+      .join(broadcast(perLang.select($"lang", $"chars".as("l_chars"))), "lang")
+      .crossJoin(broadcast(minChars))
+      .where(h * $"l_chars" < $"c_min" * lit(16777216L))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+    val wAll = Window.partitionBy()
+    perLang.join(kept, Seq("lang"), "left")
+      .crossJoin(broadcast(minChars))
+      .select($"lang", $"n_docs", $"chars",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"chars_kept", lit(0L)).as("chars_kept"),
+        least(lit(1000000L), expr("(c_min * 1000000L) div chars")).as("rate_ppm"))
+      .withColumn("tot_chars", sum($"chars").over(wAll))
+      .withColumn("tot_kept", sum($"chars_kept").over(wAll))
+      .select($"lang", $"n_docs", $"chars", $"n_kept", $"chars_kept", $"rate_ppm",
+        expr("(chars * 1000000L) div tot_chars").as("share_before_ppm"),
+        expr("(chars_kept * 1000000L) div tot_kept").as("share_after_ppm"))
+      .orderBy($"lang")
+  }
+
+  val mixRebalanceSql: String =
+    """WITH pl AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(chars) AS c_min FROM pl),
+      |k AS (
+      |  SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+      |  FROM documents d JOIN pl ON d.lang = pl.lang, mn
+      |  WHERE CAST(('0x' || substring(md5(d.text), 1, 6)) AS BIGINT) * pl.chars
+      |        < mn.c_min * 16777216
+      |  GROUP BY d.lang)
+      |SELECT pl.lang, pl.n_docs, pl.chars,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.chars_kept, 0) AS chars_kept,
+      |  CAST(LEAST(1000000, (mn.c_min * 1000000) // pl.chars) AS BIGINT) AS rate_ppm,
+      |  CAST((pl.chars * 1000000) // (SUM(pl.chars) OVER ()) AS BIGINT) AS share_before_ppm,
+      |  CAST((COALESCE(k.chars_kept, 0) * 1000000)
+      |    // (SUM(COALESCE(k.chars_kept, 0)) OVER ()) AS BIGINT) AS share_after_ppm
+      |FROM pl LEFT JOIN k ON pl.lang = k.lang, mn
+      |ORDER BY pl.lang""".stripMargin
+
+  // ---------------------------------------------------------------- epoch shuffle
+  /** Deterministic training-order shuffle (r12) — the last step before a
+    * corpus feeds a trainer: each epoch is an independent pseudo-random
+    * permutation, materialized as SHARDED ordered runs (shard file +
+    * position within shard), which is how a data loader actually consumes
+    * order at scale — no single global sequence number exists anywhere.
+    * The sort key is the md5 of "epoch:doc_id", so epoch 0 and epoch 1
+    * orders are uncorrelated, reproducible across runs/engines, and
+    * adding a doc perturbs only its own placement.
+    *
+    * Shard = first md5 byte mod 8 (uniform by construction); pos =
+    * row_number within (epoch, shard) ordered by the full hash — the
+    * window partitions by (epoch, shard), so parallelism = epochs×shards
+    * and no partition exceeds ~n/8 rows (at 100 TB raise the shard count;
+    * the op is shape-invariant). Tie-break doc_id is unreachable for md5
+    * but pins determinism formally (R1). */
+  def shuffleEpoch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"h", $"doc_id")
+    documents(s, dir)
+      .select($"doc_id", $"source",
+        explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("h",
+        md5(concat($"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))))
+      .withColumn("shard",
+        conv(substring($"h", 1, 2), 16, 10).cast(LongType) % 8L)
+      .select($"epoch", $"shard",
+        row_number().over(w).cast(LongType).as("pos"),
+        $"doc_id", $"source")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  val shuffleEpochSql: String =
+    """WITH e AS (
+      |  SELECT doc_id, source, epoch,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents, (SELECT UNNEST([0, 1]) AS epoch)),
+      |s AS (
+      |  SELECT epoch, CAST(('0x' || substring(h, 1, 2)) AS BIGINT) % 8 AS shard,
+      |    h, doc_id, source
+      |  FROM e)
+      |SELECT epoch, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  doc_id, source
+      |FROM s ORDER BY epoch, shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------- AUC
+  /** Rank-based AUC (r12) — does `value` separate purchases from
+    * non-purchases? The Mann–Whitney/AUC census every model-quality or
+    * feature-screening pipeline runs, decomposed to scale: AUC compares
+    * every (positive, negative) pair, but grouped by score it collapses
+    * to one pass over the SCORE HISTOGRAM — U·2 = Σ_b np(b)·(2·negs
+    * below b + nn(b)), ties counting ½ (hence the ×2 to stay integral).
+    * Scores quantized to cents (floor(value·100): the histogram bound is
+    * the VALUE RANGE ×100 ≤ ~10⁴ buckets — the q_stats_ks posture, one
+    * resolution notch finer), so the cumulative window runs over the
+    * bounded histogram frame, never raw rows.
+    *
+    * Output: one row — n_pos, n_neg, u_x2 (exact), auc_x1e6 = U·10⁶ div
+    * (n_pos·n_neg) (exact integer; ≈ 500000 for this data's independent
+    * value draw), auc rounded 6 for readability. Int64 bound: u_x2 ≤
+    * 2·n_pos·n_neg needs n_pos·n_neg·10⁶ in range — past ~10¹² pairs
+    * lift to DECIMAL(38), same shape. */
+  def statsAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = events(s, dir)
+      .select(floor($"value" * 100).cast(LongType).as("b"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy($"b")
+      .agg(sum($"is_p").as("np"), sum(lit(1L) - $"is_p").as("nn"))
+    val wCum = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_nn", coalesce(sum($"nn").over(wCum), lit(0L)))
+      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum($"np" * ($"cum_nn" * 2L + $"nn")).as("u_x2"))
+      .select($"n_pos", $"n_neg", $"u_x2",
+        expr("(u_x2 * 500000L) div (n_pos * n_neg)").as("auc_x1e6"),
+        round($"u_x2".cast("double") / ($"n_pos" * $"n_neg" * 2L).cast("double"), 6)
+          .as("auc"))
+  }
+
+  val statsAucSql: String =
+    """WITH h AS (
+      |  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS b,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS nn
+      |  FROM events GROUP BY b),
+      |c AS (
+      |  SELECT np, nn,
+      |    COALESCE(SUM(nn) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+      |  FROM h)
+      |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) AS u_x2,
+      |  CAST((CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) * 500000)
+      |    // (SUM(np) * SUM(nn)) AS BIGINT) AS auc_x1e6,
+      |  ROUND(CAST(SUM(np * (cum_nn * 2 + nn)) AS DOUBLE)
+      |        / CAST(SUM(np) * SUM(nn) * 2 AS DOUBLE), 6) AS auc
+      |FROM c""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_mix_rebalance"  -> mixRebalanceSql,
+    "q_shuffle_epoch"  -> shuffleEpochSql,
+    "q_stats_auc"      -> statsAucSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_curriculum_order" -> curriculumOrderSql,
     "q_skew_diagnose"  -> skewDiagnoseSql,

@@ -344,4 +344,83 @@ class CurationSpec extends SparkTestBase {
         s"$lang: reservoir membership/priority drifted from brute-force recompute")
     }
   }
+
+  test("q_mix_rebalance: min lang keeps all, keeps recompute from the draw, shares flatten") {
+    val dir = sf("sf0.001")
+    val rows = Curation.mixRebalance(spark, dir)
+      .select("lang", "n_docs", "chars", "n_kept", "chars_kept", "rate_ppm",
+        "share_before_ppm", "share_after_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val cMin = rows.map(_._3).min
+    rows.foreach { case (lang, nDocs, chars, nKept, charsKept, ratePpm, _, _) =>
+      assert(nKept <= nDocs && charsKept <= chars, s"$lang: kept exceeds input")
+      if (chars == cMin)
+        assert(nKept === nDocs && ratePpm === 1000000L, s"$lang: min lang must keep all")
+    }
+    // brute-force the keep census from the same content-hash draw
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("lang", "n_chars", "text").as[(String, Long, String)].collect()
+    val perLang = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = docs.groupBy(_._1).map { case (l, ds) =>
+      val kept = ds.filter { case (_, _, t) =>
+        java.lang.Long.parseLong(md5hex(t).take(6), 16) * perLang(l) < cMin * 16777216L }
+      l -> ((kept.length.toLong, kept.map(_._2).sum))
+    }
+    rows.foreach { case (lang, _, _, nKept, charsKept, _, _, _) =>
+      assert((nKept, charsKept) === expect(lang), s"$lang: keep census drifted from the draw")
+    }
+    // rebalance must flatten: worst deviation from uniform share shrinks
+    val uniform = 1000000L / rows.length
+    assert(rows.map(r => math.abs(r._8 - uniform)).max
+      <= rows.map(r => math.abs(r._7 - uniform)).max,
+      "after-shares are not flatter than before-shares")
+  }
+
+  test("q_shuffle_epoch: each epoch is a permutation, pos contiguous per shard, epochs uncorrelated") {
+    val dir = sf("sf0.001")
+    val out = Curation.shuffleEpoch(spark, dir)
+      .select("epoch", "shard", "pos", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = graft.tables.Tables.documents(spark, dir).count()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.foreach { case (ep, rs) =>
+      assert(rs.map(_._4).distinct.length.toLong === nDocs, s"epoch $ep: not a permutation")
+      rs.groupBy(_._2).foreach { case (sh, inShard) =>
+        assert(inShard.map(_._3).sorted.toSeq === (1L to inShard.length).toSeq,
+          s"epoch $ep shard $sh: pos not contiguous 1..n")
+      }
+    }
+    // the two epoch orders must differ (md5 keys are epoch-salted)
+    def order(ep: Long) = byEpoch(ep).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0L) !== order(1L), "epoch orders identical — salt not applied")
+  }
+
+  test("q_stats_auc: planted separation → 1.0, a shared cent bucket prices the ½-tie, real data in range") {
+    import java.sql.Timestamp
+    def plant(rows: Seq[(Long, String, Double)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_auc").toString
+      rows.map { case (id, typ, v) => (id, new Timestamp(0L), 1L, typ, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(tmp + "/events.parquet")
+      tmp
+    }
+    // every purchase outscores every non-purchase → U = np·nn, AUC = 1
+    val perfect = Curation.statsAuc(spark, plant(Seq(
+      (1L, "purchase", 90.0), (2L, "purchase", 80.5),
+      (3L, "view", 10.0), (4L, "click", 20.25), (5L, "error", 30.0))))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(perfect === ((2L, 3L, 12L, 1000000L, 1.0)))
+    // one pos and one neg share cent bucket 5000 → that pair counts ½:
+    // U = 1 (vs the low neg) + ½ = 1.5, u_x2 = 3, auc = 0.75
+    val tied = Curation.statsAuc(spark, plant(Seq(
+      (1L, "purchase", 50.0), (2L, "view", 50.001), (3L, "click", 10.0))))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(tied === ((1L, 2L, 3L, 750000L, 0.75)))
+    val real = Curation.statsAuc(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(real._3 >= 0L && real._3 <= 2L * real._1 * real._2, "U out of [0, np·nn]")
+  }
 }
