@@ -744,4 +744,39 @@ class PlanSpec extends SparkTestBase {
       "top-25 paths must fuse — a global Sort over the path table appeared")
     assert(!p.contains("SinglePartition"), "a stage collapsed to one reducer")
   }
+
+  test("q_shuffle_epoch: permutation windows partition by (epoch, shard) — no single global sequence") {
+    val p = planOf(SparkEntry.queries("q_shuffle_epoch")(spark, dir))
+    // parallelism = epochs×shards: the row_number window must carry both keys
+    assert(p.linesIterator.exists(l =>
+      l.contains("row_number()") && l.contains("epoch") && l.contains("shard")),
+      "pos window not partitioned by (epoch, shard)")
+    assert(!p.contains("SinglePartition"),
+      "a global sequence stage appeared — the no-global-rownumber contract broke")
+    // hash + shard derivation are map-side: exactly one Exchange feeds the
+    // window (the output order sort is a rangepartitioning exchange)
+    assert(p.contains("hashpartitioning(epoch"), "window input not hash-partitioned on epoch")
+  }
+
+  test("q_stats_auc: one event scan, partial agg before the exchange, window over the bounded histogram only") {
+    val df = SparkEntry.queries("q_stats_auc")(spark, dir)
+    val p = planOf(df)
+    assert(nodeIds(p, "Scan parquet").size === 1, "AUC should read events exactly once")
+    assert(p.contains("partial_sum"), "histogram agg lost its map-side partial")
+    // the SinglePartition stage must sit ABOVE the bucket aggregation
+    // (bounded-histogram frame), never over raw event rows
+    val aggEx = p.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("hashpartitioning(b#") => i }
+    val single = p.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("SinglePartition") => i }
+    assert(aggEx.nonEmpty && single.nonEmpty,
+      "expected a bucket exchange and a bounded-frame single partition")
+  }
+
+  test("q_mix_rebalance: lang frame and min broadcast to the keep filter — the corpus never shuffles for them") {
+    val p = planOf(SparkEntry.queries("q_mix_rebalance")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "per-lang totals not broadcast to the doc filter")
+    assert(!p.contains("SortMergeJoin"),
+      "the lang frame degenerated to a sort-merge join against the corpus")
+  }
 }
