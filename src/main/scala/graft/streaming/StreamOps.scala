@@ -243,6 +243,25 @@ object StreamOps {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
 
+  /** Streaming AUC histogram (r12, the maintenance half of q_stats_auc):
+    * the cent-quantized score histogram — per bucket, positive and
+    * negative counts — kept current in update mode. The AUC itself is a
+    * READ-side fold over the settled ≤10⁴-bucket frame (the cumulative
+    * Mann–Whitney formula needs cross-bucket order, which a streaming agg
+    * can't and shouldn't maintain per-row) — the same ledger pattern as
+    * s_overlap_sketch: the stream maintains the mergeable product, the
+    * cheap bounded query derives the statistic. At-least-once re-sends
+    * absorb in the leading event_id dedup state; per-bucket counts are
+    * then exactly-once under checkpointing. State: one dedup key per
+    * event + 2 longs per live bucket. */
+  def aucHistogram(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates(Seq("event_id"))
+      .select(expr("CAST(FLOOR(value * 100) AS BIGINT)").as("b"),
+        expr("CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END").as("is_p"))
+      .groupBy(col("b"))
+      .agg(sum(col("is_p")).as("np"), sum(lit(1L) - col("is_p")).as("nn"))
+
   /** Streaming KMV/theta overlap sketch (r11, SURVEY §2.8
     * s_overlap_sketch) — live per-type bottom-k audience sketches
     * maintained in update mode; the INTERSECTION (audience overlap)

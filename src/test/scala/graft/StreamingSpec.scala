@@ -516,6 +516,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_stats_auc: settled streaming histogram folds to exactly the batch AUC; re-sent events absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Curation.statsAuc(spark, dir)
+      .select("n_pos", "n_neg", "u_x2", "auc_x1e6")
+      .as[(Long, Long, Long, Long)].collect().head
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.event_id).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.aucHistogram(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      // at-least-once replay: the event_id dedup state must absorb
+      in.addData(h1.take(100)); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      // read side: the same cumulative Mann–Whitney fold the batch op runs,
+      // over the settled bounded histogram
+      val hist = spark.table(sink).as[(Long, Long, Long)].collect().sortBy(_._1)
+      val nPos = hist.map(_._2).sum
+      val nNeg = hist.map(_._3).sum
+      var cumNn = 0L; var u2 = 0L
+      hist.foreach { case (_, np, nn) => u2 += np * (cumNn * 2 + nn); cumNn += nn }
+      assert((nPos, nNeg, u2, u2 * 500000L / (nPos * nNeg)) === batch,
+        "settled streaming histogram does not fold to the batch AUC")
+    } finally q.stop()
+  }
+
   test("s_hot_items_update: revisions track late-but-in-watermark events; " +
        "final frame == batch q_hot_items") {
     import org.apache.spark.sql.streaming.{TimeMode, OutputMode}
