@@ -980,6 +980,7 @@ object Curation {
     "q_mix_rebalance"  -> (mixRebalance _),
     "q_shuffle_epoch"  -> (shuffleEpoch _),
     "q_stats_auc"      -> (statsAuc _),
+    "q_stats_ttest"    -> (statsTtest _),
     "q_heavy_hitters"   -> (heavyHitters _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_skew_diagnose"  -> (skewDiagnose _),
@@ -1298,6 +1299,66 @@ object Curation {
       |  doc_id, source
       |FROM s ORDER BY epoch, shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------- Welch t
+  /** Welch two-sample t statistic (r12) — the MEAN-shift sibling of
+    * q_stats_ks (which detects any distribution change) and q_corpus_drift:
+    * did the average event value move between the older and newer ingest
+    * halves? The same append-only split as q_stats_ks (one collected
+    * scalar, bounded driver state). The moment sums are EXACT int64 over
+    * cent-quantized values (Σc, Σc² — c ≤ 10⁴ so Σc² fits int64 to ~10¹⁰
+    * rows; past that, DECIMAL(38) partials, same shape); means/variances/t
+    * are derived from those exact integers through an IDENTICAL double
+    * operand path in both engines (the q_sample_weighted float-compare
+    * discipline), so the rounded outputs agree bitwise.
+    *
+    * Scale: ONE scan, one map-side-combined global aggregate — six int64
+    * partials, no window, no shuffle beyond the one-row final merge. */
+  def statsTtest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val cut = e.agg(max($"event_id")).head().getLong(0) / 2
+    e.select(floor($"value" * 100).cast(LongType).as("c"),
+        when($"event_id" <= cut, 1L).otherwise(0L).as("ia"))
+      .agg(
+        sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"),
+        sum($"c" * $"ia").as("s1a"), sum($"c" * (lit(1L) - $"ia")).as("s1b"),
+        sum($"c" * $"c" * $"ia").as("s2a"),
+        sum($"c" * $"c" * (lit(1L) - $"ia")).as("s2b"))
+      .select($"n_a", $"n_b", $"s1a", $"s1b", $"s2a", $"s2b",
+        round($"s1a".cast("double") / $"n_a", 6).as("mean_a_c"),
+        round($"s1b".cast("double") / $"n_b", 6).as("mean_b_c"),
+        round(
+          ($"s1a".cast("double") / $"n_a" - $"s1b".cast("double") / $"n_b") /
+          sqrt(
+            (($"s2a".cast("double") - $"s1a".cast("double") * $"s1a".cast("double") / $"n_a")
+              / ($"n_a" - 1L) / $"n_a") +
+            (($"s2b".cast("double") - $"s1b".cast("double") * $"s1b".cast("double") / $"n_b")
+              / ($"n_b" - 1L) / $"n_b")), 4).as("t"))
+  }
+
+  val statsTtestSql: String =
+    """WITH cut AS (SELECT CAST(MAX(event_id) AS BIGINT) // 2 AS c FROM events),
+      |m AS (
+      |  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c,
+      |    CASE WHEN event_id <= cut.c THEN 1 ELSE 0 END AS ia
+      |  FROM events, cut),
+      |a AS (
+      |  SELECT CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(1 - ia) AS BIGINT) AS n_b,
+      |    CAST(SUM(c * ia) AS BIGINT) AS s1a, CAST(SUM(c * (1 - ia)) AS BIGINT) AS s1b,
+      |    CAST(SUM(c * c * ia) AS BIGINT) AS s2a, CAST(SUM(c * c * (1 - ia)) AS BIGINT) AS s2b
+      |  FROM m)
+      |SELECT n_a, n_b, s1a, s1b, s2a, s2b,
+      |  ROUND(CAST(s1a AS DOUBLE) / n_a, 6) AS mean_a_c,
+      |  ROUND(CAST(s1b AS DOUBLE) / n_b, 6) AS mean_b_c,
+      |  ROUND(
+      |    (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) /
+      |    SQRT(
+      |      ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a)
+      |        / (n_a - 1) / n_a) +
+      |      ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b)
+      |        / (n_b - 1) / n_b)), 4) AS t
+      |FROM a""".stripMargin
+
   // ---------------------------------------------------------------- AUC
   /** Rank-based AUC (r12) — does `value` separate purchases from
     * non-purchases? The Mann–Whitney/AUC census every model-quality or
@@ -1356,6 +1417,7 @@ object Curation {
     "q_mix_rebalance"  -> mixRebalanceSql,
     "q_shuffle_epoch"  -> shuffleEpochSql,
     "q_stats_auc"      -> statsAucSql,
+    "q_stats_ttest"    -> statsTtestSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_curriculum_order" -> curriculumOrderSql,
     "q_skew_diagnose"  -> skewDiagnoseSql,

@@ -262,6 +262,20 @@ object StreamOps {
       .groupBy(col("b"))
       .agg(sum(col("is_p")).as("np"), sum(lit(1L) - col("is_p")).as("nn"))
 
+  /** Streaming per-lang corpus census (r12, the maintenance half of
+    * q_mix_rebalance): docs deduped by doc_id (at-least-once re-sends
+    * absorb), then per-lang doc/char totals in update mode. The rebalance
+    * RATES are a read-side fold over the settled ≤|langs|-row frame —
+    * rate = min(1, C_min/C_lang) needs the cross-lang min, which belongs
+    * in the cheap bounded read query, not per-row stream state (the
+    * s_stats_auc/s_overlap_sketch ledger pattern). State: one dedup key
+    * per doc + 2 longs per lang. */
+  def langCensus(docs: DataFrame): DataFrame =
+    docs
+      .dropDuplicates(Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+
   /** Streaming KMV/theta overlap sketch (r11, SURVEY §2.8
     * s_overlap_sketch) — live per-type bottom-k audience sketches
     * maintained in update mode; the INTERSECTION (audience overlap)

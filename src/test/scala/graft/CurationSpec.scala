@@ -423,4 +423,29 @@ class CurationSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Double)].collect().head
     assert(real._3 >= 0L && real._3 <= 2L * real._1 * real._2, "U out of [0, np·nn]")
   }
+
+  test("q_stats_ttest: planted mean shift detects; moments recompute exactly; real data ~0") {
+    import java.sql.Timestamp
+    // ids 1..100 (older half, values ~10), 101..200 (newer, values ~50):
+    // the newer mean is higher → t strongly negative
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val evs = (1L to 100L).map(i => (i, new Timestamp(0L), 1L, "view", 10.0 + (i % 7) * 0.01, "{}")) ++
+      (101L to 200L).map(i => (i, new Timestamp(0L), 1L, "view", 50.0 + (i % 7) * 0.01, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val r = Curation.statsTtest(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert((r._1, r._2) === ((100L, 100L)))
+    // exact moment recompute through the SAME double path (10.03*100
+    // floors to 1002 in IEEE — the op quantizes the double, not the text)
+    val ca = (1L to 100L).map(i => math.floor((10.0 + (i % 7) * 0.01) * 100).toLong)
+    val cb = (101L to 200L).map(i => math.floor((50.0 + (i % 7) * 0.01) * 100).toLong)
+    assert((r._3, r._5) === ((ca.sum, ca.map(c => c * c).sum)), "older-half moments drifted")
+    assert((r._4, r._6) === ((cb.sum, cb.map(c => c * c).sum)), "newer-half moments drifted")
+    assert(r._9 < -100.0, s"planted 40-unit shift must be overwhelming, got t=${r._9}")
+    // real sf0.001 values are i.i.d. across the id split → |t| small
+    val real = Curation.statsTtest(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(math.abs(real._9) < 5.0, s"unexpected mean shift on real data: t=${real._9}")
+  }
 }

@@ -546,6 +546,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_mix_rebalance: settled lang census derives exactly the batch rebalance rates; re-sent docs absorb") {
+    val dir = sf("sf0.001")
+    val batchRates = graft.ops.Curation.mixRebalance(spark, dir)
+      .select("lang", "n_docs", "chars", "rate_ppm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, Long)]
+    val sink = nextSink()
+    val q = StreamOps.langCensus(in.toDF().toDF("doc_id", "lang", "n_chars"))
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(40)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      val census = spark.table(sink).as[(String, Long, Long)].collect()
+      val cMin = census.map(_._3).min
+      val derived = census.map { case (lang, n, c) =>
+        lang -> ((n, c, math.min(1000000L, cMin * 1000000L / c)))
+      }.toMap
+      assert(derived === batchRates,
+        "settled streaming census does not derive the batch rebalance rates")
+    } finally q.stop()
+  }
+
   test("s_hot_items_update: revisions track late-but-in-watermark events; " +
        "final frame == batch q_hot_items") {
     import org.apache.spark.sql.streaming.{TimeMode, OutputMode}
