@@ -1153,7 +1153,81 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  // ---------------------------------------------------------------- ACF
+  /** Lag-k autocorrelation of the hourly event-count series (r12) — the
+    * seasonality/self-similarity detector next to [[tsEwma]] (smoothing)
+    * and q_ts_bollinger (envelope): acf(k) for k = 1..6 over the
+    * zero-filled hourly census. The n²-scaled cross-multiplication keeps
+    * the whole statistic in EXACT int64 until one final rounded division:
+    * dev_t = n·x_t − Σx (so no rational mean ever exists), num(k) =
+    * Σ dev_t·dev_{t+k}, den = Σ dev_t² — both exact; acf = num/den
+    * rounded 6 through identical double paths (R4). Int64 bound: |dev| ≤
+    * n·max(x), so den ≲ n³·max(x)² — fine to ~10⁵ hours × 10⁴ events/hr;
+    * beyond, lift the partials to DECIMAL(38), same shape.
+    *
+    * Scale: the series frame is the HOURLY HISTOGRAM — bounded by the
+    * time span, not the row count (the q_stats_ks posture), zero-filled
+    * via one sequence explode so gaps don't silently shift lags; all six
+    * leads come from ONE window pass over that bounded frame; the event
+    * scan is one map-side-combined hash agg. */
+  def tsAcf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = events(s, dir)
+      .select(expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("x"))
+    val full = hist.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(sequence($"h0", $"h1")).as("h"))
+      .join(hist, Seq("h"), "left")
+      .select($"h", coalesce($"x", lit(0L)).as("x"))
+    val wAll = Window.partitionBy()
+    val w = Window.orderBy($"h")
+    val withDev = full
+      .withColumn("dev", count(lit(1)).over(wAll) * $"x" - sum($"x").over(wAll))
+    val withLeads = (1 to 6).foldLeft(withDev) { (df, k) =>
+      df.withColumn(s"dev_$k", lead($"dev", k).over(w)) }
+    val agg = withLeads.agg(
+      sum($"dev" * $"dev").as("den"),
+      (1 to 6).map(k => sum($"dev" * col(s"dev_$k")).as(s"num_$k")): _*)
+    agg.select($"den", explode(array((1 to 6).map(k =>
+        struct(lit(k.toLong).as("lag"), col(s"num_$k").as("num"))): _*)).as("kv"))
+      .select($"kv.lag".as("lag"), $"kv.num".as("num_xn2"), $"den".as("den_xn2"),
+        round($"kv.num".cast("double") / $"den".cast("double"), 6).as("acf"))
+      .orderBy($"lag")
+  }
+
+  val tsAcfSql: String = {
+    val leadCols = (1 to 6).map(k =>
+      s"LEAD(dev, $k) OVER (ORDER BY h) AS d$k").mkString(",\n      |    ")
+    val numCols = (1 to 6).map(k =>
+      s"CAST(SUM(dev * d$k) AS BIGINT) AS num_$k").mkString(",\n      |    ")
+    val rows = (1 to 6).map(k => s"SELECT $k AS lag, num_$k AS num FROM a").mkString("\n      |  UNION ALL ")
+    s"""WITH hist AS (
+      |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h, COUNT(*) AS x
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hist),
+      |f AS (
+      |  SELECT gs.h, COALESCE(hist.x, 0) AS x
+      |  FROM (SELECT UNNEST(generate_series(b.h0, b.h1)) AS h FROM b) gs
+      |  LEFT JOIN hist ON gs.h = hist.h),
+      |d AS (
+      |  SELECT h, CAST(COUNT(*) OVER () * x - SUM(x) OVER () AS BIGINT) AS dev
+      |  FROM f),
+      |l AS (
+      |  SELECT dev,
+      |    $leadCols
+      |  FROM d),
+      |a AS (
+      |  SELECT CAST(SUM(dev * dev) AS BIGINT) AS den,
+      |    $numCols
+      |  FROM l),
+      |u AS ($rows)
+      |SELECT CAST(u.lag AS BIGINT) AS lag, u.num AS num_xn2, a.den AS den_xn2,
+      |  ROUND(CAST(u.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6) AS acf
+      |FROM u, a ORDER BY lag""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_acf"            -> (tsAcf _),
     "q_cep_permute"       -> (cepPermute _),
     "q_cep_alternation"   -> (cepAlternation _),
     "q_cep_quantified"    -> (cepQuantified _),
@@ -1188,6 +1262,7 @@ object TimeWindows {
     "q_cep_pattern_seq"  -> cepPatternSeqSql,
     "q_time_downsample"  -> timeDownsampleSql,
     "q_ts_ewma"          -> tsEwmaSql,
+    "q_ts_acf"           -> tsAcfSql,
     "q_ts_bollinger"     -> tsBollingerSql,
     "q_win_streak"       -> winStreakSql,
     "q_cep_ascending"    -> cepAscendingSql,

@@ -982,4 +982,34 @@ class PipelineOpsSpec extends SparkTestBase {
         s"user $u event $eid: /2^16 must be exact in binary")
     }
   }
+
+  test("q_ts_acf: planted period-3 series peaks at lag 3; moments recompute exactly; gaps zero-fill") {
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    // 30 hours of counts 5,1,1,5,1,1,… with hour 7 MISSING entirely (its
+    // zero must enter the series, shifting nothing) — strong period 3
+    val counts = (0 until 30).map(h => if (h % 3 == 0) 5 else 1)
+      .zipWithIndex.map { case (c, h) => h -> (if (h == 7) 0 else c) }.toMap
+    val evs = for {
+      (h, c) <- counts.toSeq; i <- 0 until c
+    } yield (h.toLong * 100 + i, new Timestamp(h * 3600000L + i * 1000L), 1L, "view", 1.0, "{}")
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val rows = graft.ops.TimeWindows.tsAcf(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // brute-force the exact n²-scaled moments over the zero-filled series
+    val xs = (0 until 30).map(h => counts(h).toLong)
+    val n = xs.length.toLong; val s1 = xs.sum
+    val dev = xs.map(x => n * x - s1)
+    val den = dev.map(d => d * d).sum
+    for (k <- 1 to 6) {
+      val num = (0 until 30 - k).map(t => dev(t) * dev(t + k)).sum
+      val r = rows(k - 1)
+      assert((r._2, r._3) === ((num, den)), s"lag $k: exact moments drifted")
+      assert(math.abs(r._4 - num.toDouble / den) < 1e-6)
+    }
+    // the period shows: acf(3) is the maximum and strongly positive
+    assert(rows(2)._4 > 0.5, s"period-3 signal missing: ${rows(2)._4}")
+    assert(rows.map(_._4).max === rows(2)._4, "lag 3 is not the ACF peak")
+  }
 }
