@@ -262,6 +262,21 @@ object StreamOps {
       .groupBy(col("b"))
       .agg(sum(col("is_p")).as("np"), sum(lit(1L) - col("is_p")).as("nn"))
 
+  /** Streaming hourly event census (r12, the maintenance half of
+    * q_ts_acf): per-hour event counts kept current in update mode behind
+    * an event_id dedup (at-least-once re-sends absorb). The
+    * autocorrelation itself — zero-fill, n²-scaled deviations, lag
+    * products — is a read-side fold over the settled bounded histogram
+    * (the s_stats_auc ledger pattern): cross-row lag arithmetic belongs
+    * in the cheap bounded read query, not in per-row stream state.
+    * State: one dedup key per event + 1 long per live hour. */
+  def hourlyCensus(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates(Seq("event_id"))
+      .select(expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("x"))
+
   /** Streaming per-lang corpus census (r12, the maintenance half of
     * q_mix_rebalance): docs deduped by doc_id (at-least-once re-sends
     * absorb), then per-lang doc/char totals in update mode. The rebalance

@@ -546,6 +546,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_ts_acf: settled hourly census folds to exactly the batch ACF; re-sent events absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.tsAcf(spark, dir)
+      .select("lag", "num_xn2", "den_xn2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.event_id).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.hourlyCensus(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(100)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      // read-side fold: zero-fill, n²-scaled deviations, lag products —
+      // the same arithmetic the batch op runs over its bounded histogram
+      val census = spark.table(sink).as[(Long, Long)].collect().toMap
+      val (h0, hN) = (census.keys.min, census.keys.max)
+      val xs = (h0 to hN).map(h => census.getOrElse(h, 0L))
+      val n = xs.length.toLong; val s1 = xs.sum
+      val dev = xs.map(x => n * x - s1)
+      val den = dev.map(d => d * d).sum
+      val folded = (1 to 6).map(k =>
+        (k.toLong, (0 until xs.length - k).map(t => dev(t) * dev(t + k)).sum, den))
+      assert(folded === batch.toSeq,
+        "settled streaming census does not fold to the batch ACF moments")
+    } finally q.stop()
+  }
+
   test("s_mix_rebalance: settled lang census derives exactly the batch rebalance rates; re-sent docs absorb") {
     val dir = sf("sf0.001")
     val batchRates = graft.ops.Curation.mixRebalance(spark, dir)
