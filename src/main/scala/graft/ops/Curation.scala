@@ -978,6 +978,7 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_rebalance"  -> (mixRebalance _),
+    "q_sample_temperature" -> (sampleTemperature _),
     "q_shuffle_epoch"  -> (shuffleEpoch _),
     "q_stats_auc"      -> (statsAuc _),
     "q_stats_ttest"    -> (statsTtest _),
@@ -1253,6 +1254,72 @@ object Curation {
       |FROM pl LEFT JOIN k ON pl.lang = k.lang, mn
       |ORDER BY pl.lang""".stripMargin
 
+  // ---------------------------------------------------------------- temperature mix
+  /** Temperature-based mixture sampling (r12), T = 2 — the standard
+    * multilingual rebalancing between [[mixRebalance]]'s hard flatten
+    * (T → ∞) and proportional sampling (T = 1): target share ∝
+    * chars^(1/T), realized by downsampling at the largest mass that
+    * keeps every rate ≤ 1. For T = 2 the algebra collapses beautifully:
+    * p_l ∝ √C_l and k = min_m C_m/p_m give rate_l = k·p_l/C_l =
+    * √(C_min·C_l)/C_l = √(C_min/C_l) — the normalizer Σ√C CANCELS, so
+    * no float sum over languages ever exists, and the keep test
+    * h/2²⁰ < √(C_min/C_l) squares to **h²·C_l < C_min·2⁴⁰ — exact
+    * int64** (h is a 20-bit md5 draw; bound: C_l ≲ 8·10⁶ chars/lang
+    * in int64, DECIMAL(38) past that). Every engine-visible number is
+    * an integer; the only square root in the OUTPUT is pre-squared
+    * (rate2_x1e12 = C_min·10¹²  div C_l, the rate's exact square).
+    *
+    * Between the three samplers the mixing knob is now spanned: T=1
+    * keep-everything (shares as measured, q_corpus_mix), T=2 soften
+    * (this op — en keeps √(19525/64437) ≈ 55% here vs the hard 30%),
+    * T=∞ flatten ([[mixRebalance]]). Same content-hash-draw contract;
+    * same one-agg + broadcast + report-frame-window scale shape. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perLang = documents(s, dir).groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+    val minChars = perLang.agg(min($"chars").as("c_min"))
+    val h = conv(substring(md5($"text".cast("binary")), 1, 5), 16, 10).cast(LongType)
+    val kept = documents(s, dir)
+      .join(broadcast(perLang.select($"lang", $"chars".as("l_chars"))), "lang")
+      .crossJoin(broadcast(minChars))
+      .where(h * h * $"l_chars" < $"c_min" * lit(1099511627776L)) // 2^40
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+    val wAll = Window.partitionBy()
+    perLang.join(kept, Seq("lang"), "left")
+      .crossJoin(broadcast(minChars))
+      .select($"lang", $"n_docs", $"chars",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"chars_kept", lit(0L)).as("chars_kept"),
+        expr("(c_min * 1000000000000L) div chars").as("rate2_x1e12"))
+      .withColumn("tot_kept", sum($"chars_kept").over(wAll))
+      .select($"lang", $"n_docs", $"chars", $"n_kept", $"chars_kept", $"rate2_x1e12",
+        expr("(chars_kept * 1000000L) div tot_kept").as("share_after_ppm"))
+      .orderBy($"lang")
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH pl AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(chars) AS c_min FROM pl),
+      |k AS (
+      |  SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+      |  FROM documents d JOIN pl ON d.lang = pl.lang, mn
+      |  WHERE CAST(('0x' || substring(md5(d.text), 1, 5)) AS BIGINT)
+      |        * CAST(('0x' || substring(md5(d.text), 1, 5)) AS BIGINT)
+      |        * pl.chars < mn.c_min * 1099511627776
+      |  GROUP BY d.lang)
+      |SELECT pl.lang, pl.n_docs, pl.chars,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.chars_kept, 0) AS chars_kept,
+      |  CAST((mn.c_min * 1000000000000) // pl.chars AS BIGINT) AS rate2_x1e12,
+      |  CAST((COALESCE(k.chars_kept, 0) * 1000000)
+      |    // (SUM(COALESCE(k.chars_kept, 0)) OVER ()) AS BIGINT) AS share_after_ppm
+      |FROM pl LEFT JOIN k ON pl.lang = k.lang, mn
+      |ORDER BY pl.lang""".stripMargin
+
   // ---------------------------------------------------------------- epoch shuffle
   /** Deterministic training-order shuffle (r12) — the last step before a
     * corpus feeds a trainer: each epoch is an independent pseudo-random
@@ -1415,6 +1482,7 @@ object Curation {
 
   def oracle: Map[String, String] = Map(
     "q_mix_rebalance"  -> mixRebalanceSql,
+    "q_sample_temperature" -> sampleTemperatureSql,
     "q_shuffle_epoch"  -> shuffleEpochSql,
     "q_stats_auc"      -> statsAucSql,
     "q_stats_ttest"    -> statsTtestSql,

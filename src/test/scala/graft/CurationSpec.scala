@@ -378,6 +378,40 @@ class CurationSpec extends SparkTestBase {
       "after-shares are not flatter than before-shares")
   }
 
+  test("q_sample_temperature: T=2 keeps recompute from the squared draw and sit between T=1 and T=∞") {
+    val dir = sf("sf0.001")
+    val rows = Curation.sampleTemperature(spark, dir)
+      .select("lang", "n_docs", "chars", "n_kept", "chars_kept", "rate2_x1e12", "share_after_ppm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val cMin = rows.map(_._3).min
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("lang", "n_chars", "text").as[(String, Long, String)].collect()
+    val perLang = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // brute-force the exact squared-draw keep census
+    val expect = docs.groupBy(_._1).map { case (l, ds) =>
+      val kept = ds.filter { case (_, _, t) =>
+        val h = java.lang.Long.parseLong(md5hex(t).take(5), 16)
+        h * h * perLang(l) < cMin * (1L << 40) }
+      l -> ((kept.length.toLong, kept.map(_._2).sum))
+    }
+    rows.foreach { case (lang, nDocs, chars, nKept, charsKept, rate2, _) =>
+      assert((nKept, charsKept) === expect(lang), s"$lang: keep census drifted")
+      if (chars == cMin)
+        assert(nKept === nDocs && rate2 === 1000000000000L, s"$lang: min lang must keep all")
+    }
+    // temperature ordering on the dominant lang: flattened < softened < raw share
+    val hard = Curation.mixRebalance(spark, dir)
+      .select("lang", "share_after_ppm", "share_before_ppm")
+      .as[(String, Long, Long)].collect()
+    val big = hard.maxBy(_._3)._1 // largest raw share (en)
+    val soft = rows.find(_._1 == big).get._7
+    val (flat, raw) = (hard.find(_._1 == big).get._2, hard.find(_._1 == big).get._3)
+    assert(flat < soft && soft < raw,
+      s"$big shares not ordered: T∞=$flat < T2=$soft < T1=$raw expected")
+  }
+
   test("q_shuffle_epoch: each epoch is a permutation, pos contiguous per shard, epochs uncorrelated") {
     val dir = sf("sf0.001")
     val out = Curation.shuffleEpoch(spark, dir)
