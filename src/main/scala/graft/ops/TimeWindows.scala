@@ -1226,7 +1226,74 @@ object TimeWindows {
       |FROM u, a ORDER BY lag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- seasonal anomaly
+  /** Seasonal anomaly census (r12) — the SEASONAL sibling of
+    * q_anomaly_mad (global robust gate) and [[tsAcf]] (detects that
+    * seasonality exists): each (day, hour-of-day) cell of the event
+    * census scored against ITS OWN hour-of-day baseline across the
+    * observed days, so a spike at 3am is judged against other 3ams, not
+    * against noon. The grid is zero-filled (a silent outage IS the
+    * anomaly the zero-filled cell catches).
+    *
+    * Exact integers end to end (R2): res_xn = n_days·x − Σ_days x(hd)
+    * (the n-scaled residual, same trick as [[tsAcf]]); the gate is a
+    * mean-absolute-deviation cross-multiply — flag ⇔ n_days·|res_xn| >
+    * 3·Σ_days|res_xn| — so no rational mean or float threshold exists.
+    * Output is the full scored grid (days×24 rows, bounded by the
+    * calendar, not the row count), flag included, so the anomaly rate
+    * itself is auditable.
+    *
+    * Scale: one scan → (day, hd) hash agg bounded by span×24; baseline
+    * sums are windows over the per-hd slice of that bounded frame; the
+    * zero-fill is one sequence explode. */
+  def anomalySeasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = events(s, dir)
+      .select(expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"),
+        expr("CAST((unix_timestamp(ts) div 3600) % 24 AS BIGINT)").as("hd"))
+      .groupBy($"day", $"hd").agg(count(lit(1)).as("x"))
+    val grid = cells.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+      .crossJoin(s.range(0, 24).select($"id".as("hd")))
+      .join(cells, Seq("day", "hd"), "left")
+      .select($"day", $"hd", coalesce($"x", lit(0L)).as("x"))
+    val wHd = Window.partitionBy($"hd")
+    val scored = grid
+      .withColumn("res_xn",
+        count(lit(1)).over(wHd) * $"x" - sum($"x").over(wHd))
+    scored
+      .withColumn("sum_abs_xn", sum(abs($"res_xn")).over(wHd))
+      .withColumn("flag",
+        count(lit(1)).over(wHd) * abs($"res_xn") > lit(3L) * $"sum_abs_xn")
+      .select($"day", $"hd", $"x", $"res_xn", $"sum_abs_xn", $"flag")
+      .orderBy($"day", $"hd")
+  }
+
+  val anomalySeasonalSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 24 AS hd,
+      |    COUNT(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cells),
+      |grid AS (
+      |  SELECT ds.day, hs.hd, COALESCE(cells.x, 0) AS x
+      |  FROM (SELECT UNNEST(generate_series(b.d0, b.d1)) AS day FROM b) ds
+      |  CROSS JOIN (SELECT UNNEST(generate_series(0, 23)) AS hd) hs
+      |  LEFT JOIN cells ON ds.day = cells.day AND hs.hd = cells.hd),
+      |scored AS (
+      |  SELECT day, hd, x,
+      |    CAST(COUNT(*) OVER (PARTITION BY hd) * x
+      |         - SUM(x) OVER (PARTITION BY hd) AS BIGINT) AS res_xn
+      |  FROM grid)
+      |SELECT day, hd, x, res_xn,
+      |  CAST(SUM(ABS(res_xn)) OVER (PARTITION BY hd) AS BIGINT) AS sum_abs_xn,
+      |  COUNT(*) OVER (PARTITION BY hd) * ABS(res_xn)
+      |    > 3 * SUM(ABS(res_xn)) OVER (PARTITION BY hd) AS flag
+      |FROM scored ORDER BY day, hd""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_seasonal"  -> (anomalySeasonal _),
     "q_ts_acf"            -> (tsAcf _),
     "q_cep_permute"       -> (cepPermute _),
     "q_cep_alternation"   -> (cepAlternation _),
@@ -1263,6 +1330,7 @@ object TimeWindows {
     "q_time_downsample"  -> timeDownsampleSql,
     "q_ts_ewma"          -> tsEwmaSql,
     "q_ts_acf"           -> tsAcfSql,
+    "q_anomaly_seasonal" -> anomalySeasonalSql,
     "q_ts_bollinger"     -> tsBollingerSql,
     "q_win_streak"       -> winStreakSql,
     "q_cep_ascending"    -> cepAscendingSql,

@@ -983,6 +983,33 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_anomaly_seasonal: planted spike AND outage flag against their own hour-of-day baseline") {
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sea").toString
+    // 10 days × 24 hours, 4 events per cell; (day 5, hd 3) spikes to 40,
+    // (day 7, hd 10) is a total outage (zero events — the cell only
+    // exists through the zero-fill)
+    def cellCount(d: Int, hd: Int): Int =
+      if (d == 5 && hd == 3) 40 else if (d == 7 && hd == 10) 0 else 4
+    var id = 0L
+    val evs = for {
+      d <- 0 until 10; hd <- 0 until 24; i <- 0 until cellCount(d, hd)
+    } yield { id += 1; (id, new Timestamp((d * 86400L + hd * 3600L + i) * 1000L), 1L, "view", 1.0, "{}") }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val rows = graft.ops.TimeWindows.anomalySeasonal(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === 240, "grid must be days × 24, zero-filled")
+    val flagged = rows.filter(_._6).map(r => (r._1, r._2, r._3)).toSet
+    assert(flagged === Set((5L, 3L, 40L), (7L, 10L, 0L)),
+      s"exactly the spike and the outage must flag, got $flagged")
+    // exact n-scaled residuals: spike hd → S=76, res=324; outage hd → S=36, res=-36
+    val spike = rows.find(r => r._1 == 5L && r._2 == 3L).get
+    assert((spike._4, spike._5) === ((324L, 648L)))
+    val outage = rows.find(r => r._1 == 7L && r._2 == 10L).get
+    assert((outage._4, outage._5) === ((-36L, 72L)))
+  }
+
   test("q_ts_acf: planted period-3 series peaks at lag 3; moments recompute exactly; gaps zero-fill") {
     import java.sql.Timestamp
     val tmp = java.nio.file.Files.createTempDirectory("graft_acf").toString
