@@ -210,13 +210,48 @@ object Graph {
       |JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
       |ORDER BY p_a, p_b, p_c""".stripMargin
 
+  // ---------------------------------------------------------------- degree profile
+  /** Degree-distribution profile (r12) of the trading graph — the
+    * first question asked of any graph before choosing algorithms
+    * (hub-dominated? near-regular? power-law tail?), and the input to
+    * the orientation decision [[graphTriangles]] already makes: per
+    * degree value, how many customer and supplier nodes carry it. The
+    * graph sibling of q_skew_diagnose (which profiles a JOIN key the
+    * same way). Serves from the STANDING edge table — degrees are a
+    * maintained column there; the profile prices one bounded hash agg,
+    * while the oracle re-derives the graph in full. Output rows are
+    * bounded by |distinct degrees| ≤ max-degree, never by node count. */
+  def graphDegreeProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tradingEdges(s, dir).select($"src", $"d").distinct()
+      .groupBy($"d")
+      .agg(sum(when($"src" % 2L === 0L, 1L).otherwise(0L)).as("n_cust"),
+        sum(when($"src" % 2L === 1L, 1L).otherwise(0L)).as("n_supp"),
+        count(lit(1)).as("n_nodes"))
+      .orderBy($"d")
+  }
+
+  val graphDegreeProfileSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)
+      |SELECT d,
+      |  CAST(SUM(CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CASE WHEN src % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_supp,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY d ORDER BY d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank"  -> (graphPagerank _),
-    "q_graph_triangles" -> (graphTriangles _))
+    "q_graph_triangles" -> (graphTriangles _),
+    "q_graph_degree_profile" -> (graphDegreeProfile _))
 
   def oracle: Map[String, String] = Map(
     "q_graph_pagerank"  -> graphPagerankSql,
-    "q_graph_triangles" -> graphTrianglesSql)
+    "q_graph_triangles" -> graphTrianglesSql,
+    "q_graph_degree_profile" -> graphDegreeProfileSql)
 
   /** Connected components in O(log diameter) rounds: iterative hash-min
     * label propagation with a pointer-jumping (path compression) step

@@ -547,6 +547,22 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(n <= cut, s"path $p (n=$n) wrongly excluded from top-25 (cut=$cut)") }
   }
 
+  test("q_graph_degree_profile: histogram conserves nodes and edge mass; types partition") {
+    val dir = sf("sf0.001")
+    val rows = graft.ops.Graph.graphDegreeProfile(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    val edges = graft.ops.Graph.tradingEdges(spark, dir)
+    val nNodes = edges.select("src").distinct().count()
+    val nDirected = edges.count()
+    rows.foreach { case (d, nc, ns, nn) =>
+      assert(nc + ns === nn, s"degree $d: type split does not partition")
+      assert(d >= 1, "degree 0 node cannot appear in an edge list")
+    }
+    assert(rows.map(_._4).sum === nNodes, "histogram does not conserve nodes")
+    assert(rows.map(r => r._1 * r._4).sum === nDirected,
+      "Σ d·n_nodes must equal the directed edge count (handshake)")
+  }
+
   test("q_graph_triangles: degree-oriented enumeration == brute-force triple scan") {
     val rows = graft.ops.Graph.graphTriangles(spark, dir)
       .select("p_a", "p_b", "p_c").as[(Long, Long, Long)].collect().toSeq
