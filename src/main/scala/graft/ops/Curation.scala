@@ -1456,8 +1456,13 @@ object Curation {
       .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
         sum($"np" * ($"cum_nn" * 2L + $"nn")).as("u_x2"))
       .select($"n_pos", $"n_neg", $"u_x2",
-        expr("(u_x2 * 500000L) div (n_pos * n_neg)").as("auc_x1e6"),
-        round($"u_x2".cast("double") / ($"n_pos" * $"n_neg" * 2L).cast("double"), 6)
+        // NULLIF keeps the degenerate one-class census (no positives or
+        // no negatives) a NULL in BOTH engines — DuckDB's integer // 0
+        // ERRORS where Spark's div returns null, so the guard is what
+        // makes the twin queries agree, not decoration
+        expr("(u_x2 * 500000L) div nullif(n_pos * n_neg, 0L)").as("auc_x1e6"),
+        round($"u_x2".cast("double") /
+            (nullif($"n_pos" * $"n_neg" * 2L, lit(0L))).cast("double"), 6)
           .as("auc"))
   }
 
@@ -1475,9 +1480,9 @@ object Curation {
       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
       |  CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) AS u_x2,
       |  CAST((CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) * 500000)
-      |    // (SUM(np) * SUM(nn)) AS BIGINT) AS auc_x1e6,
+      |    // NULLIF(SUM(np) * SUM(nn), 0) AS BIGINT) AS auc_x1e6,
       |  ROUND(CAST(SUM(np * (cum_nn * 2 + nn)) AS DOUBLE)
-      |        / CAST(SUM(np) * SUM(nn) * 2 AS DOUBLE), 6) AS auc
+      |        / CAST(NULLIF(SUM(np) * SUM(nn) * 2, 0) AS DOUBLE), 6) AS auc
       |FROM c""".stripMargin
 
   def oracle: Map[String, String] = Map(

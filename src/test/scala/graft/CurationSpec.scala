@@ -456,6 +456,13 @@ class CurationSpec extends SparkTestBase {
     val real = Curation.statsAuc(spark, sf("sf0.001"))
       .as[(Long, Long, Long, Long, Double)].collect().head
     assert(real._3 >= 0L && real._3 <= 2L * real._1 * real._2, "U out of [0, np·nn]")
+    // degenerate one-class census: AUC is undefined — NULL, not a crash
+    // (DuckDB integer // 0 would ERROR; the NULLIF guard keeps the twins agreeing)
+    val oneClass = Curation.statsAuc(spark, plant(Seq(
+      (1L, "view", 10.0), (2L, "click", 20.0)))).collect().head
+    assert((oneClass.getLong(0), oneClass.getLong(1)) === ((0L, 2L)))
+    assert(oneClass.isNullAt(3) && oneClass.isNullAt(4),
+      "one-class AUC must be NULL in both engines")
   }
 
   test("q_stats_ttest: planted mean shift detects; moments recompute exactly; real data ~0") {
