@@ -1162,8 +1162,9 @@ object TimeWindows {
     * dev_t = n·x_t − Σx (so no rational mean ever exists), num(k) =
     * Σ dev_t·dev_{t+k}, den = Σ dev_t² — both exact; acf = num/den
     * rounded 6 through identical double paths (R4). Int64 bound: |dev| ≤
-    * n·max(x), so den ≲ n³·max(x)² — fine to ~10⁵ hours × 10⁴ events/hr;
-    * beyond, lift the partials to DECIMAL(38), same shape.
+    * n·max(x), so den ≲ n³·max(x)² — n³·max² < 2⁶³ holds to ~4,500 hours
+    * at 10⁴ events/hr (about half a year of hourly buckets; this corpus:
+    * 720); beyond, lift the partials to DECIMAL(38), same shape.
     *
     * Scale: the series frame is the HOURLY HISTOGRAM — bounded by the
     * time span, not the row count (the q_stats_ks posture), zero-filled
