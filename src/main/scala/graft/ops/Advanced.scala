@@ -311,6 +311,61 @@ object Advanced {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin
 
+  /** Association rules (r12) — the step AFTER [[basketPairs]] finds
+    * frequent pairs: score every directed rule ante→cons with confidence
+    * (P(cons|ante)) and lift (P(cons|ante)/P(cons)), the market-basket
+    * staple. Pair supports come from the STANDING co-purchase table
+    * ([[graft.ops.Graph.copurchaseEdgeCounts]] — q_basket_pairs keeps
+    * pricing discovery); this query prices rule scoring: per-item order
+    * counts (one distinct+agg over the fact), a broadcast of the
+    * |parts|-bounded item frame onto the pair list, exact integer
+    * confidence/lift, top-50 under a total order.
+    *
+    * Exact integers (R2): conf_ppm = n_pair·10⁶ div n_ante, lift_x1e6 =
+    * n_pair·N·10⁶ div (n_ante·n_cons) — int64 to n_pair·N ≲ 10¹²
+    * (DECIMAL(38) past that). Lift > 10⁶ means the pair co-occurs more
+    * than independence predicts — with only ~7-item baskets over 20k
+    * parts, every surviving pair does. */
+  def basketRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val totals = items.agg(countDistinct($"l_orderkey").as("n_orders"))
+    val itemN = items.groupBy($"l_partkey".as("p")).agg(count(lit(1)).as("n_p"))
+    val e = graft.ops.Graph.copurchaseEdgeCounts(s, dir)
+    val both = e.select($"pa".as("ante"), $"pb".as("cons"), $"n_ord")
+      .unionByName(e.select($"pb".as("ante"), $"pa".as("cons"), $"n_ord"))
+    both
+      .join(broadcast(itemN.select($"p".as("ante"), $"n_p".as("n_ante"))), Seq("ante"))
+      .join(broadcast(itemN.select($"p".as("cons"), $"n_p".as("n_cons"))), Seq("cons"))
+      .crossJoin(broadcast(totals))
+      .select($"ante", $"cons", $"n_ord".as("n_pair"),
+        $"n_ante", $"n_cons", $"n_orders",
+        expr("(n_ord * 1000000L) div n_ante").as("conf_ppm"),
+        expr("(n_ord * n_orders * 1000000L) div (n_ante * n_cons)").as("lift_x1e6"))
+      .orderBy($"lift_x1e6".desc, $"conf_ppm".desc, $"ante", $"cons")
+      .limit(50)
+  }
+
+  val basketRulesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+      |ic AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n_p FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_ord
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |dirrules AS (
+      |  SELECT pa AS ante, pb AS cons, n_ord FROM pairs
+      |  UNION ALL SELECT pb AS ante, pa AS cons, n_ord FROM pairs)
+      |SELECT b.ante, b.cons, b.n_ord AS n_pair, ia.n_p AS n_ante,
+      |  ib.n_p AS n_cons, tot.n_orders,
+      |  CAST((b.n_ord * 1000000) // ia.n_p AS BIGINT) AS conf_ppm,
+      |  CAST((b.n_ord * tot.n_orders * 1000000) // (ia.n_p * ib.n_p) AS BIGINT) AS lift_x1e6
+      |FROM dirrules b JOIN ic ia ON b.ante = ia.p JOIN ic ib ON b.cons = ib.p, tot
+      |ORDER BY lift_x1e6 DESC, conf_ppm DESC, ante, cons LIMIT 50""".stripMargin
+
   /** Array aggregation: per-nation sorted list of supplier keys (sorted so
     * the array value is shuffle-order independent — determinism by
     * construction, not by engine accident). The list is serialized to a
@@ -820,6 +875,7 @@ object Advanced {
     "q_win_nth_value"   -> (winNthValue _),
     "q_percentile_exact" -> (percentileExact _),
     "q_basket_pairs"    -> (basketPairs _),
+    "q_basket_rules"    -> (basketRules _),
     "q_join_asof"       -> (joinAsof _),
     "q_pivot"           -> (pivotTypes _),
     "q_stats_moments"   -> (statsMoments _),
@@ -839,6 +895,7 @@ object Advanced {
     "q_win_nth_value"   -> winNthValueSql,
     "q_percentile_exact" -> percentileExactSql,
     "q_basket_pairs"    -> basketPairsSql,
+    "q_basket_rules"    -> basketRulesSql,
     "q_rfm_segment"     -> rfmSegmentSql,
     "q_join_asof"       -> joinAsofSql,
     "q_pivot"           -> pivotTypesSql,

@@ -31,7 +31,13 @@ object Graph {
     * prices in full, because pair derivation IS that query's contract.
     * Basket-local generation (collect_set + posexplode/slice), the
     * measured-fastest shape. Results are row-identical cached or not. */
-  def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    copurchaseEdgeCounts(s, dir).select("pa", "pb")
+
+  /** The standing table behind [[copurchaseEdges]] WITH the co-order
+    * count retained (r12): q_basket_rules prices rule scoring over these
+    * counts the same way triangles price wedges over the edge list. */
+  def copurchaseEdgeCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.tables.Layout.standing(s, s"copurch_${dirKey(dir)}", {
       val baskets = lineitem(s, dir)
@@ -42,7 +48,6 @@ object Graph {
         .select($"pa", explode(expr("slice(ps, i + 2, size(ps))")).as("pb"))
         .groupBy($"pa", $"pb")
         .agg(count(lit(1)).as("n_ord")).where($"n_ord" >= 2)
-        .select($"pa", $"pb")
     })
   }
 

@@ -138,6 +138,30 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_basket_rules: confidence and lift recompute exactly from driver-side basket counts") {
+    val dir = sf("sf0.001")
+    val rows = graft.ops.Advanced.basketRules(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 50)
+    val items = graft.tables.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val itemN = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = items.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (ante, cons, nPair, nAnte, nCons, n, conf, lift) =>
+      val key = if (ante < cons) (ante, cons) else (cons, ante)
+      assert(n === nOrders)
+      assert(nPair === pairN(key), s"rule $ante→$cons: pair support drifted")
+      assert((nAnte, nCons) === ((itemN(ante), itemN(cons))), s"rule $ante→$cons: item counts drifted")
+      assert(conf === nPair * 1000000L / nAnte && conf <= 1000000L)
+      assert(lift === nPair * nOrders * 1000000L / (nAnte * nCons))
+      assert(lift > 1000000L, "a >=2-support pair in 7-item baskets must show positive lift")
+    }
+  }
+
   test("q_basket_pairs: pair counts recompute from driver-side basket fold (spot top pair)") {
     val top = Advanced.basketPairs(spark, dir).head()
     val (p1, p2, n) = (top.getLong(0), top.getLong(1), top.getLong(2))
