@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import graft.tables.Tables._
 import Util._
 
@@ -1230,7 +1230,9 @@ object Curation {
       .select($"lang", $"n_docs", $"chars", $"n_kept", $"chars_kept", $"rate_ppm",
         expr("(chars * 1000000L) div tot_chars").as("share_before_ppm"),
         expr("(chars_kept * 1000000L) div tot_kept").as("share_after_ppm"))
-      .orderBy($"lang")
+      // asc_nulls_first + NULLS FIRST in the twin: Spark defaults NULLS FIRST
+      // ascending, DuckDB NULLS LAST — pin both so a null lang can't diverge (R1)
+      .orderBy($"lang".asc_nulls_first)
   }
 
   val mixRebalanceSql: String =
@@ -1252,7 +1254,7 @@ object Curation {
       |  CAST((COALESCE(k.chars_kept, 0) * 1000000)
       |    // (SUM(COALESCE(k.chars_kept, 0)) OVER ()) AS BIGINT) AS share_after_ppm
       |FROM pl LEFT JOIN k ON pl.lang = k.lang, mn
-      |ORDER BY pl.lang""".stripMargin
+      |ORDER BY pl.lang NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- temperature mix
   /** Temperature-based mixture sampling (r12), T = 2 — the standard
@@ -1264,8 +1266,10 @@ object Curation {
     * √(C_min·C_l)/C_l = √(C_min/C_l) — the normalizer Σ√C CANCELS, so
     * no float sum over languages ever exists, and the keep test
     * h/2²⁰ < √(C_min/C_l) squares to **h²·C_l < C_min·2⁴⁰ — exact
-    * int64** (h is a 20-bit md5 draw; bound: C_l ≲ 8·10⁶ chars/lang
-    * in int64, DECIMAL(38) past that). Every engine-visible number is
+    * integers** (h is a 20-bit md5 draw; the product runs in DECIMAL(38)
+    * / HUGEINT since r13 — int64 capped out at ~8·10⁶ chars/lang, one
+    * order above sf0.1 — giving ~10²⁴ chars/lang of headroom, far past
+    * any 100 TB corpus). Every engine-visible number is
     * an integer; the only square root in the OUTPUT is pre-squared
     * (rate2_x1e12 = C_min·10¹²  div C_l, the rate's exact square).
     *
@@ -1280,10 +1284,16 @@ object Curation {
       count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
     val minChars = perLang.agg(min($"chars").as("c_min"))
     val h = conv(substring(md5($"text".cast("binary")), 1, 5), 16, 10).cast(LongType)
+    // DECIMAL(38) keep test (r13): h ≤ 2²⁰ so h²·C_l overflows int64 at only
+    // ~8.4M chars/lang — within one order of sf0.1. Decimal operands give the
+    // same exact-integer decision with ~10²⁴ chars/lang headroom (HUGEINT twin
+    // on the DuckDB side); decimal(19,0)² → decimal(38,0), scale 0 throughout.
+    val hDec = h.cast(DecimalType(19, 0))
     val kept = documents(s, dir)
       .join(broadcast(perLang.select($"lang", $"chars".as("l_chars"))), "lang")
       .crossJoin(broadcast(minChars))
-      .where(h * h * $"l_chars" < $"c_min" * lit(1099511627776L)) // 2^40
+      .where(hDec * hDec * $"l_chars" <
+        $"c_min".cast(DecimalType(19, 0)) * lit(1099511627776L)) // 2^40
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
     val wAll = Window.partitionBy()
@@ -1296,7 +1306,7 @@ object Curation {
       .withColumn("tot_kept", sum($"chars_kept").over(wAll))
       .select($"lang", $"n_docs", $"chars", $"n_kept", $"chars_kept", $"rate2_x1e12",
         expr("(chars_kept * 1000000L) div tot_kept").as("share_after_ppm"))
-      .orderBy($"lang")
+      .orderBy($"lang".asc_nulls_first) // pinned null order, see mixRebalance
   }
 
   val sampleTemperatureSql: String =
@@ -1307,9 +1317,9 @@ object Curation {
       |k AS (
       |  SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
       |  FROM documents d JOIN pl ON d.lang = pl.lang, mn
-      |  WHERE CAST(('0x' || substring(md5(d.text), 1, 5)) AS BIGINT)
+      |  WHERE CAST(CAST(('0x' || substring(md5(d.text), 1, 5)) AS BIGINT) AS HUGEINT)
       |        * CAST(('0x' || substring(md5(d.text), 1, 5)) AS BIGINT)
-      |        * pl.chars < mn.c_min * 1099511627776
+      |        * pl.chars < CAST(mn.c_min AS HUGEINT) * 1099511627776
       |  GROUP BY d.lang)
       |SELECT pl.lang, pl.n_docs, pl.chars,
       |  COALESCE(k.n_kept, 0) AS n_kept,
@@ -1318,7 +1328,7 @@ object Curation {
       |  CAST((COALESCE(k.chars_kept, 0) * 1000000)
       |    // (SUM(COALESCE(k.chars_kept, 0)) OVER ()) AS BIGINT) AS share_after_ppm
       |FROM pl LEFT JOIN k ON pl.lang = k.lang, mn
-      |ORDER BY pl.lang""".stripMargin
+      |ORDER BY pl.lang NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- epoch shuffle
   /** Deterministic training-order shuffle (r12) — the last step before a
@@ -1383,7 +1393,14 @@ object Curation {
   def statsTtest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
-    val cut = e.agg(max($"event_id")).head().getLong(0) / 2
+    // coalesce: an empty events table makes max() NULL — keep the collected
+    // scalar a plain 0 instead of an NPE (bounded-driver-state contract intact)
+    val cut = e.agg(coalesce(max($"event_id"), lit(0L))).head().getLong(0) / 2
+    // Degenerate-split guard (r13, the q_stats_auc NULLIF discipline): if either
+    // half has 0 or 1 events, (n-1) or n hits zero — Spark double division would
+    // yield Infinity/NaN where DuckDB yields NULL, so every divisor is
+    // nullif(...,0) in BOTH engines and a degenerate split is NULL t in both.
+    def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0L))
     e.select(floor($"value" * 100).cast(LongType).as("c"),
         when($"event_id" <= cut, 1L).otherwise(0L).as("ia"))
       .agg(
@@ -1392,15 +1409,15 @@ object Curation {
         sum($"c" * $"c" * $"ia").as("s2a"),
         sum($"c" * $"c" * (lit(1L) - $"ia")).as("s2b"))
       .select($"n_a", $"n_b", $"s1a", $"s1b", $"s2a", $"s2b",
-        round($"s1a".cast("double") / $"n_a", 6).as("mean_a_c"),
-        round($"s1b".cast("double") / $"n_b", 6).as("mean_b_c"),
+        round($"s1a".cast("double") / nz($"n_a"), 6).as("mean_a_c"),
+        round($"s1b".cast("double") / nz($"n_b"), 6).as("mean_b_c"),
         round(
-          ($"s1a".cast("double") / $"n_a" - $"s1b".cast("double") / $"n_b") /
+          ($"s1a".cast("double") / nz($"n_a") - $"s1b".cast("double") / nz($"n_b")) /
           sqrt(
-            (($"s2a".cast("double") - $"s1a".cast("double") * $"s1a".cast("double") / $"n_a")
-              / ($"n_a" - 1L) / $"n_a") +
-            (($"s2b".cast("double") - $"s1b".cast("double") * $"s1b".cast("double") / $"n_b")
-              / ($"n_b" - 1L) / $"n_b")), 4).as("t"))
+            (($"s2a".cast("double") - $"s1a".cast("double") * $"s1a".cast("double") / nz($"n_a"))
+              / nz($"n_a" - 1L) / nz($"n_a")) +
+            (($"s2b".cast("double") - $"s1b".cast("double") * $"s1b".cast("double") / nz($"n_b"))
+              / nz($"n_b" - 1L) / nz($"n_b"))), 4).as("t"))
   }
 
   val statsTtestSql: String =
@@ -1415,15 +1432,15 @@ object Curation {
       |    CAST(SUM(c * c * ia) AS BIGINT) AS s2a, CAST(SUM(c * c * (1 - ia)) AS BIGINT) AS s2b
       |  FROM m)
       |SELECT n_a, n_b, s1a, s1b, s2a, s2b,
-      |  ROUND(CAST(s1a AS DOUBLE) / n_a, 6) AS mean_a_c,
-      |  ROUND(CAST(s1b AS DOUBLE) / n_b, 6) AS mean_b_c,
+      |  ROUND(CAST(s1a AS DOUBLE) / NULLIF(n_a, 0), 6) AS mean_a_c,
+      |  ROUND(CAST(s1b AS DOUBLE) / NULLIF(n_b, 0), 6) AS mean_b_c,
       |  ROUND(
-      |    (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) /
+      |    (CAST(s1a AS DOUBLE) / NULLIF(n_a, 0) - CAST(s1b AS DOUBLE) / NULLIF(n_b, 0)) /
       |    SQRT(
-      |      ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / n_a)
-      |        / (n_a - 1) / n_a) +
-      |      ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / n_b)
-      |        / (n_b - 1) / n_b)), 4) AS t
+      |      ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / NULLIF(n_a, 0))
+      |        / NULLIF(n_a - 1, 0) / NULLIF(n_a, 0)) +
+      |      ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / NULLIF(n_b, 0))
+      |        / NULLIF(n_b - 1, 0) / NULLIF(n_b, 0))), 4) AS t
       |FROM a""".stripMargin
 
   // ---------------------------------------------------------------- AUC

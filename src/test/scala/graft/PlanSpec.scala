@@ -699,9 +699,11 @@ class PlanSpec extends SparkTestBase {
     assert(nodeIds(p, "Scan ExistingRDD").size >= 5,
       "fewer pinned-edge scans than rounds — loop shape changed")
     // per-round Exchange growth (the 9.6s-class re-pricing signature) would
-    // blow well past the unrolled plan's constant ~1 exchange/round + final sort
+    // blow well past the unrolled plan's constant ~1 exchange/round + final
+    // sort + the r13 single-job consts frame (one SinglePartition agg + one
+    // one-row BroadcastExchange replacing the old driver count() action)
     val exch = nodeIds(p, "Exchange") ++ nodeIds(p, "BroadcastExchange")
-    assert(exch.size <= 12, s"exchange count grew to ${exch.size} — per-round re-pricing returned")
+    assert(exch.size <= 14, s"exchange count grew to ${exch.size} — per-round re-pricing returned")
   }
 
   test("q_sql_recursive: UnionLoop body is ONE frontier join against the hoisted edge RDD") {
@@ -771,6 +773,8 @@ class PlanSpec extends SparkTestBase {
       case (l, i) if l.contains("SinglePartition") => i }
     assert(aggEx.nonEmpty && single.nonEmpty,
       "expected a bucket exchange and a bounded-frame single partition")
+    assert(aggEx.get < single.get,
+      "single-partition stage sits below the bucket exchange — window over raw event rows")
   }
 
   test("q_mix_rebalance: lang frame and min broadcast to the keep filter — the corpus never shuffles for them") {
