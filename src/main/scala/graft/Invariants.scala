@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Driver-gradable bounds for the rows-only queries (VERDICT r10 #2).
   *
-  * The 19 `oracle: no` keys in SURVEY §2 are sketch/ANN/layout operators
+  * The 20 `oracle: no` keys in SURVEY §2 are sketch/ANN/layout operators
   * whose exact output is engine-specific by design, so the DuckDB compare
   * reports them `no_oracle` every round. This module re-measures, on the
   * SAME sfDir the driver verifies at, the quantitative bounds their specs
@@ -151,6 +151,22 @@ object Invariants {
     }
 
     // -------------------------------------------------- text near-dup
+    // recall vs the ORACLE-CHECKED exact twin q_dedup_ngram_jaccard (the
+    // verified Jaccard ≥ 0.5 pair set) — the banded-family grading the
+    // embedding dedup already gets (VERDICT r12 #5). Candidate generators
+    // are graded on recall only: banding deliberately over-generates and a
+    // downstream verify (q_dedup_cluster's pipeline) prices precision.
+    def jaccardTwinRecall(key: String): Check = {
+      import spark.implicits._
+      def pairSet(k: String): Set[(Long, Long)] =
+        SparkEntry.queries(k)(spark, dir).select($"doc_a", $"doc_b")
+          .as[(Long, Long)].collect().toSet
+      val exact = pairSet("q_dedup_ngram_jaccard")
+      val cand = pairSet(key)
+      Check("recall_vs_exact_jaccard_twin",
+        (cand intersect exact).size.toDouble / math.max(1, exact.size), 0.8, ">=")
+    }
+
     add("q_dedup_minhash") {
       // MiniOpsSpec: identical content ⇒ identical signature ⇒ collides in
       // every band, so every exact-dup pair must be a candidate
@@ -158,6 +174,7 @@ object Invariants {
         .join(SparkEntry.queries("q_dedup_minhash")(spark, dir),
           Seq("doc_a", "doc_b"), "left_anti").count()
       Seq(Check("exact_dup_pairs_missed", missed.toDouble, 0.0, "<="),
+        jaccardTwinRecall("q_dedup_minhash"), // measured 1.00 at sf0.01 (r13)
         determinism(spark, dir, "q_dedup_minhash"))
     }
 
@@ -169,7 +186,8 @@ object Invariants {
           Seq("doc_a", "doc_b"), "left_anti").count()
       Seq(
         Check("max_candidate_hamming", maxHam.toDouble, 8.0, "<="),
-        Check("exact_dup_pairs_missed", missed.toDouble, 0.0, "<="))
+        Check("exact_dup_pairs_missed", missed.toDouble, 0.0, "<="),
+        jaccardTwinRecall("q_dedup_simhash")) // measured 0.92 at sf0.01 (r13)
     }
 
     add("q_text_fingerprint") {

@@ -171,4 +171,37 @@ class LayoutSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(bloom === plain, "standing-postings bloom decontamination != full-price decontaminate")
   }
+
+  test("r13 standing ANN artifacts: cached copy == fresh derivation, row-identically") {
+    val dir = sf("sf0.001")
+    val m = 8; val sub = 8; val k = 16
+    // plain-PQ encoded corpus: standing table vs a fresh (uncached)
+    // re-encode of the normalized corpus under the standing books
+    val books = graft.ops.LlmVector.pqBooks(spark, dir, m, sub, k)
+    val standingCodes = graft.ops.LlmVector.pqCodes(spark, dir, m, sub, k)
+      .collect().map(_.toString).toSet
+    val codeCols = (0 until m).map { si =>
+      graft.functions.CentroidFunctions
+        .nearest_centroid(slice($"embedding", si * sub + 1, sub), books(si)).as(s"c$si")
+    }
+    val freshCodes = graft.ops.LlmVector.ivfPqNorm(spark, dir)
+      .select(($"vec_id" +: $"embedding" +: codeCols): _*)
+      .collect().map(_.toString).toSet
+    assert(standingCodes === freshCodes, "standing PQ codes != fresh encode")
+    // IVF-incremental day-0 state: frozen quantizer == a fresh Lloyd run on
+    // the base corpus; standing base invlists == a fresh assignment under it
+    val e = Tables.embeddings(spark, dir)
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    val cut = maxId - (maxId + 9L) / 10L
+    val cents = graft.ops.LlmVector.ivfIncCents(spark, dir, cut)
+    val freshCents = graft.ops.LlmVector.kmeansCentroids(
+      e.where($"vec_id" <= cut), k = 16, iters = 2)
+    assert(cents === freshCents, "standing frozen quantizer != fresh training")
+    val standingBase = graft.ops.LlmVector.ivfIncBase(spark, dir, cut, cents)
+      .collect().map(_.toString).toSet
+    val freshBase = e.where($"vec_id" <= cut).select($"vec_id", $"embedding",
+      graft.functions.CentroidFunctions.nearest_centroid($"embedding", cents).as("cent_id"))
+      .collect().map(_.toString).toSet
+    assert(standingBase === freshBase, "standing IVF base invlists != fresh assignment")
+  }
 }
