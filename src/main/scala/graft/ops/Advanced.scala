@@ -867,7 +867,62 @@ object Advanced {
        |FROM sc ORDER BY o_custkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- nearest asof
+  /** Nearest-event join with tolerance (r13) — the BIDIRECTIONAL member
+    * of the temporal-join family: [[joinAsof]] takes the latest earlier
+    * row, [[joinPit]] the valid interval; this takes the CLOSEST row in
+    * either direction within ±1 h (pandas `merge_asof(direction=
+    * 'nearest', tolerance=...)`) — sensor alignment, price-mark matching,
+    * "which click belongs to this purchase" when causality can run
+    * either way. Each purchase matches its nearest same-user click by
+    * |Δt|; ties break to the EARLIER click then event_id (R1); purchases
+    * with no click inside the tolerance drop (inner semantics,
+    * documented — the left variant adds one outer join).
+    *
+    * Scale: the candidate join is user-keyed with a ±3600 s band, so
+    * work is per-user purchases × in-band clicks, never a cross of the
+    * event table; the rn=1 cut is a CONSTANT rank over (purchase_id), so
+    * WindowGroupLimit prunes map-side below the exchange (the joinAsof
+    * plan). Exact epoch-second arithmetic throughout (R3). */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val purchases = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), epochS($"ts").as("p_t"))
+    val clicks = e.where($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"),
+        epochS($"ts").as("c_t"))
+    val adist = abs($"p_t" - $"c_t")
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy(adist.asc, $"c_t".asc, $"click_id".asc)
+    purchases
+      .join(clicks, $"user_id" === $"c_user" && adist <= 3600L)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"purchase_id", $"p_t", $"click_id", $"c_t",
+        ($"p_t" - $"c_t").as("dt_s"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val joinAsofNearestSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_t
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS c_user, event_id AS click_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS c_t
+      |  FROM events WHERE event_type = 'click')
+      |SELECT user_id, purchase_id, p_t, click_id, c_t, p_t - c_t AS dt_s
+      |FROM (
+      |  SELECT p.user_id, p.purchase_id, p.p_t, c.click_id, c.c_t,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY ABS(p.p_t - c.c_t), c.c_t, c.click_id) AS rn
+      |  FROM p JOIN c ON p.user_id = c.c_user AND ABS(p.p_t - c.c_t) <= 3600)
+      |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> (joinAsofNearest _),
     "q_rfm_segment"     -> (rfmSegment _),
     "q_cdc_scd2"        -> (cdcScd2 _),
     "q_funnel_order"    -> (funnelOrder _),
@@ -889,6 +944,7 @@ object Advanced {
     "q_attribution"     -> (attribution _))
 
   def oracle: Map[String, String] = Map(
+    "q_join_asof_nearest" -> joinAsofNearestSql,
     "q_cdc_scd2"        -> cdcScd2Sql,
     "q_funnel_order"    -> funnelOrderSql,
     "q_cohort_retention" -> cohortRetentionSql,

@@ -977,6 +977,10 @@ object Curation {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_linreg"   -> (statsLinreg _),
+    "q_stats_gini"     -> (statsGini _),
+    "q_stats_benford"  -> (statsBenford _),
+    "q_sample_balanced" -> (sampleBalanced _),
     "q_mix_rebalance"  -> (mixRebalance _),
     "q_sample_temperature" -> (sampleTemperature _),
     "q_shuffle_epoch"  -> (shuffleEpoch _),
@@ -1502,7 +1506,242 @@ object Curation {
       |        / CAST(NULLIF(SUM(np) * SUM(nn) * 2, 0) AS DOUBLE), 6) AS auc
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- linreg
+  /** Per-type OLS trend (r13) — the TREND sibling of the drift family:
+    * q_corpus_drift / q_stats_ks ask "did the distribution move between
+    * two snapshots"; this asks "is the daily volume per event type
+    * systematically rising or falling over the whole span" — the
+    * capacity-planning / ingest-monitoring regression every pipeline
+    * dashboard fits. Closed-form least squares over the ZERO-FILLED
+    * (type, day) census: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) with
+    * x = day − d0 (centering keeps products small).
+    *
+    * Determinism: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * are exact int64 (day counts × span-bounded x: n·Σxy ≲ 10¹³ at
+    * sf0.1, ~10¹⁶ at 1000× — far inside int64); slope/intercept emit as
+    * ROUND(num/den, 6) — one correctly-rounded double division of two
+    * exact integers, identical in both engines (R4), NULLIF-guarded for
+    * a single-day span (the q_stats_auc degenerate-census discipline).
+    * Zero-fill matters: missing (type, day) cells read as y=0, not as
+    * absent x positions that would silently shift the fit.
+    *
+    * Scale: the regression frame is the (type, day) HISTOGRAM — bounded
+    * by |types|·span, never event rows (q_stats_ks posture); day bounds
+    * ride a one-row broadcast (sample_weighted contract); one map-side-
+    * partial hash agg over the fact table, everything after runs on the
+    * bounded frame. */
+  def statsLinreg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_type",
+      floor(epochS($"ts") / 86400L).cast(LongType).as("day"))
+    val bounds = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val daily = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("y"))
+    val spine = daily.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(sequence($"d0", $"d1")).as("day"), $"d0")
+    val sums = spine.join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", ($"day" - $"d0").as("x"),
+        coalesce($"y", lit(0L)).as("y"))
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    sums.select($"event_type", $"n", $"sy".as("total"),
+        expr("n * sxy - sx * sy").as("s_num"),
+        expr("nullif(n * sxx - sx * sx, 0L)").as("s_den"))
+      .select($"event_type", $"n", $"total", $"s_num",
+        coalesce($"s_den", lit(0L)).as("s_den"),
+        round($"s_num".cast("double") / $"s_den".cast("double"), 6)
+          .as("slope"))
+      .orderBy($"event_type")
+  }
+
+  val statsLinregSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      |daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS y
+      |          FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.event_type, unnest(generate_series(b.d0, b.d1)) AS day, b.d0
+      |  FROM (SELECT DISTINCT event_type FROM daily) t, b),
+      |f AS (
+      |  SELECT spine.event_type, spine.day - spine.d0 AS x, COALESCE(y, 0) AS y
+      |  FROM spine LEFT JOIN daily
+      |    ON spine.event_type = daily.event_type AND spine.day = daily.day),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM f GROUP BY 1)
+      |SELECT event_type, n, sy AS total,
+      |  n * sxy - sx * sy AS s_num,
+      |  COALESCE(NULLIF(n * sxx - sx * sx, 0), 0) AS s_den,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope
+      |FROM m ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- gini
+  /** Revenue-concentration Gini (r13) — the INEQUALITY census next to
+    * q_skew_diagnose (key skew) and q_rfm_segment (per-customer scoring):
+    * one number answering "how concentrated is revenue across customers",
+    * the whale-dependence metric every marketplace tracks. Per-customer
+    * revenue quantized to exact k$ units (DECIMAL cent sums → integer
+    * div; the statistic is DEFINED at k$ resolution — the q_stats_ks
+    * integer-binning posture, so the histogram bound is the VALUE RANGE
+    * in k$, constant in corpus size).
+    *
+    * Grouped exact form: over ascending distinct values v with counts c
+    * and B = customers strictly below, Σᵢ i·yᵢ = Σ v·(c·B + c(c+1)/2),
+    * and G = (2T − S(n+1)) / (nS) — a SINGLE division (a difference of
+    * two floored divisions would not telescope). The scaled numerator
+    * (2T − S(n+1))·10⁶ passes int64 around 10× sf0.1, so it lifts to
+    * DECIMAL(38,0) (HUGEINT twin in DuckDB) — the q_stats_chi2
+    * precedent — and the ppm quotient returns to int64.
+    *
+    * Scale: customer-keyed agg with map-side partials → k$ histogram
+    * (range-bounded) → cumulative window over the bounded frame → one
+    * row. Nothing is ranked per customer; the sort cost is the
+    * histogram's, not the population's. */
+  def statsGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = orders(s, dir)
+      .groupBy($"o_custkey").agg(sum(dec2($"o_totalprice")).as("rev"))
+      .select(expr("cast(floor(rev / 1000) as bigint)").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("c"))
+    val wB = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("b", coalesce(sum($"c").over(wB), lit(0L)))
+      .agg(sum($"c").as("n"), sum($"v" * $"c").as("s"),
+        sum($"v" * ($"c" * $"b" + expr("(c * (c + 1L)) div 2L"))).as("t"))
+      .select($"n", $"s", $"t",
+        expr("""CAST((CAST(2L * t - s * (n + 1L) AS DECIMAL(38,0)) * 1000000L)
+               |     div nullif(n * s, 0L) AS BIGINT)""".stripMargin)
+          .as("gini_ppm"))
+  }
+
+  val statsGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2))) / 1000) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM rev GROUP BY 1),
+      |cum AS (
+      |  SELECT v, c, COALESCE(SUM(c) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      |  FROM h),
+      |m AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS s,
+      |    CAST(SUM(v * (c * b + (c * (c + 1)) // 2)) AS BIGINT) AS t
+      |  FROM cum)
+      |SELECT n, s, t,
+      |  CAST((CAST(2 * t - s * (n + 1) AS HUGEINT) * 1000000)
+      |       // NULLIF(CAST(n * s AS HUGEINT), 0) AS BIGINT) AS gini_ppm
+      |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- benford
+  /** Benford first-digit census (r13) — the forensic data-quality gate:
+    * naturally-grown multiplicative quantities (prices, populations,
+    * transaction amounts) follow log₁₀(1+1/d) first-digit frequencies;
+    * fabricated or truncated feeds don't. Per first significant digit of
+    * floor(o_totalprice): observed count, observed ppm, the Benford
+    * expectation ppm, and the signed deviation — the 9-row report an
+    * ingest monitor thresholds.
+    *
+    * Determinism: the digit is the first character of the INTEGER cast
+    * to string (no float log10 anywhere; totalprice ≥ 1 in this schema,
+    * so a leading-zero branch never arises); observed ppm is exact int64
+    * cross-multiplication; the expected ppm values are the same 9
+    * integer literals in both engines (pre-rounded log₁₀(1+1/d)·10⁶ —
+    * constants, not computed, so no libm variance). Scale: ONE map-side-
+    * partial hash agg to ≤9 rows; the share window runs over that
+    * 9-row frame. */
+  def statsBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expPpm = expr(
+      """CASE digit WHEN 1 THEN 301030L WHEN 2 THEN 176091L WHEN 3 THEN 124939L
+        |  WHEN 4 THEN 96910L WHEN 5 THEN 79181L WHEN 6 THEN 66947L
+        |  WHEN 7 THEN 57992L WHEN 8 THEN 51153L ELSE 45757L END""".stripMargin)
+    val wAll = Window.partitionBy()
+    orders(s, dir)
+      .select(substring(floor($"o_totalprice").cast(LongType).cast("string"), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(wAll))
+      .select($"digit", $"n",
+        expr("(n * 1000000L) div total").as("obs_ppm"),
+        expPpm.as("exp_ppm"))
+      .withColumn("dev_ppm", $"obs_ppm" - $"exp_ppm")
+      .orderBy($"digit")
+  }
+
+  val statsBenfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS BIGINT) AS digit
+      |  FROM orders),
+      |h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM h)
+      |SELECT digit, n, (n * 1000000) // total AS obs_ppm,
+      |  CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |    WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END AS exp_ppm,
+      |  (n * 1000000) // total
+      |    - (CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+      |         WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+      |         WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END) AS dev_ppm
+      |FROM t ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------------------- balanced sample
+  /** Class-balanced downsample (r13) — the label-equalization sampler
+    * completing the family: stratified keeps a FIXED k per class,
+    * temperature/rebalance reweight by softened shares; this one caps
+    * every language at the MINORITY class count (the classifier-training
+    * "undersample the majority" staple), keeping the first `cap` docs
+    * per language in content-hash order so the draw is reproducible
+    * under any partitioning or ingest order (sample_hash contract).
+    *
+    * Determinism: selection order is (md5(text), doc_id) — content-keyed
+    * with a unique tiebreak (R1); the cap is a one-row broadcast of the
+    * min class count. Emits the kept (lang, rk, doc_id, h) rows — the
+    * actual sample, so the oracle hashes WHICH docs were chosen, not
+    * just how many.
+    *
+    * Scale: the rank window partitions by lang with a data-dependent cap,
+    * so no constant-k WindowGroupLimit applies; the per-class sort is
+    * bounded by the largest class. At 100 TB the two-pass refinement
+    * (hash-prefix histogram → per-class threshold → row-local filter,
+    * the curriculumOrder fallback shape) replaces the full per-class
+    * sort; at contract scale the direct rank is the honest spelling. */
+  def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir).select($"lang", $"doc_id", md5($"text").as("h"))
+    val cap = docs.groupBy($"lang").agg(count(lit(1)).as("cnt"))
+      .agg(min($"cnt").as("cap"))
+    val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    docs.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .where($"rk" <= $"cap")
+      .select($"lang", $"rk", $"doc_id", $"h")
+      .orderBy($"lang", $"rk")
+  }
+
+  val sampleBalancedSql: String =
+    """WITH cap AS (
+      |  SELECT MIN(cnt) AS cap FROM (
+      |    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)),
+      |r AS (
+      |  SELECT lang, doc_id, md5(text) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, rk, doc_id, h FROM r, cap WHERE rk <= cap.cap
+      |ORDER BY lang, rk""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_stats_linreg"   -> statsLinregSql,
+    "q_stats_gini"     -> statsGiniSql,
+    "q_stats_benford"  -> statsBenfordSql,
+    "q_sample_balanced" -> sampleBalancedSql,
     "q_mix_rebalance"  -> mixRebalanceSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_shuffle_epoch"  -> shuffleEpochSql,

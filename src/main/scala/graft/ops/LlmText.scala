@@ -1901,7 +1901,64 @@ object LlmText {
       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- keywords
+  /** Per-doc keyword extraction (r13) — the document-level projection of
+    * [[textTfidf]]'s corpus statistics: each doc's top-3 terms by an
+    * exact integer tf·idf surrogate, the "what is this doc about"
+    * labeler feeding search facets, topic mixes, and curation reports.
+    *
+    * Scoring stays integer-exact where tf·log(N/df) would drag in libm:
+    * score = (tf·10⁶) div df orders terms by in-doc frequency damped by
+    * corpus commonality — same monotone intent as tf-idf's idf, zero
+    * float (the textTfidf emit-the-integers discipline, applied as a
+    * ranking). Ties break (score desc, token asc) for a total order (R1).
+    *
+    * Scale: tf = one explode + hash agg with map-side partials; df folds
+    * FROM the tf relation (its rows are already distinct (doc, token)
+    * pairs, so df is a count, not a second countDistinct scan); the df
+    * attach is a vocab-sized join AQE broadcasts at contract SF and
+    * shuffle-joins at 100 TB; the per-doc top-3 is a CONSTANT rank cut,
+    * so WindowGroupLimit prunes map-side before the doc_id exchange
+    * (the path-mining posture). */
+  def textKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Materialized once: the tf relation feeds BOTH the df fold and the
+    // join probe side — differently-aliased subtrees get no ReusedExchange
+    // (the ngram_jaccard lesson), so without the cut the corpus explode +
+    // aggregate runs twice. 1.13 s → 0.93 s isolated at sf0.1.
+    val tf = graft.tables.Layout.materialize(
+      documents(s, dir)
+        .select($"doc_id", explode(toks($"text")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, "token")
+      .select($"doc_id", $"token", $"tf", $"df",
+        expr("(tf * 1000000L) div df").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" <= 3)
+      .select($"doc_id", $"rk", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val textKeywordsSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+      |    (tf.tf * 1000000) // d.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY (tf.tf * 1000000) // d.df DESC, tf.token) AS rk
+      |  FROM tf JOIN d ON tf.token = d.token)
+      |SELECT doc_id, rk, token, tf, df, score FROM scored
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_keywords"       -> (textKeywords _),
     "q_chunk_sliding"       -> (chunkSliding _),
     "q_rank_fusion"         -> (rankFusion _),
     "q_quality_repetition"  -> (qualityRepetition _),
@@ -1938,6 +1995,7 @@ object LlmText {
     "q_pack_sequences"      -> ((s: SparkSession, d: String) => packSequences(s, d)))
 
   def oracle: Map[String, String] = Map(
+    "q_text_keywords"       -> textKeywordsSql,
     "q_chunk_sliding"       -> chunkSlidingSql,
     "q_rank_fusion"         -> rankFusionSql,
     "q_quality_repetition"  -> qualityRepetitionSql,

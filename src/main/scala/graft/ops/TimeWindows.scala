@@ -1293,7 +1293,70 @@ object TimeWindows {
       |    > 3 * SUM(ABS(res_xn)) OVER (PARTITION BY hd) AS flag
       |FROM scored ORDER BY day, hd""".stripMargin
 
+  // ---------------------------------------------------------------- fill forward
+  /** Forward-fill / LOCF enrichment (r13) — the imputation primitive
+    * (pandas `ffill`, Flink's keyed ValueState enrichment): every event
+    * carries the user's last-observed purchase amount at that point in
+    * the stream, NULL before the first purchase. The "attach the latest
+    * known attribute" shape that q_cdc_scd2 answers with an interval
+    * table and q_join_asof with a per-probe rank — here as one window
+    * pass, the right plan when EVERY row needs the carried value.
+    *
+    * Row-level core shared with the streaming twin ([[tsFillForwardRows]]:
+    * `last(pc, ignoreNulls)` over (t, event_id) rows-unbounded — exactly
+    * a keyed ValueState replay, which is what s_ts_fill_forward runs);
+    * the contract row aggregates it to a per-user census (events total,
+    * cold-start rows before any observation, carried rows, exact cent
+    * sum of the filled series) so the oracle frame stays user-sized.
+    *
+    * Determinism: cents are exact int64, (t, event_id) is a total order
+    * (R1), and the census sums are order-free. Scale: ONE user_id
+    * shuffle serves the fill window AND the census agg (same key);
+    * per-user state in the window pass is one long — the streaming twin
+    * holds the identical one-value state. */
+  def tsFillForwardRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", epochS($"ts").as("t"), $"event_id",
+      when($"event_type" === "purchase",
+        floor($"value" * 100).cast(LongType)).as("pc"))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("filled_c", last($"pc", ignoreNulls = true).over(w))
+  }
+
+  def tsFillForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tsFillForwardRows(s, dir)
+      .groupBy($"user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(when($"filled_c".isNull, 1L).otherwise(0L)).as("n_cold"),
+        sum(when($"pc".isNull && $"filled_c".isNotNull, 1L).otherwise(0L))
+          .as("n_carried"),
+        sum(coalesce($"filled_c", lit(0L))).as("sum_filled_c"))
+      .orderBy($"user_id")
+  }
+
+  val tsFillForwardSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(FLOOR(value * 100) AS BIGINT) END AS pc
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, pc,
+      |    last_value(pc IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c
+      |  FROM ev)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN filled_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold,
+      |  CAST(SUM(CASE WHEN pc IS NULL AND filled_c IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_carried,
+      |  CAST(SUM(COALESCE(filled_c, 0)) AS BIGINT) AS sum_filled_c
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_fill_forward"   -> (tsFillForward _),
     "q_anomaly_seasonal"  -> (anomalySeasonal _),
     "q_ts_acf"            -> (tsAcf _),
     "q_cep_permute"       -> (cepPermute _),
@@ -1321,6 +1384,7 @@ object TimeWindows {
     "q_hot_items"         -> (hotItems _))
 
   def oracle: Map[String, String] = Map(
+    "q_ts_fill_forward"  -> tsFillForwardSql,
     "q_cep_permute"      -> cepPermuteSql,
     "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,

@@ -57,6 +57,41 @@ class CountWindowProcessor(n: Int)
   }
 }
 
+/** Streaming twin of batch `q_ts_fill_forward` (SURVEY §2.8
+  * s_ts_fill_forward, r13): LOCF as live enrichment — per user ONE
+  * ValueState long (the last observed purchase amount in cents, floor
+  * semantics matching the batch window's floor(value·100)); every
+  * arriving event emits its filled value, None before the first
+  * observation. The minimal stateful-enrichment contract (a keyed
+  * ValueState richMap, Flink's introductory state example) next to the
+  * multi-stage CEP/funnel processors. The state is a LEFT FOLD of the
+  * event order, so order IS the semantics: within a micro-batch rows
+  * fold in (ts, event_id) order (shuffle-arrival is not trusted); across
+  * batches arrival order is the KeyedProcessFunction contract — the
+  * settle test replays in order and asserts BITWISE equality against
+  * the batch [[graft.ops.TimeWindows.tsFillForwardRows]] frame. */
+case class FilledPoint(user_id: Long, event_id: Long, is_obs: Boolean,
+    filled_c: Option[Long])
+
+class FillForwardProcessor extends StatefulProcessor[Long, Event, FilledPoint] {
+  @transient private var last: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[FilledPoint] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FilledPoint]
+    rows.toSeq.sortBy(e => (e.ts.getTime / 1000L, e.event_id)).foreach { e =>
+      val obs = e.event_type == "purchase"
+      if (obs) last.update(math.floor(e.value * 100.0).toLong)
+      out += FilledPoint(key, e.event_id, obs,
+        if (last.exists()) Some(last.get()) else None)
+    }
+    out.iterator
+  }
+}
+
 /** Streaming twin of batch `q_ts_ewma` (SURVEY §2.8 s_ts_ewma): per-key
   * truncated EWMA with α = ½ over the last 16 values, scaled by 2¹⁶ so
   * every emitted point is the EXACT int64 the batch window computes —

@@ -432,6 +432,122 @@ class CurationSpec extends SparkTestBase {
     assert(order(0L) !== order(1L), "epoch orders identical — salt not applied")
   }
 
+  test("q_stats_linreg: planted exact line recovers slope; zero-fill sees missing days") {
+    import java.sql.Timestamp
+    def plant(rows: Seq[(Long, String, Long)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lr").toString
+      rows.map { case (id, typ, day) =>
+        (id, new Timestamp(day * 86400L * 1000L), 1L, typ, 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(tmp + "/events.parquet")
+      tmp
+    }
+    // type a: y = 1,2,3 on days 0,1,2 → slope exactly 1; n=3
+    val lin = (0 until 6).map(i => (i.toLong, "a", Seq(0L, 1L, 1L, 2L, 2L, 2L)(i)))
+    val out = graft.ops.Curation.statsLinreg(spark, plant(lin))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(("a", 3L, 6L, 6L, 6L, 1.0)))
+    // a gap day must enter as y=0, not vanish: days 0 and 2 active, day 1 empty
+    // frame y = (1, 0, 1): sx=3, sy=2, sxy=2, sxx=5 → num = 3·2−3·2 = 0 → slope 0
+    val gap = Seq((1L, "a", 0L), (2L, "a", 2L))
+    val g = graft.ops.Curation.statsLinreg(spark, plant(gap))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(g.toSeq === Seq(("a", 3L, 2L, 0L, 6L, 0.0)))
+    // degenerate single-day span: den = 0 → NULL slope in both engines
+    val one = graft.ops.Curation.statsLinreg(spark, plant(Seq((1L, "a", 5L))))
+      .collect().head
+    assert(one.getLong(4) === 0L && one.isNullAt(5), "single-day slope must be NULL")
+    // real data: every type present, n = span, |slope| sane
+    val real = graft.ops.Curation.statsLinreg(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(real.length === 5 && real.map(_._2).distinct.length === 1,
+      "all types share the global day spine")
+  }
+
+  test("q_stats_gini: equality → 0, concentration → (n−1)/n, grouped form ≡ sorted-individual form") {
+    def plant(rows: Seq[(Long, Double)]): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gini").toString
+      rows.zipWithIndex.map { case ((ck, price), i) =>
+        (i.toLong, ck, "O", price, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "P1")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .write.parquet(tmp + "/orders.parquet")
+      tmp
+    }
+    // 4 customers × identical 5k$ revenue → perfect equality, gini 0
+    val eq = graft.ops.Curation.statsGini(spark,
+      plant(Seq((1L, 5000.0), (2L, 5000.0), (3L, 5000.0), (4L, 5000.0))))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(eq === ((4L, 20L, 50L, 0L)))
+    // one whale owns everything → G = (n−1)/n = 3/4
+    val whale = graft.ops.Curation.statsGini(spark,
+      plant(Seq((1L, 8000.0), (2L, 100.0), (3L, 100.0), (4L, 100.0))))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(whale._4 === 750000L, s"whale gini: ${whale._4}")
+    // real data: grouped-histogram T equals the sorted-individual Σ i·yᵢ
+    val real = graft.ops.Curation.statsGini(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val vs = graft.tables.Tables.orders(spark, sf("sf0.001"))
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(12,2)")).as("rev"))
+      .select(expr("cast(floor(rev / 1000) as bigint)").as("v"))
+      .as[Long].collect().sorted
+    val n = vs.length.toLong
+    val t = vs.zipWithIndex.map { case (v, i) => v * (i + 1L) }.sum
+    val s = vs.sum
+    assert(real === ((n, s, t,
+      ((BigInt(2) * t - BigInt(s) * (n + 1)) * 1000000 / (BigInt(n) * s)).toLong)))
+    assert(real._4 >= 0L && real._4 < 1000000L, "gini in [0, 1)")
+  }
+
+  test("q_stats_benford: digits 1-9, counts conserve, ppm recompute, leading digit exact") {
+    val rows = graft.ops.Curation.statsBenford(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9))
+    val prices = graft.tables.Tables.orders(spark, sf("sf0.001"))
+      .select($"o_totalprice").as[Double].collect()
+    assert(rows.map(_._2).sum === prices.length.toLong, "count conservation")
+    val expect = prices.map(p => math.floor(p).toLong.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (d, cnt, obsPpm, expPpm, devPpm) =>
+      assert(cnt === expect(d), s"digit $d count")
+      assert(obsPpm === cnt * 1000000L / prices.length, s"digit $d ppm")
+      assert(devPpm === obsPpm - expPpm)
+    }
+    // Benford reference masses sum to ~1e6 (rounding residue ≤ 9)
+    assert(math.abs(rows.map(_._4).sum - 1000000L) <= 9L)
+  }
+
+  test("q_sample_balanced: every class capped at the min class count, hash-order deterministic") {
+    val dir = sf("sf0.001")
+    val rows = graft.ops.Curation.sampleBalanced(spark, dir)
+      .as[(String, Int, Long, String)].collect().toSeq
+    val classes = graft.tables.Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val cap = classes.values.min
+    val kept = rows.groupBy(_._1)
+    assert(kept.keySet === classes.keySet, "every class sampled")
+    kept.foreach { case (lang, ks) =>
+      assert(ks.length.toLong === cap, s"$lang kept ${ks.length}, cap $cap")
+      assert(ks.map(_._2).sorted.toSeq === (1 to cap.toInt).toSeq, s"$lang ranks")
+      // the kept set is the hash-order prefix: every kept h ≤ every dropped h
+      val keptIds = ks.map(_._3).toSet
+      val all = graft.tables.Tables.documents(spark, dir)
+        .where($"lang" === lang)
+        .select(md5($"text"), $"doc_id").as[(String, Long)].collect()
+      val ord = Ordering.Tuple2[String, Long]
+      val maxKept = all.filter(d => keptIds(d._2)).max(ord)
+      val dropped = all.filterNot(d => keptIds(d._2))
+      assert(dropped.forall(d => ord.gt(d, maxKept)),
+        s"$lang: kept set not the hash prefix")
+    }
+    // repeatability
+    val again = graft.ops.Curation.sampleBalanced(spark, dir)
+      .as[(String, Int, Long, String)].collect().toSeq
+    assert(again === rows)
+  }
+
   test("q_stats_auc: planted separation → 1.0, a shared cent bucket prices the ½-tie, real data in range") {
     import java.sql.Timestamp
     def plant(rows: Seq[(Long, String, Double)]): String = {

@@ -10,6 +10,97 @@ class PipelineOpsSpec extends SparkTestBase {
   import spark.implicits._
   private val dir = sf("sf0.001")
 
+  test("q_ts_fill_forward: census recomputes from a driver-side LOCF replay") {
+    val rows = TimeWindows.tsFillForward(spark, dir)
+      .select("user_id", "n_events", "n_cold", "n_carried", "sum_filled_c")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"),
+        $"event_type", $"value")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val expect = evs.groupBy(_._1).map { case (u, es) =>
+      var lastC: Option[Long] = None
+      var (cold, carried, sum) = (0L, 0L, 0L)
+      es.sortBy(e => (e._3, e._2)).foreach { case (_, _, _, typ, v) =>
+        val pc = if (typ == "purchase") Some(math.floor(v * 100).toLong) else None
+        pc.foreach(c => lastC = Some(c))
+        lastC match {
+          case None => cold += 1
+          case Some(c) => if (pc.isEmpty) carried += 1; sum += c
+        }
+      }
+      u -> ((es.length.toLong, cold, carried, sum))
+    }
+    assert(rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap === expect)
+    // every user partitions into cold + first-observation rows + carried
+    rows.foreach { case (u, n, cold, carried, _) =>
+      assert(cold + carried <= n, s"user $u: census exceeds events") }
+  }
+
+  test("q_text_keywords: exactly ≤3 per doc, scores recompute from tf/df, rank order total") {
+    val rows = LlmText.textKeywords(spark, dir)
+      .select("doc_id", "rk", "token", "tf", "df", "score")
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSeq
+    // driver-side tf/df recompute
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tf = docs.flatMap { case (id, t) =>
+      t.trim.split(" ").map(tok => (id, tok)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (id, rk, tok, tfv, dfv, score) =>
+      assert(tfv === tf((id, tok)), s"doc $id $tok tf")
+      assert(dfv === df(tok), s"doc $id $tok df")
+      assert(score === tfv * 1000000L / dfv, s"doc $id $tok score")
+      assert(rk >= 1 && rk <= 3)
+    }
+    // per-doc: ranks are 1..k and scores non-increasing with token tiebreak
+    rows.groupBy(_._1).foreach { case (id, ks) =>
+      val sorted = ks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._6 > b._6 || (a._6 === b._6 && a._3 < b._3),
+            s"doc $id: rank order violated")
+        case _ => ()
+      }
+      // top-1 really is the max score over the doc's full vocabulary
+      val docBest = tf.collect { case ((d, tok), v) if d == id =>
+        (v * 1000000L / df(tok), tok) }
+      assert(sorted.head._6 === docBest.map(_._1).max, s"doc $id: top-1 not max")
+    }
+    assert(rows.map(_._1).distinct.length.toLong === docs.length.toLong,
+      "every doc gets keywords")
+  }
+
+  test("q_join_asof_nearest: each match is the true |Δt|-closest in-band click") {
+    val rows = Advanced.joinAsofNearest(spark, dir)
+      .select("user_id", "purchase_id", "p_t", "click_id", "c_t", "dt_s")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_timestamp($"ts").as("t"),
+        $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val clicks = evs.filter(_._4 == "click").groupBy(_._1)
+    val purchases = evs.filter(_._4 == "purchase")
+    val expect = purchases.flatMap { case (u, pid, pt, _) =>
+      val cand = clicks.getOrElse(u, Array.empty[(Long, Long, Long, String)])
+        .filter(c => math.abs(pt - c._3) <= 3600L)
+      if (cand.isEmpty) None
+      else {
+        val best = cand.minBy(c => (math.abs(pt - c._3), c._3, c._2))
+        Some((u, pid, pt, best._2, best._3, pt - best._3))
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    assert(rows === expect)
+    assert(rows.forall(r => math.abs(r._6) <= 3600L), "tolerance violated")
+    // both directions must occur on real data (nearest, not backward-only)
+    assert(rows.exists(_._6 > 0) && rows.exists(_._6 < 0),
+      "data exercises only one direction — tolerance too tight")
+  }
+
   test("q_count_window: per-user buckets are consecutive, full except the last") {
     val rows = TimeWindows.countWindow(spark, dir)
       .select("user_id", "win_id", "n").as[(Long, Long, Long)].collect()

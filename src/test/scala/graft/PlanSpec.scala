@@ -777,6 +777,50 @@ class PlanSpec extends SparkTestBase {
       "single-partition stage sits below the bucket exchange — window over raw event rows")
   }
 
+  test("q_text_keywords: tf materialized once, constant top-3 prunes map-side") {
+    val p = planOf(SparkEntry.queries("q_text_keywords")(spark, dir))
+    // the tf relation feeds the df fold AND the join probe: both sides must
+    // read the checkpointed RDD, never re-run the corpus explode
+    assert(nodeIds(p, "Scan ExistingRDD").size >= 2,
+      "tf relation recomputed — materialize-once lost")
+    assert(nodeIds(p, "Generate").isEmpty,
+      "corpus explode appears in the serving plan — should be behind the checkpoint")
+    assert(p.contains("WindowGroupLimit"),
+      "constant rank-3 cut lost its map-side WindowGroupLimit")
+  }
+
+  test("q_ts_fill_forward: ONE user shuffle serves fill window and census agg") {
+    val p = planOf(SparkEntry.queries("q_ts_fill_forward")(spark, dir))
+    // window partition key == agg key, so a single hash exchange on
+    // user_id feeds both; the only other exchange is the final ORDER BY
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning(user_id")).size
+    assert(hashEx === 1, s"expected exactly one user_id exchange, saw $hashEx")
+    assert(nodeIds(p, "Scan parquet").size === 1, "events read more than once")
+  }
+
+  test("q_stats_linreg / q_stats_gini: regression and Lorenz frames are bounded histograms") {
+    val lr = planOf(SparkEntry.queries("q_stats_linreg")(spark, dir))
+    // the day census aggregates map-side before any exchange; the spine
+    // bounds ride a one-row broadcast, never a corpus-wide join shuffle
+    assert(lr.contains("partial_count"), "daily census lost its map-side partial")
+    assert(lr.contains("BroadcastExchange") || lr.contains("BroadcastNestedLoopJoin"),
+      "day bounds not broadcast")
+    val g = planOf(SparkEntry.queries("q_stats_gini")(spark, dir))
+    // SinglePartition only ABOVE the k$-histogram aggregation (the AUC rule)
+    val aggEx = g.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("hashpartitioning(v#") => i }
+    val single = g.linesIterator.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("SinglePartition") => i }
+    assert(aggEx.nonEmpty && single.nonEmpty && aggEx.get < single.get,
+      "Lorenz cumulative window must run over the bounded value histogram")
+  }
+
+  test("q_join_asof_nearest: user-banded join, rn=1 cut prunes map-side") {
+    val p = planOf(SparkEntry.queries("q_join_asof_nearest")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), "nearest cut lost its WindowGroupLimit")
+    assert(!p.contains("CartesianProduct"), "candidate join degenerated to a cartesian")
+  }
+
   test("q_mix_rebalance: lang frame and min broadcast to the keep filter — the corpus never shuffles for them") {
     val p = planOf(SparkEntry.queries("q_mix_rebalance")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "per-lang totals not broadcast to the doc filter")

@@ -822,6 +822,36 @@ class ProcessorsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_ts_fill_forward: streaming ValueState LOCF == batch window frame bitwise") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.tsFillForwardRows(spark, dir)
+      .select($"user_id", $"event_id", $"pc".isNotNull.as("is_obs"), $"filled_c")
+      .as[(Long, Long, Boolean, Option[Long])].collect().toSet
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime / 1000L, e.event_id)).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = in.toDS().groupByKey(_.user_id)
+      .transformWithState(new FillForwardProcessor, TimeMode.None(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // two in-order batches: the carried value must survive the
+      // state-store round-trip between micro-batches
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val streamed = spark.table(sink).as[FilledPoint].collect()
+        .map(p => (p.user_id, p.event_id, p.is_obs, p.filled_c)).toSet
+      assert(streamed === batch,
+        "streaming LOCF diverged from the batch ignoreNulls window")
+      // cold-start rows exist and carry no value; carried rows exist
+      assert(streamed.exists(r => !r._3 && r._4.isEmpty), "no cold-start row")
+      assert(streamed.exists(r => !r._3 && r._4.nonEmpty), "no carried row")
+    } finally q.stop()
+  }
+
   test("s_ts_ewma: streaming ring-state EWMA == batch q_ts_ewma to exact integer equality") {
     val dir = sf("sf0.001")
     val batch = graft.ops.TimeWindows.tsEwma(spark, dir)
