@@ -301,4 +301,34 @@ class MiniOpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
     }
   }
+
+  test("q_graph_cc: census equals a driver union-find over the same edges") {
+    val edges = graft.ops.Graph.copurchaseEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    // canonical label = min vertex id per component (the CC contract)
+    val minOf = parent.keys.groupBy(find).map { case (_, vs) => (find(vs.head), vs.min) }
+    val nodes = parent.keys.groupBy(v => minOf(find(v))).map { case (c, vs) => (c, vs.size.toLong) }
+    val edgec = edges.groupBy { case (a, _) => minOf(find(a)) }
+      .map { case (c, es) => (c, es.length.toLong) }
+    val expected = nodes.map { case (c, n) => (c, n, edgec(c)) }.toSeq
+      .sortBy { case (c, n, _) => (-n, c) }
+    val got = graft.ops.Graph.graphCc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected, "CC census drifted from independent driver union-find")
+    // same census through the DISTRIBUTED convergence-asserted loop (cap
+    // forced to -1 routes past the driver union-find) — the equality that
+    // lets the DuckDB oracle transitively check the iterative path
+    System.setProperty("graft.graphcc.uf.maxEdges", "-1")
+    try {
+      val loop = graft.ops.Graph.graphCc(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(loop === expected, "distributed CC loop census drifted from union-find")
+    } finally System.clearProperty("graft.graphcc.uf.maxEdges")
+  }
 }
