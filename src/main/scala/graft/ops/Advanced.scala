@@ -574,6 +574,63 @@ object Advanced {
       |FROM numbered GROUP BY user_id, island
       |ORDER BY user_id, island""".stripMargin
 
+  // ---------------------------------------------------------------- concurrency
+  /** Open-interval concurrency census (r13) — the OVERLAP member of the
+    * interval family: [[intervalIslands]] merges intervals into spans,
+    * this counts how many are open AT ONCE — the server-load / concurrent-
+    * sessions / license-seat question ("how many 300 s activity windows
+    * overlap right now, and when is the daily peak?"). Per day: the peak
+    * concurrency, the earliest minute it is reached, and the count of
+    * minutes with any open interval.
+    *
+    * NOT a sweep line: the classic ±1-endpoint running sum orders EVERY
+    * endpoint in one sequence — a raw-row window the scale rules ban.
+    * Instead each interval [t, t+300) is sampled at the minute boundaries
+    * it covers (m from (t+59) div 60 to (t+299) div 60 — pure int64
+    * half-open arithmetic, ≤ 5 grid instants per interval), a map-side-
+    * partial hash agg counts open intervals per minute, and the per-day
+    * peak/argmin run as windows over the CALENDAR-bounded minute grid
+    * (≤1440 rows/day), never event rows. The census is exact at minute
+    * resolution — the resolution is part of the contract, the q_stats_ks
+    * binning posture. Determinism: all int64; peak ties break on the
+    * earliest minute (R1). Scale: explode ×5 then agg — linear, no
+    * window touches unbounded rows; both windows share one day-keyed
+    * sort over the ≤1440-row day frames. */
+  def intervalConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = events(s, dir)
+      .select(epochS($"ts").as("t"))
+      .select(explode(sequence(expr("(t + 59L) div 60L"),
+        expr("(t + 299L) div 60L"))).as("m"))
+      .groupBy($"m").agg(count(lit(1)).as("n_open"))
+    val wDay = Window.partitionBy($"day")
+    val scored = grid
+      .withColumn("day", expr("m div 1440L"))
+      .withColumn("rn", row_number().over(
+        wDay.orderBy($"n_open".desc, $"m")))
+      .withColumn("active_minutes", count(lit(1)).over(wDay))
+    scored.where($"rn" === 1)
+      .select($"day", $"n_open".as("peak_open"), $"m".as("at_minute"),
+        $"active_minutes")
+      .orderBy($"day")
+  }
+
+  val intervalConcurrencySql: String =
+    """WITH e AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events),
+      |g AS (
+      |  SELECT UNNEST(generate_series((t + 59) // 60, (t + 299) // 60)) AS m
+      |  FROM e),
+      |grid AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_open FROM g GROUP BY m),
+      |scored AS (
+      |  SELECT m // 1440 AS day, m, n_open,
+      |    ROW_NUMBER() OVER (PARTITION BY m // 1440
+      |                       ORDER BY n_open DESC, m) AS rn,
+      |    COUNT(*) OVER (PARTITION BY m // 1440) AS active_minutes
+      |  FROM grid)
+      |SELECT day, n_open AS peak_open, m AS at_minute,
+      |  CAST(active_minutes AS BIGINT) AS active_minutes
+      |FROM scored WHERE rn = 1 ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- path mining
   /** Clickpath mining (r11) — the behavioral-sequence report funnel/CEP
     * queries summarize away: the full ordered prefix of each user's event
@@ -939,6 +996,7 @@ object Advanced {
     "q_win_first_last"  -> (winFirstLast _),
     "q_array_agg"       -> (arrayAgg _),
     "q_interval_islands" -> (intervalIslands _),
+    "q_interval_concurrency" -> (intervalConcurrency _),
     "q_path_mining"     -> (pathMining _),
     "q_join_pit"        -> (joinPit _),
     "q_attribution"     -> (attribution _))
@@ -961,6 +1019,7 @@ object Advanced {
     "q_win_first_last"  -> winFirstLastSql,
     "q_array_agg"       -> arrayAggSql,
     "q_interval_islands" -> intervalIslandsSql,
+    "q_interval_concurrency" -> intervalConcurrencySql,
     "q_path_mining"     -> pathMiningSql,
     "q_join_pit"        -> joinPitSql,
     "q_attribution"     -> attributionSql)

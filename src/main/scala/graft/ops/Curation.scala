@@ -776,7 +776,84 @@ object Curation {
       |FROM cum
       |ORDER BY gap_num DESC, bucket LIMIT 1""".stripMargin
 
-  // ---------------------------------------------------------------- MAD anomaly
+  // ---------------------------------------------------------------- PSI drift
+  /** Population Stability Index (r13) — the DRIFT-MAGNITUDE member of the
+    * drift family: [[statsKs]] answers "did the distribution move?" with
+    * a max-ECDF-gap test statistic, PSI answers "by HOW MUCH, and where"
+    * — the banded score (<0.1 stable / 0.1–0.25 drifting / >0.25 shifted)
+    * model-risk teams threshold on every feature before retraining. Per
+    * event_type between the older and newer ingest half (event_id cut,
+    * the statsKs append-only proxy): PSI = Σ_buckets (pa−pb)·ln(pa/pb)
+    * over the integer-floor value buckets, Laplace-smoothed (+1 per
+    * bucket) so empty-on-one-side buckets contribute finitely.
+    *
+    * Determinism — the [[statsEntropy]] single-transcendental discipline:
+    * the ONLY float op is one ln per bucket, immediately floor-quantized
+    * to int64 millionths (lq = ⌊ln(xa/xb)·10⁶⌋ where xa = (ca+1)(nb+B),
+    * xb = (cb+1)(na+B) — the ratio is pa/pb exactly, cross-multiplied so
+    * no intermediate float division exists); each term (xa−xb)·lq is ≥ 0
+    * by construction (diff and log share sign; floor keeps the product
+    * nonnegative), the sum lifts to DECIMAL(38,0) (HUGEINT twin — the
+    * q_stats_gini precedent; xa−xb ~ n², ×lq overflows int64 at sf0.1's
+    * scale), and the final psi_ppm returns to int64 via one integral
+    * division by the common denominator (na+B)(nb+B). Scale: one scan →
+    * (type, bucket) hash agg with map-side partials; every window runs
+    * over the ≤ |types|·range histogram frame, never event rows. */
+  def statsPsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    // append-only ingest proxy: one driver scalar (bounded-state contract,
+    // coalesce-guarded like statsTtest so an empty table stays NPE-free)
+    val cut = e.agg(coalesce(max($"event_id"), lit(0L))).head().getLong(0) / 2
+    val wT = Window.partitionBy($"event_type")
+    e.select($"event_type", floor($"value").cast(LongType).as("bucket"),
+        when($"event_id" <= cut, 1L).otherwise(0L).as("ia"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum($"ia").as("ca"), sum(lit(1L) - $"ia").as("cb"))
+      .withColumn("na", sum($"ca").over(wT))
+      .withColumn("nb", sum($"cb").over(wT))
+      .withColumn("bk", count(lit(1)).over(wT))
+      .withColumn("xa", ($"ca" + lit(1L)) * ($"nb" + $"bk"))
+      .withColumn("xb", ($"cb" + lit(1L)) * ($"na" + $"bk"))
+      .withColumn("lq",
+        floor(log($"xa".cast("double") / $"xb".cast("double")) * 1000000.0)
+          .cast(LongType))
+      .groupBy($"event_type")
+      .agg(max($"na").as("na"), max($"nb").as("nb"),
+        max($"bk").as("n_buckets"),
+        sum(($"xa" - $"xb").cast("decimal(38,0)") * $"lq").as("psi_num"))
+      .select($"event_type", $"na", $"nb", $"n_buckets",
+        expr("""CAST(psi_num div ((na + n_buckets) * (nb + n_buckets))
+               |     AS BIGINT)""".stripMargin).as("psi_ppm"))
+      .orderBy($"event_type")
+  }
+
+  val statsPsiSql: String =
+    """WITH cut AS (
+      |  SELECT COALESCE(CAST(MAX(event_id) AS BIGINT), 0) // 2 AS c FROM events),
+      |hist AS (
+      |  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
+      |    SUM(CASE WHEN event_id <= cut.c THEN 1 ELSE 0 END) AS ca,
+      |    SUM(CASE WHEN event_id <= cut.c THEN 0 ELSE 1 END) AS cb
+      |  FROM events, cut GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, ca, cb,
+      |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+      |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS bk
+      |  FROM hist),
+      |q AS (
+      |  SELECT event_type, na, nb, bk,
+      |    (ca + 1) * (nb + bk) AS xa, (cb + 1) * (na + bk) AS xb,
+      |    CAST(FLOOR(ln(CAST((ca + 1) * (nb + bk) AS DOUBLE)
+      |                  / CAST((cb + 1) * (na + bk) AS DOUBLE)) * 1000000.0)
+      |         AS BIGINT) AS lq
+      |  FROM m)
+      |SELECT event_type, MAX(na) AS na, MAX(nb) AS nb, MAX(bk) AS n_buckets,
+      |  CAST(SUM(CAST(xa - xb AS HUGEINT) * lq)
+      |       // CAST((MAX(na) + MAX(bk)) * (MAX(nb) + MAX(bk)) AS HUGEINT)
+      |       AS BIGINT) AS psi_ppm
+      |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin
   /** Median-absolute-deviation anomaly gate (r11) — the robust outlier
     * detector a data-quality pipeline runs per segment: per event_type,
     * the exact median and MAD of the value distribution and the count of
@@ -1010,6 +1087,7 @@ object Curation {
     "q_stats_entropy"  -> (statsEntropy _),
     "q_sample_reservoir" -> (sampleReservoir _),
     "q_stats_ks"       -> (statsKs _),
+    "q_stats_psi"      -> (statsPsi _),
     "q_stats_chi2"     -> (statsChi2 _),
     "q_anomaly_mad"    -> (anomalyMad _),
     "q_schema_profile" -> (schemaProfile _))
@@ -1768,6 +1846,7 @@ object Curation {
     "q_stats_entropy"  -> statsEntropySql,
     "q_sample_reservoir" -> sampleReservoirSql,
     "q_stats_ks"       -> statsKsSql,
+    "q_stats_psi"      -> statsPsiSql,
     "q_stats_chi2"     -> statsChi2Sql,
     "q_anomaly_mad"    -> anomalyMadSql,
     "q_schema_profile" -> schemaProfileSql)

@@ -249,6 +249,47 @@ object LlmText {
       |  ROUND(CAST(COALESCE(list_sum(list_transform(pre, x -> (LENGTH(x) + 3) // 4)), 0) AS DOUBLE) / n_words, 4) AS fertility
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- bpe merge
+  /** BPE merge statistics (r13) — the tokenizer-TRAINING step next to
+    * [[textSubwords]] (which APPLIES a fixed length heuristic): the first
+    * round of byte-pair encoding counts every adjacent symbol pair inside
+    * words and merges the most frequent (Sennrich 2016); this query emits
+    * that pair table — top-20 adjacent character pairs of the lowercased
+    * corpus with exact counts and the number of contributing words. Run
+    * iteratively with a growing merge list this IS tokenizer training;
+    * one round is the oracle-able census (later rounds depend on the
+    * engine-side merge state, the same reason the sketch family caps at
+    * invariants).
+    *
+    * Determinism: pure string/int ops — no float anywhere; (cnt DESC,
+    * pair) is a total order (R1). Scale: the position explode is linear
+    * in corpus CHARS (the statsEntropy word-explode posture, ×~5), and
+    * the pair domain is ≤ |charset|² — the hash agg collapses map-side,
+    * so the shuffle carries the tiny pair census, never positions; the
+    * top-20 cut is TakeOrdered, no global sort. */
+  def textBpeMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(explode(split(lower(trim($"text")), " ")).as("w"))
+      .where(length($"w") >= 2)
+      .select($"w", explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
+  val textBpeMergeSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents),
+      |f AS (SELECT w FROM w WHERE length(w) >= 2),
+      |p AS (
+      |  SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM f)
+      |SELECT substring(w, CAST(i AS INTEGER), 2) AS pair,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- quality
   /** Quality scoring: token count, mean token length, stopword ratio, and a
     * deterministic composite score (pure ±×÷ on identical operands — exact
@@ -1977,6 +2018,7 @@ object LlmText {
     "q_search_bm25"         -> (searchBm25 _),
     "q_text_tokens"         -> (textTokens _),
     "q_text_subwords"       -> (textSubwords _),
+    "q_text_bpe_merge"      -> (textBpeMerge _),
     "q_text_quality"        -> (textQuality _),
     "q_text_langid"         -> (textLangid _),
     "q_text_fingerprint"    -> (textFingerprint _),
@@ -2014,6 +2056,7 @@ object LlmText {
     "q_search_bm25"         -> searchBm25Sql,
     "q_text_tokens"         -> textTokensSql,
     "q_text_subwords"       -> textSubwordsSql,
+    "q_text_bpe_merge"      -> textBpeMergeSql,
     "q_text_quality"        -> textQualitySql,
     "q_text_langid"         -> textLangidSql,
     "q_dedup_exact"         -> dedupExactSql,

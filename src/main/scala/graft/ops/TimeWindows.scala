@@ -1355,8 +1355,91 @@ object TimeWindows {
       |  CAST(SUM(COALESCE(filled_c, 0)) AS BIGINT) AS sum_filled_c
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- cusum
+  /** One-sided CUSUM drift detector (r13) — the SEQUENTIAL member of the
+    * anomaly family: q_anomaly_mad flags individual outlier VALUES,
+    * q_anomaly_seasonal flags cells against a periodic baseline, CUSUM
+    * flags a SUSTAINED LEVEL SHIFT — many small same-direction deviations
+    * that no per-point gate sees (Page 1954, the change-point detector
+    * every ingest-volume monitor runs). Per event_type over the
+    * zero-filled daily census: S_d = max(0, S_{d-1} + (x_d − mean)),
+    * alarm where S clears 4× the mean absolute deviation.
+    *
+    * The recurrence is NONLINEAR (the max-with-0 clamp), so it does not
+    * window directly — but it has the exact closed form S_d = P_d −
+    * min(0, min_{j≤d} P_j) for P = prefix sums of the deviations, which
+    * turns the scan into two cumulative windows (sum, then min) over the
+    * calendar grid. Both engines evaluate the identical closed form.
+    *
+    * Determinism: deviations are n-scaled (res_xn = x·N − T, the
+    * [[tsAcf]]/[[anomalySeasonal]] trick), so prefixes, minima, and the
+    * CUSUM are pure int64; the alarm gate cross-multiplies — N·S >
+    * 4·Σ|res_xn| ⇔ S/N > 4·(Σ|res|/N)/N — no rational mean or float
+    * threshold anywhere. Scale: one scan → (type, day) hash agg bounded
+    * by |types|·span; the spine explode and all four windows run over
+    * that calendar-bounded frame, never event rows. */
+  def anomalyCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // |types|·span rows, materialized once — three consumers (bounds,
+    // type spine, left join) would each re-run the event scan otherwise
+    // (the q_search_bm25 ReusedExchange lesson)
+    val daily = graft.tables.Layout.materialize(events(s, dir)
+      .select($"event_type", expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("x")))
+    val grid = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1")).as("day"))
+      .crossJoin(daily.select($"event_type").distinct())
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"x", lit(0L)).as("x"))
+    val wT = Window.partitionBy($"event_type")
+    val wCum = wT.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("res_xn", count(lit(1)).over(wT) * $"x" - sum($"x").over(wT))
+      .withColumn("sum_abs_xn", sum(abs($"res_xn")).over(wT))
+      .withColumn("nd", count(lit(1)).over(wT))
+      .withColumn("pref", sum($"res_xn").over(wCum))
+      .withColumn("cusum_xn", $"pref" - least(lit(0L), min($"pref").over(wCum)))
+      .withColumn("alarm", $"nd" * $"cusum_xn" > lit(4L) * $"sum_abs_xn")
+      .select($"event_type", $"day", $"x", $"res_xn", $"cusum_xn", $"alarm")
+      .orderBy($"event_type", $"day")
+  }
+
+  val anomalyCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |grid AS (
+      |  SELECT t.event_type, ds.day, COALESCE(daily.x, 0) AS x
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT UNNEST(generate_series(b.d0, b.d1)) AS day FROM b) ds
+      |  LEFT JOIN daily ON t.event_type = daily.event_type AND ds.day = daily.day),
+      |scored AS (
+      |  SELECT event_type, day, x,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) * x
+      |         - SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS res_xn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      |  FROM grid),
+      |pfx AS (
+      |  SELECT event_type, day, x, res_xn, nd,
+      |    CAST(SUM(ABS(res_xn)) OVER (PARTITION BY event_type) AS BIGINT) AS sum_abs_xn,
+      |    CAST(SUM(res_xn) OVER (PARTITION BY event_type ORDER BY day
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref
+      |  FROM scored),
+      |cus AS (
+      |  SELECT event_type, day, x, res_xn, nd, sum_abs_xn,
+      |    pref - LEAST(0, MIN(pref) OVER (PARTITION BY event_type ORDER BY day
+      |                                    ROWS UNBOUNDED PRECEDING)) AS cusum_xn
+      |  FROM pfx)
+      |SELECT event_type, day, x, res_xn, CAST(cusum_xn AS BIGINT) AS cusum_xn,
+      |  nd * cusum_xn > 4 * sum_abs_xn AS alarm
+      |FROM cus ORDER BY event_type, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_fill_forward"   -> (tsFillForward _),
+    "q_anomaly_cusum"     -> (anomalyCusum _),
     "q_anomaly_seasonal"  -> (anomalySeasonal _),
     "q_ts_acf"            -> (tsAcf _),
     "q_cep_permute"       -> (cepPermute _),
@@ -1385,6 +1468,7 @@ object TimeWindows {
 
   def oracle: Map[String, String] = Map(
     "q_ts_fill_forward"  -> tsFillForwardSql,
+    "q_anomaly_cusum"    -> anomalyCusumSql,
     "q_cep_permute"      -> cepPermuteSql,
     "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,

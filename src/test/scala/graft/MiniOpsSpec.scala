@@ -331,4 +331,28 @@ class MiniOpsSpec extends SparkTestBase {
       assert(loop === expected, "distributed CC loop census drifted from union-find")
     } finally System.clearProperty("graft.graphcc.uf.maxEdges")
   }
+
+  test("q_text_bpe_merge: pair census recomputes brute-force; round-1 merge winner is the top pair") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    // 'll' dominates by construction; 'Hello'/'hello' must pool after
+    // lowercasing; the double space yields an empty token (dropped by the
+    // len>=2 gate, like the 1-char word 'a')
+    val texts = Seq(
+      (1L, "Hello hello yellow fellow", "en", "s", 25L),
+      (2L, "ball  bell a ill", "en", "s", 16L),
+      (3L, "llll", "en", "s", 4L))
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    val got = graft.ops.LlmText.textBpeMerge(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val counts = texts.flatMap(_._2.toLowerCase.trim.split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expect = counts.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got === expect, "pair census drifted from driver brute force")
+    assert(got.head._1 === "ll", "round-1 BPE merge winner must be 'll'")
+    // 'll' count: hello×2 + yellow + fellow + ball + bell + ill + llll(3 overlapping) = 10
+    assert(got.head._2 === 10L, "overlapping pairs must each count ('llll' has 3)")
+  }
 }

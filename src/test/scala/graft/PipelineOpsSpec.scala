@@ -1170,4 +1170,104 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(2)._4 > 0.5, s"period-3 signal missing: ${rows(2)._4}")
     assert(rows.map(_._4).max === rows(2)._4, "lag 3 is not the ACF peak")
   }
+
+  test("q_anomaly_cusum: closed form equals the clamp recurrence; planted level shift alarms") {
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    // 'view': 10 days at 4/day then 10 days at 10/day — a sustained shift no
+    // single day would flag; 'click': constant 3/day (dev ≡ 0, never alarms);
+    // 'ping': constant except day 5 has ZERO events (the cell must exist via
+    // the zero-fill — and the outage legitimately seeds a slow post-outage
+    // CUSUM climb, since it drags the mean below every normal day)
+    def cellCount(t: String, d: Int): Int =
+      if (t == "view") { if (d < 10) 4 else 10 }
+      else if (t == "click") 3
+      else { if (d == 5) 0 else 3 }
+    var id = 0L
+    val evs = for {
+      t <- Seq("view", "click", "ping"); d <- 0 until 20; i <- 0 until cellCount(t, d)
+    } yield { id += 1; (id, new Timestamp((d * 86400L + i) * 1000L), 1L, t, 1.0, "{}") }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val rows = graft.ops.TimeWindows.anomalyCusum(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length === 60, "grid must be types × 20 days, zero-filled")
+    // brute-force: the DIRECT clamp recurrence S_d = max(0, S_{d-1} + dev)
+    // on the n-scaled deviations — the closed form must equal it exactly
+    for (t <- Seq("view", "click", "ping")) {
+      val xs = (0 until 20).map(d => cellCount(t, d).toLong)
+      val n = xs.length.toLong; val tot = xs.sum
+      val dev = xs.map(x => n * x - tot)
+      val sumAbs = dev.map(math.abs).sum
+      var s = 0L
+      val expect = dev.map { d => s = math.max(0L, s + d); s }
+      val got = rows.filter(_._1 == t).sortBy(_._2)
+      assert(got.map(_._2) === (0L until 20L), s"$t: day spine not dense")
+      assert(got.map(_._3).toSeq === xs, s"$t: zero-filled daily census drifted")
+      assert(got.map(_._4).toSeq === dev, s"$t: n-scaled residuals drifted")
+      assert(got.map(_._5).toSeq === expect,
+        s"$t: closed-form CUSUM != direct clamp recurrence")
+      assert(got.map(_._6).toSeq === expect.map(sv => n * sv > 4L * sumAbs),
+        s"$t: alarm gate drifted")
+    }
+    // the shift DOES alarm (late view days), the truly-flat type never does,
+    // and the outage day is present as a zero-filled cell
+    assert(rows.exists(r => r._1 == "view" && r._6), "level shift missed")
+    assert(!rows.exists(r => r._1 == "click" && r._6), "flat series false alarm")
+    assert(rows.exists(r => r._1 == "ping" && r._2 == 5L && r._3 == 0L),
+      "outage day must enter the series via the zero-fill")
+  }
+
+  test("q_interval_concurrency: minute census recomputes brute-force on real data") {
+    val rows = Advanced.intervalConcurrency(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ts = graft.tables.Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.unix_timestamp($"ts"))
+      .as[Long].collect()
+    val perMinute = ts.flatMap(t => ((t + 59) / 60) to ((t + 299) / 60))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = perMinute.keys.groupBy(_ / 1440).toSeq.map { case (day, ms) =>
+      val peak = ms.map(perMinute).max
+      val at = ms.filter(m => perMinute(m) == peak).min
+      (day, peak, at, ms.size.toLong)
+    }.sortBy(_._1)
+    assert(rows === expect, "per-day concurrency census drifted from brute force")
+    rows.foreach { case (_, peak, _, _) => assert(peak >= 1L) }
+  }
+
+  test("q_stats_psi: identical halves score 0; planted shift clears the 0.25 band; exact recompute") {
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    // global cut = max(event_id)/2 = 40. 'stable' holds ids 1..20 and
+    // 41..60 with IDENTICAL value histograms each side → every bucket has
+    // ca=cb and na=nb, so xa=xb, ln=0, PSI exactly 0. 'shift' moves mass
+    // entirely: first half ~10.x, second half ~50.x.
+    val evs =
+      (1 to 20).map(i => (i.toLong, new Timestamp(i * 1000L), 1L, "stable", (i % 4) + 1.5, "{}")) ++
+      (41 to 60).map(i => (i.toLong, new Timestamp(i * 1000L), 1L, "stable", (i % 4) + 1.5, "{}")) ++
+      (21 to 40).map(i => (i.toLong, new Timestamp(i * 1000L), 1L, "shift", 10.0 + (i % 3), "{}")) ++
+      (61 to 80).map(i => (i.toLong, new Timestamp(i * 1000L), 1L, "shift", 50.0 + (i % 3), "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(tmp + "/events.parquet")
+    val rows = graft.ops.Curation.statsPsi(spark, tmp)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rows("stable") === ((20L, 20L, 4L, 0L)),
+      "identical half-histograms must score PSI exactly 0")
+    // brute-force the shifted type with the same integer discipline
+    val shiftEvs = evs.filter(_._4 == "shift")
+    val hist = shiftEvs.groupBy(e => math.floor(e._5).toLong).toSeq.map { case (b, es) =>
+      (b, es.count(_._1 <= 40L).toLong, es.count(_._1 > 40L).toLong)
+    }
+    val (na, nb) = (hist.map(_._2).sum, hist.map(_._3).sum)
+    val bk = hist.size.toLong
+    val num = hist.map { case (_, ca, cb) =>
+      val xa = BigInt((ca + 1) * (nb + bk)); val xb = BigInt((cb + 1) * (na + bk))
+      val lq = BigInt(math.floor(math.log(xa.toDouble / xb.toDouble) * 1000000.0).toLong)
+      (xa - xb) * lq
+    }.sum
+    val expPpm = (num / BigInt((na + bk) * (nb + bk))).toLong
+    assert(rows("shift") === ((na, nb, bk, expPpm)), "shifted-type PSI ppm drifted")
+    assert(expPpm > 250000L, "a full mass move must clear the 0.25 'shifted' band")
+  }
 }
