@@ -827,4 +827,42 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       "the lang frame degenerated to a sort-merge join against the corpus")
   }
+
+  test("q_text_bpe_merge: pair census aggregates map-side; top-20 fuses to TakeOrderedAndProject") {
+    val p = planOf(SparkEntry.queries("q_text_bpe_merge")(spark, dir))
+    assert(p.contains("partial_count"),
+      "pair census has no map-side partial — the shuffle carries raw char positions")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 runs as a global sort, not top-k")
+    assert(nodeIds(p, "Scan parquet").size === 1, "documents scanned more than once")
+  }
+
+  test("q_stats_psi: one event scan; window and final agg share the event_type exchange") {
+    val df = SparkEntry.queries("q_stats_psi")(spark, dir)
+    val p = planOf(df)
+    assert(nodeIds(p, "Scan parquet").size === 1, "events scanned more than once")
+    assert(p.contains("partial_sum"), "histogram build has no map-side partial")
+    // exchanges: histogram agg, window-by-type, final display sort — nothing
+    // between the totals window and the per-type reduction (partitioning reuse)
+    val ex = nodeIds(p, "Exchange").size
+    assert(ex <= 3, s"expected ≤3 shuffles (agg, window, sort) — got $ex:\n$p")
+  }
+
+  test("q_anomaly_cusum: daily census materialized once — three cached consumers, all joins broadcast") {
+    val p = planOf(SparkEntry.queries("q_anomaly_cusum")(spark, dir))
+    assert(nodeIds(p, "Scan ExistingRDD").size === 3,
+      "the (type, day) census is not served to all three consumers from one materialization")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "grid assembly degenerated from broadcast joins")
+    assert(nodeIds(p, "Scan parquet").isEmpty,
+      "a consumer re-scans events instead of reading the materialized census")
+  }
+
+  test("q_interval_concurrency: minute census aggregates map-side; windows run on the day grid only") {
+    val p = planOf(SparkEntry.queries("q_interval_concurrency")(spark, dir))
+    assert(p.contains("partial_count"),
+      "minute census has no map-side partial — the shuffle carries raw grid instants")
+    assert(nodeIds(p, "Scan parquet").size === 1, "events scanned more than once")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "concurrency census should join nothing — sweep-line shapes are banned here")
+  }
 }
