@@ -277,6 +277,43 @@ object StreamOps {
       .groupBy(col("h"))
       .agg(count(lit(1)).as("x"))
 
+  /** Streaming open-interval minute census (r13, the maintenance half of
+    * q_interval_concurrency): each event opens a 300 s interval; the
+    * census counts open intervals per covered minute boundary (the same
+    * ≤5-instant sampling as the batch op — pure int64 half-open
+    * arithmetic, never the every-endpoint sweep line), kept current in
+    * update mode behind an event_id dedup (at-least-once re-sends
+    * absorb). The per-day report — peak, earliest peak minute, active
+    * minutes — is a read-side fold over the settled calendar-bounded
+    * frame (the ledger pattern): argmax-with-ties is cross-row work that
+    * belongs in the cheap bounded read query, not per-row stream state.
+    * State: one dedup key per event + 1 long per live minute. */
+  def minuteConcurrency(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates(Seq("event_id"))
+      .select(expr("CAST(unix_timestamp(ts) AS BIGINT)").as("t"))
+      .select(explode(expr("sequence((t + 59) div 60, (t + 299) div 60)")).as("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_open"))
+
+  /** Streaming (event_type, day) volume census (r13, the maintenance
+    * half of q_anomaly_cusum): per-type daily event counts in update
+    * mode behind an event_id dedup. The CUSUM itself — zero-filled grid,
+    * n-scaled deviations, the prefix-sum/min closed form of the clamp
+    * recurrence, the cross-multiplied alarm — is a read-side fold over
+    * the settled |types|·span frame (the ledger pattern): the detector's
+    * baseline (mean, MAD) is a census-wide statistic a per-row stream
+    * state cannot know, and the census IS the persistable product a
+    * monitoring pipeline checkpoints. State: one dedup key per event +
+    * 1 long per live (type, day) cell. */
+  def dailyTypeCensus(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates(Seq("event_id"))
+      .select(col("event_type"),
+        expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+
   /** Streaming per-lang corpus census (r12, the maintenance half of
     * q_mix_rebalance): docs deduped by doc_id (at-least-once re-sends
     * absorb), then per-lang doc/char totals in update mode. The rebalance

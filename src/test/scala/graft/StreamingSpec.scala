@@ -605,6 +605,73 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_interval_concurrency: settled minute census folds to the batch per-day peaks; re-sent events absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Advanced.intervalConcurrency(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.event_id).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.minuteConcurrency(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(100)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      // read-side fold: per-day peak, earliest peak minute, active-minute
+      // count — the same report the batch op derives from its minute grid
+      val census = spark.table(sink).as[(Long, Long)].collect()
+      val folded = census.groupBy(_._1 / 1440).toSeq.map { case (day, ms) =>
+        val peak = ms.map(_._2).max
+        (day, peak, ms.filter(_._2 == peak).map(_._1).min, ms.length.toLong)
+      }.sortBy(_._1)
+      assert(folded === batch,
+        "settled streaming minute census does not fold to the batch concurrency report")
+    } finally q.stop()
+  }
+
+  test("s_anomaly_cusum: settled daily census folds to the batch CUSUM alarms; re-sent events absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.TimeWindows.anomalyCusum(spark, dir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.event_id).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.dailyTypeCensus(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(100)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      // read-side fold: zero-filled grid, n-scaled deviations, the
+      // prefix-sum/min closed form, the cross-multiplied alarm — the same
+      // arithmetic the batch op runs over its calendar-bounded frame
+      val census = spark.table(sink).as[(String, Long, Long)].collect()
+        .map { case (t, d, x) => (t, d) -> x }.toMap
+      val (d0, dN) = (census.keys.map(_._2).min, census.keys.map(_._2).max)
+      val folded = census.keys.map(_._1).toSeq.distinct.sorted.flatMap { t =>
+        val xs = (d0 to dN).map(d => census.getOrElse((t, d), 0L))
+        val n = xs.length.toLong; val s1 = xs.sum
+        val dev = xs.map(x => n * x - s1)
+        val sumAbs = dev.map(math.abs).sum
+        val pref = dev.scanLeft(0L)(_ + _).tail
+        val runMin = pref.scanLeft(Long.MaxValue)(math.min).tail
+        xs.indices.map { i =>
+          val cus = pref(i) - math.min(0L, runMin(i))
+          (t, d0 + i, xs(i), dev(i), cus, n * cus > 4L * sumAbs)
+        }
+      }
+      assert(folded === batch,
+        "settled streaming daily census does not fold to the batch CUSUM frame")
+    } finally q.stop()
+  }
+
   test("s_hot_items_update: revisions track late-but-in-watermark events; " +
        "final frame == batch q_hot_items") {
     import org.apache.spark.sql.streaming.{TimeMode, OutputMode}
