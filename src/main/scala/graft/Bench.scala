@@ -26,6 +26,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // absolute per-PID warehouse, deleted by a shutdown hook (TempDirs)
       .config("spark.sql.warehouse.dir", TempDirs.warehouse("bench"))
+      // shuffle/spill scratch on the fast (RAM-backed when available)
+      // base — the local-mode analog of local NVMe (TempDirs.fastTmpBase)
+      .config("spark.local.dir", TempDirs.localDir("bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/FS caches are infrastructure, not query
@@ -50,6 +53,11 @@ object Bench {
     if (warmed)
       onlyQueries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        // drop the warmup execution's materialize pins immediately — the
+        // timed loop must start with an empty block manager (see
+        // releaseDeadPins below)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     System.err.println(
       if (warmed) s"[bench] per-query warmup ran at $warmDir (warm protocol)"
@@ -58,13 +66,28 @@ object Bench {
     // load (r6 driver numbers ran ~2× idle medians on the heavy queries);
     // the min of two back-to-back runs discards one-off scheduler stalls
     // while still timing real steady-state execution.
+    // Between-execution cleanup, OUTSIDE the timed window: queries pin
+    // intermediates via Layout.materialize (localCheckpoint), and those
+    // blocks outlive the query — over 208×2 executions the block manager
+    // accumulates hundreds of dead pinned RDDs, squeezing execution
+    // memory and inflating the late-suite heavy queries 2-4× vs their
+    // isolated runs (measured: q_graph_pagerank 1.45 s isolated vs
+    // 3.5-7 s late-suite before this hook). Each execution rebuilds its
+    // own pins (standing tables are parquet, not cached), so dropping
+    // every persistent RDD between executions changes no result and
+    // models what independent per-query sessions would see.
+    def releaseDeadPins(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = onlyQueries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      def oncePlusCleanup(): Double = { val t = once(); releaseDeadPins(); t }
+      name -> math.min(oncePlusCleanup(), oncePlusCleanup())
     }
     // 3-decimal seconds keep the whole line (~110 queries) inside the
     // driver's tail-capture window — full-precision doubles overflowed it

@@ -342,6 +342,7 @@ object Invariants {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", TempDirs.warehouse("invariants"))
+      .config("spark.local.dir", TempDirs.localDir("invariants"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json = toJson(sfDir, compute(spark, sfDir))

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // absolute per-PID warehouse, deleted by a shutdown hook (TempDirs)
       .config("spark.sql.warehouse.dir", TempDirs.warehouse("verify"))
+      // shuffle/spill scratch on the fast (RAM-backed when available)
+      // base — the local-mode analog of local NVMe (TempDirs.fastTmpBase)
+      .config("spark.local.dir", TempDirs.localDir("verify"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -28,6 +31,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release the query's dead Layout.materialize pins (localCheckpoint
+      // blocks) before the next query — otherwise 208 queries accumulate
+      // hundreds of pinned RDDs in one JVM, squeezing execution memory
+      // (same hygiene as Bench's releaseDeadPins; results are unaffected
+      // because every query rebuilds its own pins).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

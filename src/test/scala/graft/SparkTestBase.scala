@@ -20,6 +20,8 @@ object SparkTestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.warehouse.dir", TempDirs.warehouse("test"))
+      // shuffle/spill + state-store scratch on the fast base (TempDirs)
+      .config("spark.local.dir", TempDirs.localDir("test"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
