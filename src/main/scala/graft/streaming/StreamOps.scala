@@ -314,6 +314,47 @@ object StreamOps {
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
 
+  /** Streaming PSI drift census (r13, the maintenance half of
+    * q_stats_psi): the (event_type, value-bucket) histogram with
+    * reference/live split counts kept current in update mode behind an
+    * event_id dedup. `cut` is the reference boundary — in production
+    * yesterday's high-water mark, a KNOWN constant the monitor was
+    * deployed with (the q_dedup_incremental standing-state convention);
+    * events at or below it count into the frozen reference column `ca`,
+    * later ones into the live column `cb`. The PSI itself — Laplace
+    * smoothing, the single floor-quantized ln per bucket, the
+    * DECIMAL(38) numerator, the one integral division — is a read-side
+    * fold over the settled ≤|types|·range frame (the s_stats_auc ledger
+    * pattern): the score needs cross-bucket totals a per-row stream
+    * state cannot know, and the census IS the persistable product a
+    * drift monitor checkpoints. State: one dedup key per event + 2
+    * longs per live (type, bucket) cell. */
+  def psiCensus(events: DataFrame, cut: Long): DataFrame =
+    events
+      .dropDuplicates(Seq("event_id"))
+      .select(col("event_type"),
+        expr("CAST(FLOOR(value) AS BIGINT)").as("bucket"),
+        when(col("event_id") <= cut, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+
+  /** Streaming Benford first-digit census (r13, the maintenance half of
+    * q_stats_benford): per-first-significant-digit order counts kept
+    * current in update mode behind an o_orderkey dedup (at-least-once
+    * re-sends absorb). The report — observed ppm, the 9 integer-literal
+    * Benford expectations, signed deviation — is a read-side fold over
+    * the settled ≤9-row frame (ledger pattern): obs_ppm needs the
+    * cross-digit total. The digit extraction is the batch op's exact
+    * no-float form (first character of the integer cast). State: one
+    * dedup key per order + 1 long per digit. */
+  def digitCensus(orders: DataFrame): DataFrame =
+    orders
+      .dropDuplicates(Seq("o_orderkey"))
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming per-lang corpus census (r12, the maintenance half of
     * q_mix_rebalance): docs deduped by doc_id (at-least-once re-sends
     * absorb), then per-lang doc/char totals in update mode. The rebalance

@@ -672,6 +672,77 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_stats_psi: settled drift census folds to the batch PSI report; re-sent events absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Curation.statsPsi(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.event_id).toSeq
+    // the reference boundary the monitor was deployed with — the batch
+    // op's cut, known up front in the standing-state convention
+    val cut = evs.map(_.event_id).max / 2
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.psiCensus(in.toDF(), cut)
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(100)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      // read-side fold: Laplace smoothing, one floor-quantized ln per
+      // bucket, BigInt numerator, one integral division — the batch op's
+      // exact integer arithmetic over the settled census frame
+      val census = spark.table(sink).as[(String, Long, Long, Long)].collect()
+      val folded = census.groupBy(_._1).toSeq.map { case (t, rows) =>
+        val na = rows.map(_._3).sum; val nb = rows.map(_._4).sum
+        val bk = rows.length.toLong
+        val num = rows.map { case (_, _, ca, cb) =>
+          val xa = (ca + 1L) * (nb + bk); val xb = (cb + 1L) * (na + bk)
+          val lq = math.floor(math.log(xa.toDouble / xb.toDouble) * 1000000.0).toLong
+          BigInt(xa - xb) * lq
+        }.sum
+        val ppm = (num / (BigInt(na + bk) * BigInt(nb + bk))).toLong
+        (t, na, nb, bk, ppm)
+      }.sortBy(_._1)
+      assert(folded === batch,
+        "settled streaming drift census does not fold to the batch PSI report")
+    } finally q.stop()
+  }
+
+  test("s_stats_benford: settled digit census folds to the batch Benford report; re-sent orders absorb") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Curation.statsBenford(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val ords = graft.tables.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val in = MemoryStream[(Long, Double)]
+    val sink = nextSink()
+    val q = StreamOps.digitCensus(
+        in.toDF().withColumnsRenamed(Map("_1" -> "o_orderkey", "_2" -> "o_totalprice")))
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = ords.splitAt(ords.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(50)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      // read-side fold over the ≤9-row settled frame: exact obs ppm +
+      // the 9 integer-literal expectations (never computed, no libm)
+      val expPpm = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+        5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+      val census = spark.table(sink).as[(Long, Long)].collect()
+      val total = census.map(_._2).sum
+      val folded = census.toSeq.map { case (d, n) =>
+        val obs = n * 1000000L / total
+        (d, n, obs, expPpm(d), obs - expPpm(d))
+      }.sortBy(_._1)
+      assert(folded === batch,
+        "settled streaming digit census does not fold to the batch Benford report")
+    } finally q.stop()
+  }
+
   test("s_hot_items_update: revisions track late-but-in-watermark events; " +
        "final frame == batch q_hot_items") {
     import org.apache.spark.sql.streaming.{TimeMode, OutputMode}
