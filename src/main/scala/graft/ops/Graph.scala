@@ -121,8 +121,13 @@ object Graph {
     var ranks = nodes
       .crossJoin(broadcast(consts))
       .select($"node", $"r0".as("r"), $"base")
+    // shuffle-hash per round, hash map built on the node-sized rank frame
+    // (r13): sort-merge would SORT the edge side — the big relation — five
+    // times; ranks-per-partition is the small side by an average-degree
+    // factor and shrinks further as executors scale out. Local measurement
+    // sits inside the noise band; the posture is for the cluster shape.
     for (_ <- 1 to 5) {
-      ranks = edges.join(ranks, $"src" === $"node")
+      ranks = edges.join(ranks.hint("shuffle_hash"), $"src" === $"node")
         .select($"dst", expr("((r div d) * 85L) div 100L").as("contrib"), $"base")
         .groupBy($"dst").agg(sum($"contrib").as("csum"), min($"base").as("base"))
         .select($"dst".as("node"), ($"base" + $"csum").as("r"), $"base")
