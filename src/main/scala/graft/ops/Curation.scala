@@ -793,10 +793,13 @@ object Curation {
     * xb = (cb+1)(na+B) — the ratio is pa/pb exactly, cross-multiplied so
     * no intermediate float division exists); each term (xa−xb)·lq is ≥ 0
     * by construction (diff and log share sign; floor keeps the product
-    * nonnegative), the sum lifts to DECIMAL(38,0) (HUGEINT twin — the
-    * q_stats_gini precedent; xa−xb ~ n², ×lq overflows int64 at sf0.1's
-    * scale), and the final psi_ppm returns to int64 via one integral
-    * division by the common denominator (na+B)(nb+B). Scale: one scan →
+    * nonnegative); xa, xb, the term sum, and the final denominator are
+    * all DECIMAL(38,0) from CONSTRUCTION (HUGEINT twin — the q_stats_gini
+    * precedent): xa ~ n² per type wraps int64 silently at ~3·10⁹
+    * events/type in non-ANSI Spark while DuckDB errors, so the lift
+    * happens before any product, not just at the sum (r13 session-2
+    * hardening — the q_sample_temperature advice class); psi_ppm returns
+    * to int64 via one integral division by (na+B)(nb+B). Scale: one scan →
     * (type, bucket) hash agg with map-side partials; every window runs
     * over the ≤ |types|·range histogram frame, never event rows. */
   def statsPsi(s: SparkSession, dir: String): DataFrame = {
@@ -813,17 +816,26 @@ object Curation {
       .withColumn("na", sum($"ca").over(wT))
       .withColumn("nb", sum($"cb").over(wT))
       .withColumn("bk", count(lit(1)).over(wT))
-      .withColumn("xa", ($"ca" + lit(1L)) * ($"nb" + $"bk"))
-      .withColumn("xb", ($"cb" + lit(1L)) * ($"na" + $"bk"))
+      // xa/xb ~ n² per type: DECIMAL(38,0) from CONSTRUCTION, not just the
+      // sum — an int64 product overflows at ~3·10⁹ events/type, silently
+      // in Spark (non-ANSI wrap) vs an error in DuckDB (the r12
+      // q_sample_temperature advice class). Values at test SF are
+      // identical either way (< 2⁵³, so even the double casts feeding lq
+      // are exact).
+      .withColumn("xa",
+        ($"ca" + lit(1L)).cast("decimal(38,0)") * ($"nb" + $"bk"))
+      .withColumn("xb",
+        ($"cb" + lit(1L)).cast("decimal(38,0)") * ($"na" + $"bk"))
       .withColumn("lq",
         floor(log($"xa".cast("double") / $"xb".cast("double")) * 1000000.0)
           .cast(LongType))
       .groupBy($"event_type")
       .agg(max($"na").as("na"), max($"nb").as("nb"),
         max($"bk").as("n_buckets"),
-        sum(($"xa" - $"xb").cast("decimal(38,0)") * $"lq").as("psi_num"))
+        sum(($"xa" - $"xb") * $"lq").as("psi_num"))
       .select($"event_type", $"na", $"nb", $"n_buckets",
-        expr("""CAST(psi_num div ((na + n_buckets) * (nb + n_buckets))
+        expr("""CAST(psi_num div (CAST(na + n_buckets AS DECIMAL(38,0))
+               |                  * (nb + n_buckets))
                |     AS BIGINT)""".stripMargin).as("psi_ppm"))
       .orderBy($"event_type")
   }
@@ -844,14 +856,16 @@ object Curation {
       |  FROM hist),
       |q AS (
       |  SELECT event_type, na, nb, bk,
-      |    (ca + 1) * (nb + bk) AS xa, (cb + 1) * (na + bk) AS xb,
-      |    CAST(FLOOR(ln(CAST((ca + 1) * (nb + bk) AS DOUBLE)
-      |                  / CAST((cb + 1) * (na + bk) AS DOUBLE)) * 1000000.0)
+      |    CAST(ca + 1 AS HUGEINT) * (nb + bk) AS xa,
+      |    CAST(cb + 1 AS HUGEINT) * (na + bk) AS xb,
+      |    CAST(FLOOR(ln(CAST(CAST(ca + 1 AS HUGEINT) * (nb + bk) AS DOUBLE)
+      |                  / CAST(CAST(cb + 1 AS HUGEINT) * (na + bk) AS DOUBLE))
+      |               * 1000000.0)
       |         AS BIGINT) AS lq
       |  FROM m)
       |SELECT event_type, MAX(na) AS na, MAX(nb) AS nb, MAX(bk) AS n_buckets,
-      |  CAST(SUM(CAST(xa - xb AS HUGEINT) * lq)
-      |       // CAST((MAX(na) + MAX(bk)) * (MAX(nb) + MAX(bk)) AS HUGEINT)
+      |  CAST(SUM((xa - xb) * lq)
+      |       // (CAST(MAX(na) + MAX(bk) AS HUGEINT) * (MAX(nb) + MAX(bk)))
       |       AS BIGINT) AS psi_ppm
       |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin
   /** Median-absolute-deviation anomaly gate (r11) — the robust outlier

@@ -1375,7 +1375,13 @@ object TimeWindows {
     * [[tsAcf]]/[[anomalySeasonal]] trick), so prefixes, minima, and the
     * CUSUM are pure int64; the alarm gate cross-multiplies — N·S >
     * 4·Σ|res_xn| ⇔ S/N > 4·(Σ|res|/N)/N — no rational mean or float
-    * threshold anywhere. Scale: one scan → (type, day) hash agg bounded
+    * threshold anywhere. Int64 bound (the [[tsAcf]] documentation
+    * discipline): every intermediate is ≤ 2·N²·T for N grid days and T
+    * per-type total events, safe while T < 2⁶²/N² — at a year's grid
+    * (N=365) that is ~3·10¹³ events/type, comfortably past the 100 TB
+    * daily-census regime; a decade-grid ultra-high-volume type should
+    * pre-aggregate to weeks (N↓49) or lift to DECIMAL(38). Scale: one
+    * scan → (type, day) hash agg bounded
     * by |types|·span; the spine explode and all four windows run over
     * that calendar-bounded frame, never event rows. */
   def anomalyCusum(s: SparkSession, dir: String): DataFrame = {

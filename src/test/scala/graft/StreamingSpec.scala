@@ -699,9 +699,10 @@ class StreamingSpec extends SparkTestBase {
         val na = rows.map(_._3).sum; val nb = rows.map(_._4).sum
         val bk = rows.length.toLong
         val num = rows.map { case (_, _, ca, cb) =>
-          val xa = (ca + 1L) * (nb + bk); val xb = (cb + 1L) * (na + bk)
+          // BigInt from construction — the batch op's DECIMAL(38) posture
+          val xa = BigInt(ca + 1L) * (nb + bk); val xb = BigInt(cb + 1L) * (na + bk)
           val lq = math.floor(math.log(xa.toDouble / xb.toDouble) * 1000000.0).toLong
-          BigInt(xa - xb) * lq
+          (xa - xb) * lq
         }.sum
         val ppm = (num / (BigInt(na + bk) * BigInt(nb + bk))).toLong
         (t, na, nb, bk, ppm)
