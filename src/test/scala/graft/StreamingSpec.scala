@@ -672,6 +672,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_stats_linreg: the SAME settled daily census (s_anomaly_cusum's) folds to the batch OLS trend") {
+    // ledger-pattern reuse: one maintained (type, day) census serves the
+    // whole monitoring family — CUSUM level shifts (s_anomaly_cusum) and
+    // the OLS volume trend both fold read-side from the same stream state
+    val dir = sf("sf0.001")
+    val batch = graft.ops.Curation.statsLinreg(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(_.event_id).toSeq
+    val in = MemoryStream[Event]
+    val sink = nextSink()
+    val q = StreamOps.dailyTypeCensus(in.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+    try {
+      val (h1, h2) = evs.splitAt(evs.length / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h1.take(100)); q.processAllAvailable() // at-least-once replay absorbs
+      in.addData(h2); q.processAllAvailable()
+      // read-side fold: zero-filled day grid, exact int64 sufficient
+      // statistics, one correctly-rounded slope division (the batch op's
+      // arithmetic over the settled bounded frame)
+      val census = spark.table(sink).as[(String, Long, Long)].collect()
+        .map { case (t, d, x) => (t, d) -> x }.toMap
+      val (d0, dN) = (census.keys.map(_._2).min, census.keys.map(_._2).max)
+      val folded = census.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+        val xs = (0L to (dN - d0)).map(x => (x, census.getOrElse((t, d0 + x), 0L)))
+        val n = xs.length.toLong
+        val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+        val sxy = xs.map(p => p._1 * p._2).sum; val sxx = xs.map(p => p._1 * p._1).sum
+        val num = n * sxy - sx * sy
+        val den = n * sxx - sx * sx
+        val slope = if (den == 0L) 0.0
+          else BigDecimal(num.toDouble / den.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, n, sy, num, if (den == 0L) 0L else den, slope)
+      }
+      assert(folded === batch,
+        "settled streaming daily census does not fold to the batch OLS trend")
+    } finally q.stop()
+  }
+
   test("s_stats_psi: settled drift census folds to the batch PSI report; re-sent events absorb") {
     val dir = sf("sf0.001")
     val batch = graft.ops.Curation.statsPsi(spark, dir)
