@@ -722,6 +722,10 @@ object Curation {
     * int64 (cross-multiplied, no float ECDFs), argmax ties break on the
     * smaller bucket; only the final ks = gap/(nA·nB) is one
     * correctly-rounded double division (R4 rounding at the boundary).
+    * Int64 bound: gap ~ n² wraps past ~3·10⁹ events — beyond that the
+    * cross-products lift to DECIMAL(38) AND the emitted gap_num column
+    * widens with them (the output schema is part of the bound, unlike
+    * q_stats_psi where the wide intermediates reduce back to a ppm).
     * Scale: one map-side-partial hash agg to the bucket histogram, the
     * cumulative window runs over ≤500 HISTOGRAM rows (never raw events),
     * totals broadcast one-row. */
