@@ -52,12 +52,12 @@ object Bench {
     val warmed = new java.io.File(warmDir).isDirectory
     if (warmed)
       onlyQueries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
         // drop the warmup execution's materialize pins immediately — the
-        // timed loop must start with an empty block manager (see
-        // releaseDeadPins below)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // timed loop must start without dead pins (see the cleanup note
+        // below). PinScope releases only pins this execution created.
+        PinScope.scoped(spark) {
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
       }
     System.err.println(
       if (warmed) s"[bench] per-query warmup ran at $warmDir (warm protocol)"
@@ -74,20 +74,17 @@ object Bench {
     // isolated runs (measured: q_graph_pagerank 1.45 s isolated vs
     // 3.5-7 s late-suite before this hook). Each execution rebuilds its
     // own pins (standing tables are parquet, not cached), so dropping
-    // every persistent RDD between executions changes no result and
-    // models what independent per-query sessions would see.
-    def releaseDeadPins(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // each execution's OWN pins between executions changes no result and
+    // models what independent per-query sessions would see. PinScope
+    // scopes the release to pins the execution created (ADVICE r13), so
+    // a future session-lived cache would survive the sweep.
     val results = onlyQueries.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Double = PinScope.scoped(spark) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      def oncePlusCleanup(): Double = { val t = once(); releaseDeadPins(); t }
-      name -> math.min(oncePlusCleanup(), oncePlusCleanup())
+      name -> math.min(once(), once())
     }
     // 3-decimal seconds keep the whole line (~110 queries) inside the
     // driver's tail-capture window — full-precision doubles overflowed it

@@ -23,11 +23,26 @@ object TempDirs {
     * pattern), and scratch here is exactly what a production cluster puts
     * on local NVMe: shuffle/spill files (`spark.local.dir`) and the
     * per-run warehouse. Everything minted under it is per-PID and deleted
-    * by the same shutdown hook, so nothing outlives the JVM either way. */
+    * by the same shutdown hook, so nothing outlives the JVM either way.
+    *
+    * Guard rails (ADVICE r13): /dev/shm is chosen only when it has real
+    * capacity — Docker's default shm mount is 64 MB, and a tmpfs that
+    * small would ENOSPC the first shuffle spill and hard-fail bench,
+    * verify, and the test suite. The sf0.1 suite's peak concurrent
+    * scratch (shuffle files + spill + warehouse) measures well under
+    * 2 GB, so we require 4 GB usable as the threshold. `GRAFT_TMP_BASE`
+    * overrides everything (set it to a disk path on memory-tight hosts:
+    * spilling to tmpfs consumes RAM exactly when Spark spills because
+    * memory is tight). */
   lazy val fastTmpBase: String = {
-    val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) "/dev/shm"
-    else System.getProperty("java.io.tmpdir")
+    sys.env.get("GRAFT_TMP_BASE").filter { p =>
+      val f = new java.io.File(p); f.isDirectory && f.canWrite
+    }.getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      val minUsable = 4L * 1024 * 1024 * 1024
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= minUsable) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    }
   }
 
   /** Mint the per-PID warehouse path for `role` ("verify" / "bench" /

@@ -26,18 +26,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // PinScope releases the query's dead Layout.materialize pins
+      // (localCheckpoint blocks) before the next query — otherwise 208
+      // queries accumulate hundreds of pinned RDDs in one JVM, squeezing
+      // execution memory. Scoped to the pins THIS query created, so a
+      // future session-lived cache would survive (ADVICE r13).
+      PinScope.scoped(spark) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      // Release the query's dead Layout.materialize pins (localCheckpoint
-      // blocks) before the next query — otherwise 208 queries accumulate
-      // hundreds of pinned RDDs in one JVM, squeezing execution memory
-      // (same hygiene as Bench's releaseDeadPins; results are unaffected
-      // because every query rebuilds its own pins).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

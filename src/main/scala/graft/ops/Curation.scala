@@ -732,12 +732,16 @@ object Curation {
   def statsKs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
-    // append-only ingest proxy: older vs newer half of event_ids — one
-    // driver scalar (bounded-state contract, same as q_corpus_drift).
-    val cut = e.agg(max($"event_id")).head().getLong(0) / 2
-    val hist = e
+    // append-only ingest proxy: older vs newer half of event_ids. The
+    // cut rides a one-row broadcast consts frame instead of a driver
+    // .head() scalar — the whole query stays ONE job (the pagerank /
+    // aggIncremental precedent; a driver cut job costs ~50-150 ms of
+    // fixed overhead × 2 bench executions, and a round-trip per query
+    // at cluster scale).
+    val cut = e.agg(expr("max(event_id) div 2").as("cut"))
+    val hist = e.crossJoin(broadcast(cut))
       .select(floor($"value").cast(LongType).as("bucket"),
-        when($"event_id" <= cut, 1L).otherwise(0L).as("is_a"))
+        when($"event_id" <= $"cut", 1L).otherwise(0L).as("is_a"))
       .groupBy($"bucket")
       .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
     // totals are sum windows over the SAME ≤500-row histogram frame — a
@@ -809,23 +813,28 @@ object Curation {
   def statsPsi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
-    // append-only ingest proxy: one driver scalar (bounded-state contract,
-    // coalesce-guarded like statsTtest so an empty table stays NPE-free)
-    val cut = e.agg(coalesce(max($"event_id"), lit(0L))).head().getLong(0) / 2
+    // append-only ingest proxy: the cut rides a one-row broadcast consts
+    // frame (pagerank precedent — whole query ONE job, no driver cut
+    // round-trip); coalesce-guarded like statsTtest so an empty table
+    // stays NPE-free.
+    val cut = e.agg(expr("coalesce(max(event_id), 0) div 2").as("cut"))
     val wT = Window.partitionBy($"event_type")
-    e.select($"event_type", floor($"value").cast(LongType).as("bucket"),
-        when($"event_id" <= cut, 1L).otherwise(0L).as("ia"))
+    e.crossJoin(broadcast(cut))
+      .select($"event_type", floor($"value").cast(LongType).as("bucket"),
+        when($"event_id" <= $"cut", 1L).otherwise(0L).as("ia"))
       .groupBy($"event_type", $"bucket")
       .agg(sum($"ia").as("ca"), sum(lit(1L) - $"ia").as("cb"))
       .withColumn("na", sum($"ca").over(wT))
       .withColumn("nb", sum($"cb").over(wT))
       .withColumn("bk", count(lit(1)).over(wT))
       // xa/xb ~ n² per type: DECIMAL(38,0) from CONSTRUCTION, not just the
-      // sum — an int64 product overflows at ~3·10⁹ events/type, silently
-      // in Spark (non-ANSI wrap) vs an error in DuckDB (the r12
-      // q_sample_temperature advice class). Values at test SF are
-      // identical either way (< 2⁵³, so even the double casts feeding lq
-      // are exact).
+      // sum — an int64 product overflows at ~3·10⁹ events/type; that
+      // overflow wraps silently in non-ANSI mode and ERRORS under ANSI
+      // (the Spark 4 default this build runs), so without the lift the
+      // query would fail outright at scale rather than return wrong
+      // numbers (the r12 q_sample_temperature advice class). Values at
+      // test SF are identical either way (< 2⁵³, so even the double
+      // casts feeding lq are exact).
       .withColumn("xa",
         ($"ca" + lit(1L)).cast("decimal(38,0)") * ($"nb" + $"bk"))
       .withColumn("xb",
@@ -1493,16 +1502,18 @@ object Curation {
   def statsTtest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
-    // coalesce: an empty events table makes max() NULL — keep the collected
-    // scalar a plain 0 instead of an NPE (bounded-driver-state contract intact)
-    val cut = e.agg(coalesce(max($"event_id"), lit(0L))).head().getLong(0) / 2
+    // The cut rides a one-row broadcast consts frame (pagerank precedent —
+    // whole query ONE job, no driver round-trip); coalesce keeps an empty
+    // events table at cut=0 instead of NULL.
+    val cut = e.agg(expr("coalesce(max(event_id), 0) div 2").as("cut"))
     // Degenerate-split guard (r13, the q_stats_auc NULLIF discipline): if either
     // half has 0 or 1 events, (n-1) or n hits zero — Spark double division would
     // yield Infinity/NaN where DuckDB yields NULL, so every divisor is
     // nullif(...,0) in BOTH engines and a degenerate split is NULL t in both.
     def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0L))
-    e.select(floor($"value" * 100).cast(LongType).as("c"),
-        when($"event_id" <= cut, 1L).otherwise(0L).as("ia"))
+    e.crossJoin(broadcast(cut))
+      .select(floor($"value" * 100).cast(LongType).as("c"),
+        when($"event_id" <= $"cut", 1L).otherwise(0L).as("ia"))
       .agg(
         sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"),
         sum($"c" * $"ia").as("s1a"), sum($"c" * (lit(1L) - $"ia")).as("s1b"),

@@ -958,11 +958,15 @@ object LlmText {
   def dedupClusterIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    // one-row aggregate, collected: the cut keys the standing-state cache
-    // (in production it IS yesterday's high-water mark, a known constant);
-    // empty corpus → cut 0 → everything is delta, nothing standing
-    val cutV = Option(docs.agg(expr("max(doc_id) * 4 div 5")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // The cut keys the standing-state cache names, so it must be a DRIVER
+    // scalar (in production it IS yesterday's high-water mark, a known
+    // constant) — memoized per dir via Layout.scalarOnce so the probe job
+    // runs once per JVM, not once per execution; empty corpus → cut 0 →
+    // everything is delta, nothing standing.
+    val cutV = graft.tables.Layout.scalarOnce(s"incclu_cut#$dir") {
+      Option(docs.agg(expr("max(doc_id) * 4 div 5")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
     // cache key encodes every build input: corpus dir + cut
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$cutV".getBytes("UTF-8"))
@@ -1718,12 +1722,13 @@ object LlmText {
   def corpusDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    // append-only ingest proxy: older half vs newer half of doc_ids.
-    // The max-id probe is one driver scalar (bounded-state contract).
-    val cut = docs.agg(max($"doc_id")).head().getLong(0) / 2
-    val vocab = docTokens(docs).groupBy($"w").agg(
-      count(when($"doc_id" <= cut, 1)).as("cf_a"),
-      count(when($"doc_id" > cut, 1)).as("cf_b"))
+    // append-only ingest proxy: older half vs newer half of doc_ids. The
+    // cut rides a one-row broadcast consts frame (pagerank precedent) so
+    // the whole query is ONE job — no driver cut round-trip.
+    val cut = docs.agg(expr("max(doc_id) div 2").as("cut"))
+    val vocab = docTokens(docs).crossJoin(broadcast(cut)).groupBy($"w").agg(
+      count(when($"doc_id" <= $"cut", 1)).as("cf_a"),
+      count(when($"doc_id" > $"cut", 1)).as("cf_b"))
     val totals = vocab.agg(
       sum($"cf_a").as("na"), sum($"cf_b").as("nb"), count(lit(1)).as("v"))
     vocab.crossJoin(broadcast(totals))

@@ -455,8 +455,14 @@ object LlmVector {
     import s.implicits._
     val e = embeddings(s, dir)
     // append-only ingest: the top decile of ids is "today's" delta batch.
-    // The max-id probe is one driver scalar (bounded-state contract).
-    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    // The max-id probe must live on the DRIVER (it keys the standing-cache
+    // names below), so instead of the one-row-broadcast fold it is memoized
+    // per dir (Layout.scalarOnce) — in production it IS yesterday's known
+    // high-water mark; locally the probe job runs once per JVM, not once
+    // per execution.
+    val maxId = graft.tables.Layout.scalarOnce(s"ivfinc_maxid#$dir") {
+      e.agg(max($"vec_id")).head().getLong(0)
+    }
     val cut = maxId - (maxId + 9L) / 10L
     // STANDING day-0 state (r13): the frozen quantizer AND the assigned
     // base invlists build once per (corpus dir, cut) and persist — exactly
