@@ -1568,9 +1568,15 @@ object Curation {
     *
     * Output: one row — n_pos, n_neg, u_x2 (exact), auc_x1e6 = U·10⁶ div
     * (n_pos·n_neg) (exact integer; ≈ 500000 for this data's independent
-    * value draw), auc rounded 6 for readability. Int64 bound: u_x2 ≤
-    * 2·n_pos·n_neg needs n_pos·n_neg·10⁶ in range — past ~10¹² pairs
-    * lift to DECIMAL(38), same shape. */
+    * value draw), auc rounded 6 for readability. The pair-mass terms
+    * (u_x2, n_pos·n_neg) are DECIMAL(38,0) from CONSTRUCTION (r14, the
+    * q_stats_psi pattern): past ~10¹² pos·neg pairs the int64 forms
+    * would error under ANSI Spark (4.x default) / wrap in non-ANSI — the
+    * lift keeps the statistic exact to ~10³⁸. The emitted u_x2
+    * diagnostic stays int64 (contract schema); past ITS bound the final
+    * cast fails loudly while auc/auc_x1e6 — computed from the wide
+    * intermediates — stay correct (planted near-bound proof in
+    * DecimalBoundSpec via [[statsAucFromHist]]). */
   def statsAuc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hist = events(s, dir)
@@ -1578,20 +1584,37 @@ object Curation {
         when($"event_type" === "purchase", 1L).otherwise(0L).as("is_p"))
       .groupBy($"b")
       .agg(sum($"is_p").as("np"), sum(lit(1L) - $"is_p").as("nn"))
+    statsAucFromHist(s, hist)
+      .select($"n_pos", $"n_neg", $"u_x2".cast(LongType).as("u_x2"),
+        $"auc_x1e6", $"auc")
+  }
+
+  /** [[statsAuc]] core over a (b, np, nn) score histogram — the
+    * DECIMAL(38,0) wide path, exposed (u_x2 uncast) so DecimalBoundSpec
+    * can plant a near-int64-bound histogram and prove auc stays exact
+    * where int64 pair mass wrapped/errored. */
+  private[graft] def statsAucFromHist(s: SparkSession,
+      hist: DataFrame): DataFrame = {
+    import s.implicits._
     val wCum = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
     hist
       .withColumn("cum_nn", coalesce(sum($"nn").over(wCum), lit(0L)))
-      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
-        sum($"np" * ($"cum_nn" * 2L + $"nn")).as("u_x2"))
-      .select($"n_pos", $"n_neg", $"u_x2",
+      // the per-bucket product is the first pair-mass term — lift BEFORE
+      // it forms, not at the sum
+      .agg(sum($"np".cast("decimal(38,0)") * ($"cum_nn" * 2L + $"nn")).as("u_x2"),
+        sum($"np").as("n_pos"), sum($"nn").as("n_neg"))
+      .select($"n_pos", $"n_neg", $"u_x2".cast("decimal(38,0)").as("u_x2"),
         // NULLIF keeps the degenerate one-class census (no positives or
         // no negatives) a NULL in BOTH engines — DuckDB's integer // 0
         // ERRORS where Spark's div returns null, so the guard is what
-        // makes the twin queries agree, not decoration
-        expr("(u_x2 * 500000L) div nullif(n_pos * n_neg, 0L)").as("auc_x1e6"),
+        // makes the twin queries agree, not decoration. The divisor
+        // lifts to DECIMAL too (n_pos·n_neg is itself pair mass).
+        expr("""(CAST(u_x2 AS DECIMAL(38,0)) * 500000L)
+               | div nullif(CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)"""
+          .stripMargin).as("auc_x1e6"),
         round($"u_x2".cast("double") /
-            (nullif($"n_pos" * $"n_neg" * 2L, lit(0L))).cast("double"), 6)
-          .as("auc"))
+            expr("CAST(nullif(CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2, 0) AS DOUBLE)"),
+          6).as("auc"))
   }
 
   val statsAucSql: String =
@@ -1606,11 +1629,11 @@ object Curation {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
       |  FROM h)
       |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
-      |  CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) AS u_x2,
-      |  CAST((CAST(SUM(np * (cum_nn * 2 + nn)) AS BIGINT) * 500000)
-      |    // NULLIF(SUM(np) * SUM(nn), 0) AS BIGINT) AS auc_x1e6,
-      |  ROUND(CAST(SUM(np * (cum_nn * 2 + nn)) AS DOUBLE)
-      |        / CAST(NULLIF(SUM(np) * SUM(nn) * 2, 0) AS DOUBLE), 6) AS auc
+      |  CAST(SUM(CAST(np AS HUGEINT) * (cum_nn * 2 + nn)) AS BIGINT) AS u_x2,
+      |  CAST((SUM(CAST(np AS HUGEINT) * (cum_nn * 2 + nn)) * 500000)
+      |    // NULLIF(CAST(SUM(np) AS HUGEINT) * SUM(nn), 0) AS BIGINT) AS auc_x1e6,
+      |  ROUND(CAST(SUM(CAST(np AS HUGEINT) * (cum_nn * 2 + nn)) AS DOUBLE)
+      |        / CAST(NULLIF(CAST(SUM(np) AS HUGEINT) * SUM(nn) * 2, 0) AS DOUBLE), 6) AS auc
       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------- linreg
@@ -1701,10 +1724,16 @@ object Curation {
     * Grouped exact form: over ascending distinct values v with counts c
     * and B = customers strictly below, Σᵢ i·yᵢ = Σ v·(c·B + c(c+1)/2),
     * and G = (2T − S(n+1)) / (nS) — a SINGLE division (a difference of
-    * two floored divisions would not telescope). The scaled numerator
-    * (2T − S(n+1))·10⁶ passes int64 around 10× sf0.1, so it lifts to
-    * DECIMAL(38,0) (HUGEINT twin in DuckDB) — the q_stats_chi2
-    * precedent — and the ppm quotient returns to int64.
+    * two floored divisions would not telescope). The pair-mass terms are
+    * DECIMAL(38,0) from CONSTRUCTION (r14, completing the r13 lift that
+    * covered only the scaled numerator): T ~ v·n² leaves int64 around
+    * 10× sf0.1, where ANSI Spark (4.x default) errors / non-ANSI wraps —
+    * the lift happens before the first v·c·B product forms, using
+    * 2T = Σ v·c·(2B + c + 1) (every term even, so T = Σ/2 is exact).
+    * The emitted t diagnostic stays int64 (contract schema); past ITS
+    * bound the final cast fails loudly while gini_ppm — computed from
+    * the wide intermediates — stays correct (planted near-bound proof in
+    * DecimalBoundSpec via [[statsGiniFromHist]]).
     *
     * Scale: customer-keyed agg with map-side partials → k$ histogram
     * (range-bounded) → cumulative window over the bounded frame → one
@@ -1716,15 +1745,28 @@ object Curation {
       .groupBy($"o_custkey").agg(sum(dec2($"o_totalprice")).as("rev"))
       .select(expr("cast(floor(rev / 1000) as bigint)").as("v"))
       .groupBy($"v").agg(count(lit(1)).as("c"))
+    statsGiniFromHist(s, hist)
+      .select($"n", $"s", $"t".cast(LongType).as("t"), $"gini_ppm")
+  }
+
+  /** [[statsGini]] core over a (v, c) value histogram — the DECIMAL(38,0)
+    * wide path, exposed (wide t uncast) so DecimalBoundSpec can plant a
+    * near-int64-bound histogram and prove gini_ppm stays exact where the
+    * int64 form wrapped/errored. */
+  private[graft] def statsGiniFromHist(s: SparkSession,
+      hist: DataFrame): DataFrame = {
+    import s.implicits._
     val wB = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, -1)
     hist
       .withColumn("b", coalesce(sum($"c").over(wB), lit(0L)))
+      // t2 = 2T = Σ v·c·(2B + c + 1); v lifts BEFORE the product forms
       .agg(sum($"c").as("n"), sum($"v" * $"c").as("s"),
-        sum($"v" * ($"c" * $"b" + expr("(c * (c + 1L)) div 2L"))).as("t"))
-      .select($"n", $"s", $"t",
-        expr("""CAST((CAST(2L * t - s * (n + 1L) AS DECIMAL(38,0)) * 1000000L)
-               |     div nullif(n * s, 0L) AS BIGINT)""".stripMargin)
-          .as("gini_ppm"))
+        sum($"v".cast("decimal(38,0)") * $"c" * ($"b" * 2L + $"c" + 1L)).as("t2"))
+      .select($"n", $"s",
+        expr("CAST(t2 / 2 AS DECIMAL(38,0))").as("t"),
+        expr("""CAST(((t2 - CAST(s AS DECIMAL(38,0)) * (n + 1L)) * 1000000L)
+               |     div nullif(CAST(n AS DECIMAL(38,0)) * s, 0) AS BIGINT)"""
+          .stripMargin).as("gini_ppm"))
   }
 
   val statsGiniSql: String =
@@ -1739,11 +1781,11 @@ object Curation {
       |  FROM h),
       |m AS (
       |  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(v * c) AS BIGINT) AS s,
-      |    CAST(SUM(v * (c * b + (c * (c + 1)) // 2)) AS BIGINT) AS t
+      |    SUM(CAST(v AS HUGEINT) * c * (2 * b + c + 1)) AS t2
       |  FROM cum)
-      |SELECT n, s, t,
-      |  CAST((CAST(2 * t - s * (n + 1) AS HUGEINT) * 1000000)
-      |       // NULLIF(CAST(n * s AS HUGEINT), 0) AS BIGINT) AS gini_ppm
+      |SELECT n, s, CAST(t2 // 2 AS BIGINT) AS t,
+      |  CAST(((t2 - CAST(s AS HUGEINT) * (n + 1)) * 1000000)
+      |       // NULLIF(CAST(n AS HUGEINT) * s, 0) AS BIGINT) AS gini_ppm
       |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- benford

@@ -1158,13 +1158,19 @@ object TimeWindows {
     * seasonality/self-similarity detector next to [[tsEwma]] (smoothing)
     * and q_ts_bollinger (envelope): acf(k) for k = 1..6 over the
     * zero-filled hourly census. The n²-scaled cross-multiplication keeps
-    * the whole statistic in EXACT int64 until one final rounded division:
+    * the whole statistic EXACT until one final rounded division:
     * dev_t = n·x_t − Σx (so no rational mean ever exists), num(k) =
-    * Σ dev_t·dev_{t+k}, den = Σ dev_t² — both exact; acf = num/den
-    * rounded 6 through identical double paths (R4). Int64 bound: |dev| ≤
-    * n·max(x), so den ≲ n³·max(x)² — n³·max² < 2⁶³ holds to ~4,500 hours
-    * at 10⁴ events/hr (about half a year of hourly buckets; this corpus:
-    * 720); beyond, lift the partials to DECIMAL(38), same shape.
+    * Σ dev_t·dev_{t+k}, den = Σ dev_t² — acf = num/den rounded 6
+    * through identical double paths (R4). The quadratic terms are
+    * DECIMAL(38,0) from CONSTRUCTION (r14, the q_stats_psi pattern):
+    * den ≲ n³·max(x)² outgrows int64 past ~4,500 hourly buckets at 10⁴
+    * events/hr, where ANSI Spark (the 4.x default) would ERROR and
+    * non-ANSI would wrap silently — the decimal lift keeps the statistic
+    * exact to ~10³⁸ instead. The emitted num_xn2/den_xn2 diagnostics
+    * stay int64 (contract schema); past THEIR bound the final cast fails
+    * loudly under ANSI while acf itself — computed from the wide
+    * intermediates — stays correct (near-bound behavior planted in
+    * DecimalBoundSpec via [[tsAcfFromHist]]).
     *
     * Scale: the series frame is the HOURLY HISTOGRAM — bounded by the
     * time span, not the row count (the q_stats_ks posture), zero-filled
@@ -1176,14 +1182,30 @@ object TimeWindows {
     val hist = events(s, dir)
       .select(expr("CAST(unix_timestamp(ts) div 3600 AS BIGINT)").as("h"))
       .groupBy($"h").agg(count(lit(1)).as("x"))
+    tsAcfFromHist(s, hist)
+      .select($"lag", $"num".cast(LongType).as("num_xn2"),
+        $"den".cast(LongType).as("den_xn2"), $"acf")
+      .orderBy($"lag")
+  }
+
+  /** [[tsAcf]] core over an (h, x) hourly histogram — the DECIMAL(38,0)
+    * wide path, exposed (wide `num`/`den` uncast) so DecimalBoundSpec can
+    * plant a near-int64-bound series and prove acf stays exact where the
+    * old int64 arithmetic wrapped/errored. */
+  private[graft] def tsAcfFromHist(s: SparkSession,
+      hist: DataFrame): DataFrame = {
+    import s.implicits._
     val full = hist.agg(min($"h").as("h0"), max($"h").as("h1"))
       .select(explode(sequence($"h0", $"h1")).as("h"))
       .join(hist, Seq("h"), "left")
       .select($"h", coalesce($"x", lit(0L)).as("x"))
     val wAll = Window.partitionBy()
     val w = Window.orderBy($"h")
+    // dev lifts to DECIMAL(38,0) at construction: n·x is the first
+    // product that can leave int64, so the lift happens BEFORE it forms.
     val withDev = full
-      .withColumn("dev", count(lit(1)).over(wAll) * $"x" - sum($"x").over(wAll))
+      .withColumn("dev", count(lit(1)).over(wAll).cast("decimal(38,0)") * $"x"
+        - sum($"x").over(wAll))
     val withLeads = (1 to 6).foldLeft(withDev) { (df, k) =>
       df.withColumn(s"dev_$k", lead($"dev", k).over(w)) }
     val agg = withLeads.agg(
@@ -1191,16 +1213,19 @@ object TimeWindows {
       (1 to 6).map(k => sum($"dev" * col(s"dev_$k")).as(s"num_$k")): _*)
     agg.select($"den", explode(array((1 to 6).map(k =>
         struct(lit(k.toLong).as("lag"), col(s"num_$k").as("num"))): _*)).as("kv"))
-      .select($"kv.lag".as("lag"), $"kv.num".as("num_xn2"), $"den".as("den_xn2"),
+      .select($"kv.lag".as("lag"),
+        $"kv.num".cast("decimal(38,0)").as("num"),
+        $"den".cast("decimal(38,0)").as("den"),
         round($"kv.num".cast("double") / $"den".cast("double"), 6).as("acf"))
-      .orderBy($"lag")
   }
 
   val tsAcfSql: String = {
     val leadCols = (1 to 6).map(k =>
       s"LEAD(dev, $k) OVER (ORDER BY h) AS d$k").mkString(",\n      |    ")
+    // HUGEINT twin of the Spark DECIMAL(38,0) wide path: the quadratic
+    // sums stay int128 until the final BIGINT-cast diagnostics.
     val numCols = (1 to 6).map(k =>
-      s"CAST(SUM(dev * d$k) AS BIGINT) AS num_$k").mkString(",\n      |    ")
+      s"CAST(SUM(dev * d$k) AS HUGEINT) AS num_$k").mkString(",\n      |    ")
     val rows = (1 to 6).map(k => s"SELECT $k AS lag, num_$k AS num FROM a").mkString("\n      |  UNION ALL ")
     s"""WITH hist AS (
       |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h, COUNT(*) AS x
@@ -1211,18 +1236,19 @@ object TimeWindows {
       |  FROM (SELECT UNNEST(generate_series(b.h0, b.h1)) AS h FROM b) gs
       |  LEFT JOIN hist ON gs.h = hist.h),
       |d AS (
-      |  SELECT h, CAST(COUNT(*) OVER () * x - SUM(x) OVER () AS BIGINT) AS dev
+      |  SELECT h, CAST(COUNT(*) OVER () * x - SUM(x) OVER () AS HUGEINT) AS dev
       |  FROM f),
       |l AS (
       |  SELECT dev,
       |    $leadCols
       |  FROM d),
       |a AS (
-      |  SELECT CAST(SUM(dev * dev) AS BIGINT) AS den,
+      |  SELECT CAST(SUM(dev * dev) AS HUGEINT) AS den,
       |    $numCols
       |  FROM l),
       |u AS ($rows)
-      |SELECT CAST(u.lag AS BIGINT) AS lag, u.num AS num_xn2, a.den AS den_xn2,
+      |SELECT CAST(u.lag AS BIGINT) AS lag, CAST(u.num AS BIGINT) AS num_xn2,
+      |  CAST(a.den AS BIGINT) AS den_xn2,
       |  ROUND(CAST(u.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6) AS acf
       |FROM u, a ORDER BY lag""".stripMargin
   }

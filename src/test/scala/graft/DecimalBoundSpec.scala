@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{Curation, TimeWindows}
+
+/** Planted near-int64-bound proofs for the DECIMAL(38,0)-at-construction
+  * lifts (VERDICT r13 #2): q_ts_acf, q_stats_auc, q_stats_gini.
+  *
+  * Each test injects a histogram whose quadratic terms EXCEED
+  * Long.MaxValue (asserted explicitly, so the plant really is past the
+  * bound the old int64 arithmetic had — where ANSI Spark 4 errored and
+  * non-ANSI wrapped silently), runs the wide core, and compares every
+  * wide value and derived statistic against exact BigInt arithmetic
+  * computed independently here. The contract-facing queries themselves
+  * stay hash-checked at all SFs by the driver oracle; these specs cover
+  * the region the test corpus cannot reach.
+  */
+class DecimalBoundSpec extends SparkTestBase {
+
+  private def assertDec(actual: java.math.BigDecimal, expected: BigInt,
+      clue: String): Unit = {
+    assert(actual != null, clue)
+    // compareTo, not equals: equals is scale-sensitive and the wire scale
+    // is a plan detail
+    assert(actual.compareTo(new java.math.BigDecimal(expected.bigInteger)) == 0,
+      s"$clue: $actual != $expected")
+  }
+
+  private def round6(num: BigInt, den: BigInt): Double = {
+    // the engines' shared path: one double division of the exact wide
+    // integers (decimal→double casts are correctly rounded at any size),
+    // then round-half-up at 6
+    val d = num.toDouble / den.toDouble
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("ts_acf: den > int64 — decimal path matches exact BigInt arithmetic") {
+    import spark.implicits._
+    // 10 hourly buckets with multi-billion counts (so every lag 1..6 has
+    // pairs): dev_t = n·x_t − Σx, den = Σ dev² ≈ 10²² — far past int64.
+    val xs = Seq(0L, 4000000000L, 0L, 8000000000L, 0L,
+      2000000000L, 0L, 6000000000L, 0L, 1000000000L)
+    val hist = xs.zipWithIndex.map { case (x, h) => (h.toLong, x) }
+      .toDF("h", "x")
+    val n = BigInt(xs.size)
+    val sx = xs.map(BigInt(_)).sum
+    val dev = xs.map(x => n * x - sx)
+    val den = dev.map(d => d * d).sum
+    assert(den > BigInt(Long.MaxValue), "plant must exceed the int64 bound")
+    val nums = (1 to 6).map { k =>
+      k.toLong -> dev.dropRight(k).zip(dev.drop(k)).map { case (a, b) => a * b }.sum
+    }.toMap
+    val rows = TimeWindows.tsAcfFromHist(spark, hist)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === (1L to 6L).toSet)
+    (1L to 6L).foreach { k =>
+      val r = rows(k)
+      assertDec(r.getDecimal(1), nums(k), s"num lag $k")
+      assertDec(r.getDecimal(2), den, s"den lag $k")
+      assert(r.getDouble(3) === round6(nums(k), den), s"acf lag $k")
+    }
+  }
+
+  test("stats_auc: pair mass > int64 — decimal path matches exact BigInt arithmetic") {
+    import spark.implicits._
+    // two score buckets, ~5·10⁹ rows per class: n_pos·n_neg = 2.5·10¹⁹
+    // and u_x2 = 10¹⁹ — both past int64.
+    val hist = Seq((1L, 4000000000L, 1000000000L), (2L, 1000000000L, 4000000000L))
+      .toDF("b", "np", "nn")
+    val nPos = BigInt(5000000000L)
+    val nNeg = BigInt(5000000000L)
+    // u_x2 = Σ np·(2·cum_nn + nn) over ascending b
+    val uX2 = BigInt(4000000000L) * (2 * BigInt(0) + BigInt(1000000000L)) +
+      BigInt(1000000000L) * (2 * BigInt(1000000000L) + BigInt(4000000000L))
+    assert(uX2 > BigInt(Long.MaxValue), "plant must exceed the int64 bound")
+    assert(nPos * nNeg > BigInt(Long.MaxValue))
+    val r = Curation.statsAucFromHist(spark, hist).collect().head
+    assert(r.getLong(0) === nPos.toLong)
+    assert(r.getLong(1) === nNeg.toLong)
+    assertDec(r.getDecimal(2), uX2, "u_x2")
+    assert(r.getLong(3) === ((uX2 * 500000) / (nPos * nNeg)).toLong, "auc_x1e6")
+    assert(r.getDouble(4) === round6(uX2, nPos * nNeg * 2), "auc")
+  }
+
+  test("stats_gini: T > int64 — decimal path matches exact BigInt arithmetic") {
+    import spark.implicits._
+    // two k$ values with billions of customers each: T ~ v·n² ≈ 3.5·10²⁴
+    val hist = Seq((1L, 3000000000L), (1000000L, 1000000000L)).toDF("v", "c")
+    // t2 = Σ v·c·(2B + c + 1), ascending v, B = customers strictly below
+    val t2 = BigInt(1) * BigInt(3000000000L) * (2 * BigInt(0) + BigInt(3000000000L) + 1) +
+      BigInt(1000000L) * BigInt(1000000000L) * (2 * BigInt(3000000000L) + BigInt(1000000000L) + 1)
+    val n = BigInt(4000000000L)
+    val s = BigInt(1) * BigInt(3000000000L) + BigInt(1000000L) * BigInt(1000000000L)
+    assert(t2 / 2 > BigInt(Long.MaxValue), "plant must exceed the int64 bound")
+    val r = Curation.statsGiniFromHist(spark, hist).collect().head
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getLong(1) === s.toLong)
+    assertDec(r.getDecimal(2), t2 / 2, "wide T")
+    // gini_ppm = (2T − S(n+1))·10⁶ div (n·S), floored integral division
+    val expectedPpm = ((t2 - s * (n + 1)) * 1000000) / (n * s)
+    assert(r.getLong(3) === expectedPpm.toLong, "gini_ppm")
+  }
+}

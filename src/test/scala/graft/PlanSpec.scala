@@ -537,10 +537,14 @@ class PlanSpec extends SparkTestBase {
       "latest-touch rn=1 cut not applied map-side")
   }
 
-  test("q_stats_ks: one event scan — cum/total windows run over the bucket histogram frame") {
+  test("q_stats_ks: cut probe broadcast in-plan — cum/total windows run over the bucket histogram frame") {
     val p = planOf(SparkEntry.queries("q_stats_ks")(spark, dir))
     val scans = p.split("""\n\n""").count(b => b.trim.matches("""(?s)\(\d+\) Scan parquet.*"""))
-    assert(scans == 1, s"event scan re-ran for a totals branch (got $scans scans)")
+    // 2 scans since r14: the one-row cut probe (pruned to event_id, rides
+    // a BroadcastExchange) + the histogram scan — same IO as the old
+    // driver .head() cut job, but the whole query is ONE job now
+    assert(scans == 2, s"expected histogram scan + in-plan cut probe (got $scans scans)")
+    assert(p.contains("BroadcastExchange"), "cut consts frame not broadcast")
     assert(p.contains("partial_sum"), "bucket histogram lost map-side partials")
     // the SinglePartition exchange must consume the AGGREGATED histogram
     val blocks = p.split("""\n\n""")
@@ -836,15 +840,21 @@ class PlanSpec extends SparkTestBase {
     assert(nodeIds(p, "Scan parquet").size === 1, "documents scanned more than once")
   }
 
-  test("q_stats_psi: one event scan; window and final agg share the event_type exchange") {
+  test("q_stats_psi: cut probe broadcast in-plan; window and final agg share the event_type exchange") {
     val df = SparkEntry.queries("q_stats_psi")(spark, dir)
     val p = planOf(df)
-    assert(nodeIds(p, "Scan parquet").size === 1, "events scanned more than once")
+    // 2 scans since r14: the one-row cut probe + the histogram scan (the
+    // q_stats_ks note) — one job, no driver cut round-trip
+    assert(nodeIds(p, "Scan parquet").size === 2,
+      "expected histogram scan + in-plan cut probe")
+    assert(p.contains("BroadcastExchange"), "cut consts frame not broadcast")
     assert(p.contains("partial_sum"), "histogram build has no map-side partial")
-    // exchanges: histogram agg, window-by-type, final display sort — nothing
-    // between the totals window and the per-type reduction (partitioning reuse)
+    // exchanges: histogram agg, window-by-type, final display sort, plus
+    // the cut probe's one-row partial→final merge (carries ~|partitions|
+    // rows — job-overhead-free since r14, not data) — nothing between the
+    // totals window and the per-type reduction (partitioning reuse)
     val ex = nodeIds(p, "Exchange").size
-    assert(ex <= 3, s"expected ≤3 shuffles (agg, window, sort) — got $ex:\n$p")
+    assert(ex <= 4, s"expected ≤4 shuffles (agg, window, sort, cut merge) — got $ex:\n$p")
   }
 
   test("q_anomaly_cusum: daily census materialized once — three cached consumers, all joins broadcast") {
