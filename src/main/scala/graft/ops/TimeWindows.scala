@@ -998,6 +998,87 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** UNBOUNDED-KLEENE MATCH_RECOGNIZE contract (r14): `signup click+` —
+    * flink-cep's `Pattern.oneOrMore()`, the most-exercised public
+    * flink-cep construct not previously hash-checked. Unlike
+    * [[cepQuantified]]'s bounded `{1,3}` desugar, the kleene stage has NO
+    * replica bound: the matcher's pointer stays on the satisfied stage
+    * and greedily consumes EVERY further in-window click.
+    *
+    * Oracle validity extends [[cepQuantified]]'s monotone-picks argument
+    * to the unbounded tail: greedy consumption takes the first unconsumed
+    * click c1 after the head, then — because every click matches the
+    * kleene stage and nothing can advance past it — ALL clicks in
+    * [c1, head+24h] in (t, id) order, so a match's consumed set is a
+    * contiguous (t, id)-range of clicks and its last pick l is that
+    * range's max. l is monotone across matches (c1_{k+1} > l_k), so the
+    * CTE again carries only (last head, last consumed click): c1 is an
+    * earliest-pick lateral exactly as in the quantified oracle, and the
+    * unbounded tail needs no per-replica picks at all — one DESC-ordered
+    * lateral fetches l and one aggregate lateral builds the id list over
+    * the same closed range. A head with no c1 matches nothing and
+    * consumes nothing (inner join), same as the engine. */
+  def cepKleene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern.matchRecognize("signup click+ within 24h")(
+      "signup" -> ((e: Event) => e.event_type == "signup"),
+      "click"  -> ((e: Event) => e.event_type == "click"))
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepKleeneSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS l_t, CAST(-1 AS BIGINT) AS l_id,
+      |    CAST(NULL AS VARCHAR) AS ids
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1,
+      |    nxt.h_t, nxt.h_id, nxt.l_t, nxt.l_id, nxt.ids
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |      lst.t AS l_t, lst.id AS l_id,
+      |      CAST(e1.event_id AS VARCHAR) || '/' || agg.idl AS ids
+      |    FROM ev e1
+      |    JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND (c.t > e1.t OR (c.t = e1.t AND c.event_id > e1.event_id))
+      |        AND (c.t > m.l_t OR (c.t = m.l_t AND c.event_id > m.l_id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t, c.event_id LIMIT 1) c1 ON TRUE
+      |    JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t DESC, c.event_id DESC LIMIT 1) lst ON TRUE
+      |    JOIN LATERAL (
+      |      SELECT string_agg(CAST(c.event_id AS VARCHAR), '/'
+      |               ORDER BY c.t, c.event_id) AS idl
+      |      FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
+      |        AND c.t <= e1.t + 86400000) agg ON TRUE
+      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, l_t AS last_ms, ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   /** ALTERNATION MATCH_RECOGNIZE contract (r11): `signup (click|view)
     * purchase` — the SQL PATTERN `(A|B)` construct (flink-cep: a stage
     * with an OR'd simple condition), compiled from the string surface via
@@ -1477,6 +1558,7 @@ object TimeWindows {
     "q_cep_permute"       -> (cepPermute _),
     "q_cep_alternation"   -> (cepAlternation _),
     "q_cep_quantified"    -> (cepQuantified _),
+    "q_cep_kleene"        -> (cepKleene _),
     "q_cep_guarded"       -> (cepGuarded _),
     "q_cep_match_recognize" -> (cepMatchRecognize _),
     "q_cumulate_window"   -> (cumulateWindow _),
@@ -1504,6 +1586,7 @@ object TimeWindows {
     "q_cep_permute"      -> cepPermuteSql,
     "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,
+    "q_cep_kleene"       -> cepKleeneSql,
     "q_cep_guarded"      -> cepGuardedSql,
     "q_cep_match_recognize" -> cepGuardedSql,
     "q_cumulate_window"  -> cumulateWindowSql,

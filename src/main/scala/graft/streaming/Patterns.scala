@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * flink-cep `optional` flag, and the `notFollowedBy` gap guards declared
   * between the previous positive stage and this one. */
 final case class StageDef(name: String, pred: Event => Boolean,
-    optional: Boolean, negsBefore: Seq[(String, Event => Boolean)])
+    optional: Boolean, negsBefore: Seq[(String, Event => Boolean)],
+    kleene: Boolean = false)
 
 /** Flink-CEP-style pattern builder — the `Pattern.begin(..).followedBy(..)
   * .within(..)` surface over the generic linear matcher, mapping a
@@ -76,6 +77,9 @@ final case class Pattern private (
     require(!stages.last.optional,
       "notFollowedBy after an optional stage is ambiguous (merged-gap guards); " +
         "make the previous stage required")
+    require(!stages.last.kleene,
+      "notFollowedBy after a oneOrMore stage is ambiguous (guards straddling " +
+        "repetitions); make the previous stage a plain required stage")
     copy(pendingNegs = pendingNegs :+ (name -> pred))
   }
 
@@ -85,12 +89,40 @@ final case class Pattern private (
     * with gap guards pending (see shape rules). */
   def optional: Pattern = {
     require(stages.length >= 2, "the head stage cannot be optional")
+    require(!stages.last.kleene,
+      "optional on a oneOrMore stage is zero-or-more, which is not supported")
     require(stages.last.negsBefore.isEmpty,
       "optional on a guarded stage is ambiguous (merged-gap guards); " +
         "guards must sit between two required stages")
     require(pendingNegs.isEmpty,
       "declare notFollowedBy AFTER optional's followedBy, not before it")
     copy(stages = stages.init :+ stages.last.copy(optional = true))
+  }
+
+  /** flink-cep `.oneOrMore()` (r14): the LAST stage repeats UNBOUNDED —
+    * it must occur at least once, and once satisfied it greedily consumes
+    * every further matching in-window event in preference to advancing
+    * (an event matching both the kleene stage and the next stage repeats
+    * the kleene stage — the greedy-earliest rule applied to the
+    * reachable-set {kleene, next, ...}). Unlike `times(a, b)` there is no
+    * bounded desugar: the matcher's pointer simply stays on a satisfied
+    * kleene stage. Not allowed on an optional stage (zero-or-more is not
+    * supported), on a guarded stage, or with gap guards pending — the
+    * same merged-gap ambiguity argument as `optional` (a guard straddling
+    * the repetitions would be silently ignored by the pointer-stage guard
+    * check). */
+  def oneOrMore: Pattern = {
+    require(stages.nonEmpty, "oneOrMore needs a stage to repeat")
+    require(!stages.last.optional,
+      "oneOrMore on an optional stage is zero-or-more, which is not supported " +
+        "(no '*' form — see matchRecognize)")
+    require(!stages.last.kleene, "stage is already oneOrMore")
+    require(stages.last.negsBefore.isEmpty,
+      "oneOrMore on a guarded stage is ambiguous (guards straddling repetitions); " +
+        "guards must sit between two plain required stages")
+    require(pendingNegs.isEmpty,
+      "declare notFollowedBy AFTER oneOrMore's followedBy, not before it")
+    copy(stages = stages.init :+ stages.last.copy(kleene = true))
   }
 
   /** flink-cep `.times(n)` — the LAST stage must occur n times total
@@ -110,6 +142,8 @@ final case class Pattern private (
     require(from >= 1 && to >= from, s"times($from, $to): need 1 <= from <= to")
     require(stages.nonEmpty, "times needs a stage to repeat")
     require(!stages.last.optional, "times on an optional stage is ambiguous")
+    require(!stages.last.kleene,
+      "times on a oneOrMore stage is ambiguous; quantify before oneOrMore")
     require(pendingNegs.isEmpty, "dangling notFollowedBy before times")
     val last = stages.last
     copy(stages = stages ++
@@ -134,11 +168,13 @@ final case class Pattern private (
       "the head stage must be required and unguarded")
     stages.zipWithIndex.foreach { case (st, i) =>
       if (st.negsBefore.nonEmpty) {
-        require(!st.optional && !stages(i - 1).optional,
-          s"stage ${st.name}: guards must sit between two required stages")
+        require(!st.optional && !stages(i - 1).optional &&
+            !st.kleene && !stages(i - 1).kleene,
+          s"stage ${st.name}: guards must sit between two plain required stages")
       }
     }
-    stages.map(st => PosStage(st.pred, st.optional, st.negsBefore.map(_._2)))
+    stages.map(st =>
+      PosStage(st.pred, st.optional, st.negsBefore.map(_._2), st.kleene))
   }
 
   private def horizon: Long = horizonMs.getOrElse(
@@ -219,8 +255,8 @@ object Pattern {
 
   private val DurRe = """(\d+)(ms|s|m|h|d)""".r
   private val NegRe = """!([A-Za-z_][A-Za-z0-9_]*)""".r
-  private val SymRe = """([A-Za-z_][A-Za-z0-9_]*)(\?|\{(\d+)\}|\{(\d+),(\d+)\})?""".r
-  private val AltRe = """\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)(\?|\{(\d+)\}|\{(\d+),(\d+)\})?""".r
+  private val SymRe = """([A-Za-z_][A-Za-z0-9_]*)(\?|\+|\{(\d+)\}|\{(\d+),(\d+)\}|\{(\d+),\})?""".r
+  private val AltRe = """\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)(\?|\+|\{(\d+)\}|\{(\d+),(\d+)\}|\{(\d+),\})?""".r
   private val BareAltRe = """([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)""".r
 
   /** MATCH_RECOGNIZE-lite: compile a SQL-PATTERN-clause-flavored string
@@ -241,6 +277,8 @@ object Pattern {
     *   - `sym?`         optional stage       (builder `.optional`)
     *   - `sym{n}`       exactly n            (builder `.times(n)`)
     *   - `sym{a,b}`     between a and b      (builder `.times(a, b)`)
+    *   - `sym+`         one or more, unbounded (builder `.oneOrMore`, r14)
+    *   - `sym{a,}`      at least a, unbounded (`.times(a)` + `.oneOrMore`)
     *   - `(a|b)`        ALTERNATION: one stage accepting either symbol
     *                    (SQL PATTERN `(A|B)`), desugared to a single stage
     *                    whose predicate is the OR of the member DEFINEs —
@@ -253,9 +291,9 @@ object Pattern {
     *                    (builder `notFollowedBy`)
     *   - `within <n><ms|s|m|h|d>`  horizon, must be the final two tokens
     *
-    * Unbounded `+` / `*` quantifiers are rejected with a pointer to
-    * `{a,b}` — the matcher's greedy bounded-desugar model (see `times`)
-    * has no unbounded form. Everything funnels through the public builder
+    * Zero-or-more `*` is rejected (no optional-kleene form; `+` and
+    * `{a,}` cover the unbounded cases, r14). Everything funnels through
+    * the public builder
     * methods, so every shape rule (head required/unguarded, no dangling
     * guard, no guard adjacent to an optional) is enforced identically to
     * hand-built patterns, and the compiled [[PosStage]] model — hence
@@ -296,13 +334,19 @@ object Pattern {
       val preds = members.map(predOf)
       e => preds.exists(_(e))
     }
-    def addStage(name: String, pred: Event => Boolean,
-                 quant: String, n: String, from: String, to: String): Unit = {
+    def addStage(name: String, pred: Event => Boolean, quant: String,
+                 n: String, from: String, to: String, atLeast: String): Unit = {
       pat = if (pat == null) begin(name)(pred) else pat.followedBy(name)(pred)
       quant match {
         case null => ()
         case "?" => pat = pat.optional
+        case "+" => pat = pat.oneOrMore
         case _ if n != null => pat = pat.times(n.toInt)
+        case _ if atLeast != null =>
+          // {a,}: a required occurrences (times desugar), then the last
+          // replica repeats unbounded
+          if (atLeast.toInt > 1) pat = pat.times(atLeast.toInt)
+          pat = pat.oneOrMore
         case _ => pat = pat.times(from.toInt, to.toInt)
       }
     }
@@ -310,15 +354,16 @@ object Pattern {
       case NegRe(sym) =>
         require(pat != null, "a pattern cannot start with a !guard")
         pat = pat.notFollowedBy(sym)(predOf(sym))
-      case AltRe(syms, quant, n, from, to) =>
-        addStage(syms, altPred(syms), quant, n, from, to)
+      case AltRe(syms, quant, n, from, to, atLeast) =>
+        addStage(syms, altPred(syms), quant, n, from, to, atLeast)
       case BareAltRe(syms) =>
-        addStage(syms, altPred(syms), null, null, null, null)
-      case SymRe(sym, quant, n, from, to) =>
-        addStage(sym, predOf(sym), quant, n, from, to)
-      case t if t.exists(c => c == '+' || c == '*') =>
+        addStage(syms, altPred(syms), null, null, null, null, null)
+      case SymRe(sym, quant, n, from, to, atLeast) =>
+        addStage(sym, predOf(sym), quant, n, from, to, atLeast)
+      case t if t.contains('*') =>
         throw new IllegalArgumentException(
-          s"unbounded quantifier in '$t': the bounded-desugar matcher has no +/* form — use {a,b}")
+          s"zero-or-more in '$t' is not supported (no optional-kleene form) — " +
+            "use + / {a,} for unbounded or {a,b} for bounded repetition")
       case t => throw new IllegalArgumentException(s"unparseable pattern token '$t'")
     }
     val built = horizon.fold(pat)(pat.within)

@@ -593,14 +593,18 @@ case class BufEv(event_id: Long, ts_ms: Long, event_type: String, value: Double)
 case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids: Seq[Long])
 
 /** A compiled positive pattern stage: its predicate, whether the stage may
-  * be skipped (flink-cep `optional`), and the negative gap guards between
+  * be skipped (flink-cep `optional`), the negative gap guards between
   * the previous positive stage and this one (flink-cep `notFollowedBy` —
   * an event matching any guard while the gap is open invalidates the
-  * head's attempt). The [[Pattern]] builder enforces the shape rules that
-  * keep greedy matching unambiguous: the head and last stages are
-  * required, and guarded gaps sit between two required stages. */
+  * head's attempt), and whether the stage repeats unbounded after its
+  * first occurrence (flink-cep `oneOrMore`, r14 — greedy: once the stage
+  * has consumed one event it keeps consuming every further matching
+  * in-window event in preference to advancing). The [[Pattern]] builder
+  * enforces the shape rules that keep greedy matching unambiguous: the
+  * head stage is required, guarded gaps sit between two plain required
+  * stages, and a stage is never both optional and kleene. */
 final case class PosStage(pred: Event => Boolean, optional: Boolean,
-    negs: Seq[Event => Boolean])
+    negs: Seq[Event => Boolean], kleene: Boolean = false)
 
 /** The pure matcher core of [[PatternSequenceProcessor]], factored out so
   * its central invariant — incremental matching at successive watermark
@@ -648,12 +652,16 @@ object PatternMatcher {
     require(stages.nonEmpty, "empty stage list")
     require(!stages.head.optional && stages.head.negs.isEmpty,
       "shape: the head stage must be required and unguarded")
+    require(stages.forall(st => !(st.optional && st.kleene)),
+      "shape: a stage cannot be both optional and oneOrMore (zero-or-more)")
     var k = 1
     while (k < stages.length) {
       if (stages(k).negs.nonEmpty)
-        require(!stages(k).optional && !stages(k - 1).optional,
-          s"shape: guarded stage $k must sit between two required stages " +
-            "(a guard across a skipped optional would be silently ignored)")
+        require(!stages(k).optional && !stages(k - 1).optional &&
+            !stages(k).kleene && !stages(k - 1).kleene,
+          s"shape: guarded stage $k must sit between two plain required stages " +
+            "(a guard across a skipped optional, or straddling a oneOrMore's " +
+            "repetitions, would be silently ignored)")
       k += 1
     }
     def toEvent(b: BufEv): Event =
@@ -666,7 +674,12 @@ object PatternMatcher {
       val head = events(i)
       if (!consumed(head.event_id) && stages.head.pred(toEvent(head))) {
         val ids = scala.collection.mutable.ArrayBuffer(head.event_id)
-        var stage = 1
+        // pointer invariant: `stage` is the next stage that can consume;
+        // a kleene pointer with >=1 rep (pointerSat) is SATISFIED — it
+        // may keep consuming (greedy) or be skipped past, and it counts
+        // as done at completion
+        var stage = if (stages.head.kleene) 0 else 1
+        var pointerSat = stages.head.kleene
         var lastMs = head.ts_ms
         var aborted = false
         var j = i + 1
@@ -679,24 +692,32 @@ object PatternMatcher {
               aborted = true // gap guard hit: this head can never match
             } else {
               // greedy-earliest among reachable stages: pointer stage,
-              // then onward while stages are optional (required blocks)
+              // then onward while stages are skippable — optional, or
+              // the pointer itself when it is a satisfied kleene
+              // (required blocks; an unsatisfied kleene is required)
               var t = stage
               var hit = -1
               var scanning = true
               while (scanning && t < stages.length) {
                 if (stages(t).pred(ev)) { hit = t; scanning = false }
-                else if (stages(t).optional) t += 1
+                else if (stages(t).optional || (t == stage && pointerSat)) t += 1
                 else scanning = false
               }
-              if (hit >= 0) { ids += e.event_id; lastMs = e.ts_ms; stage = hit + 1 }
+              if (hit >= 0) {
+                ids += e.event_id; lastMs = e.ts_ms
+                if (stages(hit).kleene) { stage = hit; pointerSat = true }
+                else { stage = hit + 1; pointerSat = false }
+              }
             }
           }
           j += 1
         }
-        // completion: every remaining stage is a skippable optional
-        // (trailing optionals — e.g. times(from, to) tails — fill greedily
-        // from the window's events and close unfilled at the window edge)
-        if (!aborted && (stage until stages.length).forall(stages(_).optional)) {
+        // completion: every remaining stage is skippable — optional, or
+        // the pointer as a satisfied kleene (trailing optionals and a
+        // kleene tail fill greedily from the window's events and close
+        // at the window edge)
+        if (!aborted && (stage until stages.length).forall(t =>
+            stages(t).optional || (t == stage && pointerSat))) {
           ids.foreach(consumed += _)
           out += PatternMatch(key, head.ts_ms, lastMs, ids.toSeq)
         }

@@ -116,8 +116,9 @@ class MatchRecognizeSpec extends SparkTestBase {
     def bad(spec: String): String =
       intercept[IllegalArgumentException](
         Pattern.matchRecognize(spec)(defs: _*)).getMessage
-    assert(bad("click+ signup").contains("unbounded"))
-    assert(bad("click* signup").contains("unbounded"))
+    // r14: 'click+' is now the legal unbounded-kleene form (KleeneCepSpec);
+    // only zero-or-more stays rejected
+    assert(bad("click* signup").contains("zero-or-more"))
     assert(bad("signup mystery").contains("no DEFINE entry"))
     assert(bad("!error signup").contains("cannot start"))
     assert(bad("signup !error").contains("dangling"))          // builder rule via compiled-less end state
