@@ -45,9 +45,33 @@ object TempDirs {
     }
   }
 
+  /** Reap scratch left by DEAD graft JVMs (r14). The shutdown hook
+    * cannot run on SIGKILL (OOM killer, task timeouts), and on a
+    * RAM-backed base the leak is severe: one killed 24 GB bench run
+    * strands its whole shuffle/warehouse footprint in /dev/shm until
+    * reboot — measured this session at 101 GB resident, enough to push
+    * the box into swap and read as "box degradation" in every later
+    * bench. Deletes only dirs matching our own naming scheme
+    * (`graft_<kind>_<role>_<pid>`) whose minting PID is no longer alive;
+    * live runs are never touched. Runs once per JVM, at first mint. */
+  private lazy val reapStale: Unit = {
+    val base = new java.io.File(fastTmpBase)
+    val Named = """graft_(?:warehouse|local)_[A-Za-z]+_(\d+)""".r
+    val self = ProcessHandle.current().pid()
+    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case Named(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          deleteRecursively(f.toPath)
+        case _ => ()
+      }
+    }
+  }
+
   /** Mint the per-PID warehouse path for `role` ("verify" / "bench" /
     * "test") and register its cleanup-at-exit hook. */
   def warehouse(role: String): String = {
+    reapStale
     val path = s"$fastTmpBase/graft_warehouse_${role}_${ProcessHandle.current().pid()}"
     val root = java.nio.file.Paths.get(path)
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
@@ -58,6 +82,7 @@ object TempDirs {
     * base, cleanup-hooked like [[warehouse]]. Spark deletes its own
     * subdirs on clean `spark.stop()`; the hook covers abnormal exits. */
   def localDir(role: String): String = {
+    reapStale
     val path = s"$fastTmpBase/graft_local_${role}_${ProcessHandle.current().pid()}"
     val root = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(root)

@@ -241,6 +241,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP sealing with kleene stages: incremental == one-shot at any schedule (r14)") {
+    import graft.streaming.{BufEv, Event, PatternMatcher, PosStage}
+    def tp(t: String): Event => Boolean = (e: Event) => e.event_type == t
+    def or(a: String, b: String): Event => Boolean =
+      (e: Event) => e.event_type == a || e.event_type == b
+    val evGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", "D", "X"))
+    } yield ts.zip(tp).zipWithIndex.map { case ((t, y), i) => BufEv(i.toLong, t, y, 0.0) }
+    // every builder-legal kleene position: head, tail, middle; next to
+    // optionals; with guards between plain required neighbors only; with
+    // overlapping predicates (the greedy tie-break corner)
+    val patGen = Gen.oneOf(
+      Seq(PosStage(tp("A"), false, Nil, true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, true)),
+      Seq(PosStage(tp("A"), false, Nil, true), PosStage(tp("B"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, true),
+        PosStage(tp("C"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Seq(tp("X"))),
+        PosStage(tp("C"), false, Nil, true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), true, Nil),
+        PosStage(tp("C"), false, Nil, true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(or("A", "B"), false, Nil, true),
+        PosStage(tp("C"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, true),
+        PosStage(tp("C"), true, Nil)))
+    val caseGen = for {
+      evs <- evGen
+      pat <- patGen
+      within <- Gen.chooseNum(1L, 800L)
+      nSeals <- Gen.chooseNum(1, 5)
+      seals <- Gen.listOfN(nSeals, Gen.chooseNum(0L, 3000L))
+      arrivals <- Gen.listOfN(evs.length, Gen.chooseNum(0, nSeals - 1))
+    } yield (evs, pat, within, seals.sorted, arrivals)
+    forAllN(caseGen, n = 500) { case (evs, pat, within, seals, arrivals) =>
+      val fin = seals.last + 5000
+      val (oneShot, rest) = PatternMatcher.seal(1L, evs, pat, within, fin)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      def effectiveBatch(e: BufEv, a: Int): Int = {
+        val firstCovering = seals.indexWhere(_ >= e.ts_ms)
+        if (firstCovering < 0) a else a min firstCovering
+      }
+      var buffer = Seq.empty[BufEv]
+      var emitted = Seq.empty[graft.streaming.PatternMatch]
+      (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
+        val due = evs.zip(arrivals).collect {
+          case (e, a) if effectiveBatch(e, a) == batch => e
+        }
+        val (m, keep) = PatternMatcher.seal(1L, buffer ++ due, pat, within, wm)
+        emitted ++= m
+        buffer = keep
+      }
+      assert(emitted.toSet === oneShot.toSet,
+        s"incremental != one-shot (kleene) for within=$within seals=$seals")
+    }
+  }
+
   test("PERMUTE sealing: incremental matching at any watermark schedule == one-shot") {
     import graft.streaming.{BufEv, Event, PatternMatcher}
     val evGen = for {
