@@ -1079,6 +1079,144 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** STRICT-CONTIGUITY CEP contract (r14 second batch): flink-cep
+    * `Pattern.begin("signup").next("purchase")` — `next` demands the
+    * match be the IMMEDIATELY following event of that user (no event of
+    * ANY type in between), vs `followedBy`'s relaxed skip-over. The feed
+    * is deliberately unfiltered: every event type participates, so an
+    * intervening view/click/error breaks adjacency exactly as in
+    * flink-cep.
+    *
+    * Oracle validity (simpler than the recursive-CTE family — strictness
+    * collapses the search): a signup matches iff its lead() event (full
+    * per-user (t, id) order) is an in-window purchase. Consumption cannot
+    * perturb this: heads are tried in (t, id) order, and for a consumed
+    * event to hide between a later head and its successor, an earlier
+    * match would need to span an unconsumed signup — but the earlier
+    * head's own strict successor would then have been that signup
+    * (aborting it), never a purchase beyond it. So engine available-
+    * successor ≡ raw lead() here, and the oracle needs no recursion. */
+  def cepNext(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .next("purchase")((e: Event) => e.event_type == "purchase")
+      .within(3600000L)
+    val evs = events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepNextSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type FROM events),
+      |led AS (
+      |  SELECT user_id, event_id, t, event_type,
+      |    lead(event_type) OVER w AS nxt_type,
+      |    lead(t) OVER w AS nxt_t,
+      |    lead(event_id) OVER w AS nxt_id
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+      |SELECT user_id, t AS first_ms, nxt_t AS last_ms,
+      |  CAST(event_id AS VARCHAR) || '/' || CAST(nxt_id AS VARCHAR) AS ids
+      |FROM led
+      |WHERE event_type = 'signup' AND nxt_type = 'purchase'
+      |  AND nxt_t <= t + 3600000
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
+  /** NON-DETERMINISTIC CEP contract (r14 second batch): flink-cep
+    * `Pattern.begin("signup").followedByAny("purchase")` under the
+    * NO_SKIP all-matches surface ([[graft.streaming.PatternMatcher
+    * .sealAll]]) — EVERY in-window purchase after EVERY signup is its own
+    * match, events freely shared across matches. This is the emission
+    * contract the greedy consumed-set surface cannot express, and it is
+    * exactly SQL-expressible: the match set IS the windowed self-join, so
+    * the oracle needs no recursion and no consumption state at all. */
+  def cepAny(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .followedByAny("purchase")((e: Event) => e.event_type == "purchase")
+      .within(86400000L)
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatchAll(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepAnySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','purchase'))
+      |SELECT s.user_id, s.t AS first_ms, p.t AS last_ms,
+      |  CAST(s.event_id AS VARCHAR) || '/' || CAST(p.event_id AS VARCHAR) AS ids
+      |FROM ev s JOIN ev p
+      |  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      | AND (p.t > s.t OR (p.t = s.t AND p.event_id > s.event_id))
+      | AND p.t <= s.t + 86400000
+      |WHERE s.event_type = 'signup'
+      |ORDER BY s.user_id, first_ms, ids""".stripMargin
+
+  /** NON-GREEDY (reluctant) KLEENE contract (r14 second batch): `signup
+    * click+` under the NO_SKIP all-matches surface — flink-cep's DEFAULT
+    * oneOrMore emission, where every repetition count is its own match
+    * (vs [[cepKleene]]'s single greedy-maximal match on the consumed-set
+    * surface). With no consumption, every signup heads its full prefix
+    * family: the k-th match takes the first k in-window clicks after the
+    * head in (t, id) order.
+    *
+    * Oracle validity: repetitions extend deterministically (first
+    * matching event per state), and every click matches the kleene stage,
+    * so head h's k-th match consumes exactly the first k clicks in
+    * (h, h+24h] — a plain windowed join with a cumulative string_agg
+    * window frame replays the engine with no recursion. */
+  def cepReluctant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .followedBy("click")((e: Event) => e.event_type == "click")
+      .oneOrMore
+      .within(86400000L)
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatchAll(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepReluctantSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click')),
+      |j AS (
+      |  SELECT s.user_id, s.t AS h_t, s.event_id AS h_id,
+      |    c.t AS c_t, c.event_id AS c_id
+      |  FROM ev s JOIN ev c
+      |    ON c.user_id = s.user_id AND c.event_type = 'click'
+      |   AND (c.t > s.t OR (c.t = s.t AND c.event_id > s.event_id))
+      |   AND c.t <= s.t + 86400000
+      |  WHERE s.event_type = 'signup')
+      |SELECT user_id, h_t AS first_ms, c_t AS last_ms,
+      |  CAST(h_id AS VARCHAR) || '/' ||
+      |    string_agg(CAST(c_id AS VARCHAR), '/')
+      |      OVER (PARTITION BY user_id, h_id ORDER BY c_t, c_id
+      |            ROWS UNBOUNDED PRECEDING) AS ids
+      |FROM j
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   /** ALTERNATION MATCH_RECOGNIZE contract (r11): `signup (click|view)
     * purchase` — the SQL PATTERN `(A|B)` construct (flink-cep: a stage
     * with an OR'd simple condition), compiled from the string surface via
@@ -1559,6 +1697,9 @@ object TimeWindows {
     "q_cep_alternation"   -> (cepAlternation _),
     "q_cep_quantified"    -> (cepQuantified _),
     "q_cep_kleene"        -> (cepKleene _),
+    "q_cep_next"          -> (cepNext _),
+    "q_cep_any"           -> (cepAny _),
+    "q_cep_reluctant"     -> (cepReluctant _),
     "q_cep_guarded"       -> (cepGuarded _),
     "q_cep_match_recognize" -> (cepMatchRecognize _),
     "q_cumulate_window"   -> (cumulateWindow _),
@@ -1587,6 +1728,9 @@ object TimeWindows {
     "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,
     "q_cep_kleene"       -> cepKleeneSql,
+    "q_cep_next"         -> cepNextSql,
+    "q_cep_any"          -> cepAnySql,
+    "q_cep_reluctant"    -> cepReluctantSql,
     "q_cep_guarded"      -> cepGuardedSql,
     "q_cep_match_recognize" -> cepGuardedSql,
     "q_cumulate_window"  -> cumulateWindowSql,

@@ -4,10 +4,15 @@ import org.apache.spark.sql.{Dataset, Encoders}
 
 /** One declared positive stage of a [[Pattern]]: name, predicate, the
   * flink-cep `optional` flag, and the `notFollowedBy` gap guards declared
-  * between the previous positive stage and this one. */
+  * between the previous positive stage and this one. r14 second batch
+  * adds the remaining contiguity modes: `strict` (flink `.next()` —
+  * greedy surface), `anyMode` (flink `.followedByAny()` — all-matches
+  * surface) and `combinations` (flink `.allowCombinations()` on a
+  * oneOrMore stage — all-matches surface). */
 final case class StageDef(name: String, pred: Event => Boolean,
     optional: Boolean, negsBefore: Seq[(String, Event => Boolean)],
-    kleene: Boolean = false)
+    kleene: Boolean = false, strict: Boolean = false,
+    anyMode: Boolean = false, combinations: Boolean = false)
 
 /** Flink-CEP-style pattern builder — the `Pattern.begin(..).followedBy(..)
   * .within(..)` surface over the generic linear matcher, mapping a
@@ -69,6 +74,55 @@ final case class Pattern private (
     copy(stages = stages :+ StageDef(name, pred, optional = false, pendingNegs),
       pendingNegs = Nil)
 
+  /** flink-cep `.next(..)` (r14): STRICT contiguity — the stage must be
+    * satisfied by the IMMEDIATELY following event in the key's (ts, id)
+    * stream order; any other event in between (matching or not, including
+    * one consumed by an earlier match) kills the head's attempt. Greedy
+    * surface only ([[matchBatch]] / [[processor]]): adjacency is a
+    * property of the single consumed chain, so [[matchBatchAll]] rejects
+    * strict stages. Shape rules: must directly follow a plain required
+    * stage (across a skipped optional or an open-ended oneOrMore,
+    * "immediately after" is ambiguous), and no guards may be pending (a
+    * guard before a zero-length gap can never fire). */
+  def next(name: String)(pred: Event => Boolean): Pattern = {
+    require(stages.nonEmpty, "next needs a preceding stage (begin cannot be strict)")
+    require(!stages.last.optional && !stages.last.kleene,
+      "next after an optional or oneOrMore stage is ambiguous " +
+        "('immediately after' what?); make the previous stage plain required")
+    require(pendingNegs.isEmpty,
+      "notFollowedBy before next guards a zero-length gap and can never fire")
+    copy(stages = stages :+ StageDef(name, pred, optional = false, Nil, strict = true))
+  }
+
+  /** flink-cep `.followedByAny(..)` (r14): NON-DETERMINISTIC relaxed
+    * contiguity — EVERY later in-window event satisfying the stage
+    * continues a separate alternative, not just the first. Only
+    * meaningful under the all-matches surface ([[matchBatchAll]] /
+    * [[processorAll]], flink NO_SKIP); the greedy surface rejects it at
+    * compile ([[compiled]]) because consumed-set semantics cannot share
+    * events across matches. */
+  def followedByAny(name: String)(pred: Event => Boolean): Pattern = {
+    require(stages.nonEmpty, "followedByAny needs a preceding stage")
+    require(pendingNegs.isEmpty,
+      "notFollowedBy guards are a greedy-surface construct; the all-matches " +
+        "surface that followedByAny requires does not support them")
+    copy(stages = stages :+ StageDef(name, pred, optional = false, Nil, anyMode = true))
+  }
+
+  /** flink-cep `.allowCombinations()` (r14): on a oneOrMore stage, the
+    * repetitions branch non-deterministically — every matching event may
+    * be taken or skipped as the next repetition, enumerating event
+    * SUBSETS (in arrival order) instead of the deterministic first-match
+    * chain. All-matches surface only; exponential in the per-window
+    * repetition count (the blow-up flink documents), bounded by
+    * [[PatternMatcher.sealAll]]'s maxMatches. */
+  def allowCombinations: Pattern = {
+    require(stages.nonEmpty && stages.last.kleene,
+      "allowCombinations applies to a oneOrMore stage")
+    require(!stages.last.combinations, "stage already allows combinations")
+    copy(stages = stages.init :+ stages.last.copy(combinations = true))
+  }
+
   /** flink-cep `.notFollowedBy(..)`: no event matching `pred` may occur
     * between the previous positive stage and the next one. Attaches to
     * the NEXT `followedBy`; a pattern may not end on one. */
@@ -89,6 +143,9 @@ final case class Pattern private (
     * with gap guards pending (see shape rules). */
   def optional: Pattern = {
     require(stages.length >= 2, "the head stage cannot be optional")
+    require(!stages.last.strict,
+      "optional on a strict (next) stage is ambiguous: skipping it makes the " +
+        "following stage's adjacency target unclear")
     require(!stages.last.kleene,
       "optional on a oneOrMore stage is zero-or-more, which is not supported")
     require(stages.last.negsBefore.isEmpty,
@@ -116,6 +173,11 @@ final case class Pattern private (
     require(!stages.last.optional,
       "oneOrMore on an optional stage is zero-or-more, which is not supported " +
         "(no '*' form — see matchRecognize)")
+    require(!stages.last.strict,
+      "oneOrMore on a strict (next) stage (flink consecutive()) is not supported")
+    require(!stages.last.anyMode,
+      "oneOrMore on a followedByAny stage is ambiguous — use oneOrMore + " +
+        "allowCombinations for non-deterministic repetitions")
     require(!stages.last.kleene, "stage is already oneOrMore")
     require(stages.last.negsBefore.isEmpty,
       "oneOrMore on a guarded stage is ambiguous (guards straddling repetitions); " +
@@ -142,6 +204,9 @@ final case class Pattern private (
     require(from >= 1 && to >= from, s"times($from, $to): need 1 <= from <= to")
     require(stages.nonEmpty, "times needs a stage to repeat")
     require(!stages.last.optional, "times on an optional stage is ambiguous")
+    require(!stages.last.strict && !stages.last.anyMode,
+      "times on a strict (next) or followedByAny stage is not supported; " +
+        "quantify a plain followedBy stage")
     require(!stages.last.kleene,
       "times on a oneOrMore stage is ambiguous; quantify before oneOrMore")
     require(pendingNegs.isEmpty, "dangling notFollowedBy before times")
@@ -158,7 +223,9 @@ final case class Pattern private (
     * these; kept for the original surface and tests). */
   def predicates: Seq[Event => Boolean] = stages.map(_.pred)
 
-  /** Compile to the matcher's stage model, enforcing the shape rules. */
+  /** Compile to the GREEDY matcher's stage model ([[PatternMatcher.seal]]),
+    * enforcing the shape rules. Rejects the all-matches-only modes
+    * (followedByAny / allowCombinations) — use [[compiledAll]]. */
   def compiled: Seq[PosStage] = {
     require(stages.nonEmpty, "empty pattern")
     require(pendingNegs.isEmpty,
@@ -166,15 +233,40 @@ final case class Pattern private (
         "a guard needs a following stage")
     require(!stages.head.optional && stages.head.negsBefore.isEmpty,
       "the head stage must be required and unguarded")
+    require(stages.forall(st => !st.anyMode && !st.combinations),
+      s"stage(s) ${stages.filter(st => st.anyMode || st.combinations).map(_.name).mkString(",")} " +
+        "use followedByAny/allowCombinations — all-matches semantics; use " +
+        "matchBatchAll / processorAll instead of the greedy surface")
     stages.zipWithIndex.foreach { case (st, i) =>
       if (st.negsBefore.nonEmpty) {
         require(!st.optional && !stages(i - 1).optional &&
             !st.kleene && !stages(i - 1).kleene,
           s"stage ${st.name}: guards must sit between two plain required stages")
       }
+      if (st.strict)
+        require(!stages(i - 1).optional && !stages(i - 1).kleene,
+          s"stage ${st.name}: next must directly follow a plain required stage")
     }
     stages.map(st =>
-      PosStage(st.pred, st.optional, st.negsBefore.map(_._2), st.kleene))
+      PosStage(st.pred, st.optional, st.negsBefore.map(_._2), st.kleene, st.strict))
+  }
+
+  /** Compile to the ALL-MATCHES matcher's stage model
+    * ([[PatternMatcher.sealAll]], flink NO_SKIP). Rejects the
+    * greedy-surface-only modes (next / notFollowedBy) — see the matcher's
+    * scaladoc for why each construct belongs to exactly one surface. */
+  def compiledAll: Seq[PosStage] = {
+    require(stages.nonEmpty, "empty pattern")
+    require(pendingNegs.isEmpty && stages.forall(_.negsBefore.isEmpty),
+      "notFollowedBy guards require the greedy surface (matchBatch/processor): " +
+        "invalidating 'the attempt' is well-defined only with one attempt per head")
+    require(stages.forall(st => !st.strict),
+      "next (strict) stages require the greedy surface: adjacency is a property " +
+        "of the single consumed chain")
+    require(!stages.head.optional, "the head stage must be required")
+    stages.map(st =>
+      PosStage(st.pred, st.optional, Nil, st.kleene,
+        anyMode = st.anyMode, combinations = st.combinations))
   }
 
   private def horizon: Long = horizonMs.getOrElse(
@@ -198,6 +290,32 @@ final case class Pattern private (
       // wm = MaxValue seals every head's window in one shot (event epochs
       // are ~2^41 ms; head.ts + within stays far from overflow)
       val (matches, rest) = PatternMatcher.seal(uid, buf, stgs, h, Long.MaxValue)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      matches.iterator
+    }
+  }
+
+  /** All-matches streaming surface (flink NO_SKIP, r14): a state processor
+    * over [[PatternMatcher.sealAll]] for
+    * `groupByKey(_.user_id).transformWithState`. */
+  def processorAll: PatternAnyProcessor =
+    new PatternAnyProcessor(compiledAll, horizon)
+
+  /** All-matches batch surface (flink NO_SKIP, r14): every head's full
+    * alternative set — followedByAny branches, per-repetition-count
+    * kleene emission, optional variants, allowCombinations subsets.
+    * Equivalent to replaying through [[processorAll]] and sealing every
+    * window (the same property-tested invariant as [[matchBatch]]; the
+    * argument is stronger here — sealAll has no cross-head state at
+    * all). */
+  def matchBatchAll(evs: Dataset[Event]): Dataset[PatternMatch] = {
+    val stgs = compiledAll
+    val h = horizon
+    implicit val enc = Encoders.product[PatternMatch]
+    implicit val keyEnc = Encoders.scalaLong
+    evs.groupByKey(_.user_id).flatMapGroups { (uid: Long, it: Iterator[Event]) =>
+      val buf = it.map(e => BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)).toSeq
+      val (matches, rest) = PatternMatcher.sealAll(uid, buf, stgs, h, Long.MaxValue)
       assert(rest.isEmpty, "final seal must drain the buffer")
       matches.iterator
     }

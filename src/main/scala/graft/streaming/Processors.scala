@@ -602,9 +602,28 @@ case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids:
   * in-window event in preference to advancing). The [[Pattern]] builder
   * enforces the shape rules that keep greedy matching unambiguous: the
   * head stage is required, guarded gaps sit between two plain required
-  * stages, and a stage is never both optional and kleene. */
+  * stages, and a stage is never both optional and kleene.
+  *
+  * r14 second batch adds the remaining flink-cep contiguity modes:
+  *   - `strict` (flink-cep `.next()`): the stage must be satisfied by the
+  *     IMMEDIATELY following event in the key's (ts, id) stream order —
+  *     any other event in between (including one consumed by an earlier
+  *     match) kills the head's attempt. Greedy-surface only ([[
+  *     PatternMatcher.seal]]); rejected by [[PatternMatcher.sealAll]].
+  *   - `anyMode` (flink-cep `.followedByAny()`): non-deterministic relaxed
+  *     contiguity — EVERY later in-window event satisfying the stage
+  *     continues a separate alternative. All-matches surface only
+  *     ([[PatternMatcher.sealAll]]); rejected by the greedy matcher,
+  *     whose consumed-set semantics cannot express event sharing.
+  *   - `combinations` (flink-cep `.allowCombinations()`, on a kleene
+  *     stage): repetitions branch non-deterministically — every matching
+  *     event may be taken or skipped as the next repetition, enumerating
+  *     event SUBSETS instead of the deterministic first-match chain.
+  *     All-matches surface only. */
 final case class PosStage(pred: Event => Boolean, optional: Boolean,
-    negs: Seq[Event => Boolean], kleene: Boolean = false)
+    negs: Seq[Event => Boolean], kleene: Boolean = false,
+    strict: Boolean = false, anyMode: Boolean = false,
+    combinations: Boolean = false)
 
 /** The pure matcher core of [[PatternSequenceProcessor]], factored out so
   * its central invariant — incremental matching at successive watermark
@@ -632,7 +651,10 @@ object PatternMatcher {
     *      matches among the reachable ones (the pointer stage, plus any
     *      directly following stages reachable by skipping optionals; a
     *      required stage is never skipped).
-    *   3. no match → relaxed contiguity, event ignored.
+    *   3. no match → relaxed contiguity, event ignored — UNLESS the
+    *      pointer stage is strict (flink `.next()`, r14): the first
+    *      available (unconsumed) event after the last accepted one must
+    *      satisfy a strict pointer, so a miss aborts the head's attempt.
     *
     * Seal safety with negatives: every event that can decide a head's
     * verdict (consume a stage OR invalidate the attempt) lies inside
@@ -654,6 +676,10 @@ object PatternMatcher {
       "shape: the head stage must be required and unguarded")
     require(stages.forall(st => !(st.optional && st.kleene)),
       "shape: a stage cannot be both optional and oneOrMore (zero-or-more)")
+    require(stages.forall(st => !st.anyMode && !st.combinations),
+      "shape: followedByAny/allowCombinations stages require the all-matches " +
+        "matcher (sealAll) — the greedy consumed-set surface cannot share events")
+    require(!stages.head.strict, "shape: the head stage has no predecessor to be strict after")
     var k = 1
     while (k < stages.length) {
       if (stages(k).negs.nonEmpty)
@@ -662,6 +688,13 @@ object PatternMatcher {
           s"shape: guarded stage $k must sit between two plain required stages " +
             "(a guard across a skipped optional, or straddling a oneOrMore's " +
             "repetitions, would be silently ignored)")
+      if (stages(k).strict)
+        require(!stages(k).optional && !stages(k).kleene && stages(k).negs.isEmpty &&
+            !stages(k - 1).optional && !stages(k - 1).kleene,
+          s"shape: strict (next) stage $k must be plain required with no guards, " +
+            "directly after a plain required stage — 'immediately after' is " +
+            "ambiguous across a skipped optional or an open-ended oneOrMore, and " +
+            "a guard before a zero-length gap can never fire")
       k += 1
     }
     def toEvent(b: BufEv): Event =
@@ -686,7 +719,18 @@ object PatternMatcher {
         while (!aborted && stage < stages.length && j < events.length
             && events(j).ts_ms <= head.ts_ms + withinMs) {
           val e = events(j)
+          // strict (next) pointer: only the immediately following
+          // AVAILABLE (unconsumed) event can satisfy it — if that event
+          // misses the predicate, the head's attempt dies (no retry with
+          // a later event). Adjacency over unconsumed events, not raw
+          // stream positions, keeps incremental ≡ one-shot: the prune
+          // drops consumed events from the buffer, so a definition that
+          // let a consumed event break adjacency would abort in one-shot
+          // but match after an incremental prune. Callers decide what
+          // "adjacent" means by what they feed/buffer (the processor
+          // buffers ALL events for strict patterns, see handleInputRows).
           if (!consumed(e.event_id)) {
+            val strictPtr = stages(stage).strict
             val ev = toEvent(e)
             if (stages(stage).negs.exists(n => n(ev))) {
               aborted = true // gap guard hit: this head can never match
@@ -707,6 +751,8 @@ object PatternMatcher {
                 ids += e.event_id; lastMs = e.ts_ms
                 if (stages(hit).kleene) { stage = hit; pointerSat = true }
                 else { stage = hit + 1; pointerSat = false }
+              } else if (strictPtr) {
+                aborted = true // the immediate available successor missed a strict stage
               }
             }
           }
@@ -731,6 +777,126 @@ object PatternMatcher {
     // ts > wm − within ≥ any sealed event's ts) — only the undecided
     // tail survives
     val keep = events.filter(e => !consumed(e.event_id) && e.ts_ms + withinMs > wm)
+    (out.toSeq, keep.toSeq)
+  }
+
+  /** All-matches (flink NO_SKIP) matching over `buffer` for every head the
+    * watermark seals — the second matcher surface (r14), carrying the
+    * flink-cep constructs the greedy consumed-set surface CANNOT express:
+    * `followedByAny` (every later matching event continues a separate
+    * alternative), non-greedy `oneOrMore` multiplicity (a match per
+    * repetition count — flink's default emission, vs [[seal]]'s single
+    * greedy maximal match), `allowCombinations` (repetition subsets), and
+    * branched `optional` (both the with- and without- variants emit, the
+    * deviation [[Pattern]]'s scaladoc documents for the greedy surface).
+    *
+    * Semantics per flink-cep with AfterMatchSkipStrategy.noSkip():
+    *   - EVERY sealed event matching the head stage starts an attempt;
+    *     events are never consumed and freely shared across matches.
+    *   - From a partial-match state, a DETERMINISTIC stage (followedBy /
+    *     oneOrMore without combinations) extends by the FIRST later
+    *     in-window event matching it; an `anyMode` stage (followedByAny)
+    *     or a `combinations` kleene extends by EVERY such event, each a
+    *     separate branch. An event matching several reachable stages
+    *     branches on each (reachability = the pointer, then onward across
+    *     skippable stages exactly as in [[seal]]).
+    *   - A state whose remaining stages are all skippable EMITS a match
+    *     and keeps extending — so a kleene stage emits at every
+    *     repetition count and trailing optionals emit both variants.
+    *     Duplicate id-sequences from convergent branches emit once.
+    *
+    * Shape preconditions (asserted): no `strict` stages (next is a
+    * greedy-surface modifier: "the immediate successor" is a property of
+    * the single consumed chain) and no gap guards (a notFollowedBy that
+    * invalidates an ATTEMPT is well-defined only when a head has exactly
+    * one attempt; flink couples NOT-patterns to skip strategies the same
+    * way). `combinations` only on kleene stages; head required.
+    *
+    * Seal safety is STRONGER than [[seal]]'s: with no consumed set there
+    * is no cross-head coupling at all — a head's match set depends only
+    * on events in [head, head+within], so sealed verdicts are final and
+    * incremental ≡ one-shot trivially (still property-tested). Pruning
+    * keeps exactly the unsealed events: a sealed event cannot partner a
+    * future head (a partner's ts ≥ its head's ts, so the partner's window
+    * seals no earlier than the head's — if the partner is sealed, every
+    * head it could serve is sealed too, and was just enumerated).
+    *
+    * `maxMatches` bounds the per-key output (anyMode chains are
+    * multiplicative and `combinations` is exponential in the per-window
+    * repetition count — the same blow-up flink documents); exceeding it
+    * throws rather than silently truncating. */
+  def sealAll(key: Long, buffer: Seq[BufEv], stages: Seq[PosStage],
+      withinMs: Long, wm: Long, maxMatches: Int = 1 << 20): (Seq[PatternMatch], Seq[BufEv]) = {
+    require(stages.nonEmpty, "empty stage list")
+    require(!stages.head.optional, "shape: the head stage must be required")
+    require(stages.forall(st => !(st.optional && st.kleene)),
+      "shape: a stage cannot be both optional and oneOrMore (zero-or-more)")
+    require(stages.forall(st => !st.strict),
+      "shape: strict (next) stages require the greedy matcher — adjacency is a " +
+        "property of the single consumed chain, not of branched alternatives")
+    require(stages.forall(st => st.negs.isEmpty),
+      "shape: notFollowedBy guards require the greedy matcher — invalidating 'the " +
+        "attempt' is well-defined only when a head has exactly one attempt")
+    require(stages.forall(st => !st.combinations || st.kleene),
+      "shape: allowCombinations applies to a oneOrMore stage")
+    def toEvent(b: BufEv): Event =
+      Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
+    val events = buffer.sortBy(e => (e.ts_ms, e.event_id)).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+    var i = 0
+    while (i < events.length && events(i).ts_ms + withinMs <= wm) { // sealing is ts-monotone
+      val head = events(i)
+      if (stages.head.pred(toEvent(head))) {
+        val horizon = head.ts_ms + withinMs
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Long]]
+        // completion: every remaining stage is skippable — optional, or
+        // the pointer as a satisfied kleene (same rule as the greedy seal)
+        def complete(stage: Int, sat: Boolean): Boolean =
+          (stage until stages.length).forall(t =>
+            stages(t).optional || (t == stage && sat))
+        // DFS over partial-match states; ids accumulates in reverse
+        def go(stage: Int, sat: Boolean, lastIdx: Int, ids: List[Long], lastMs: Long): Unit = {
+          if (complete(stage, sat)) {
+            val seq = ids.reverse
+            if (seen.add(seq)) {
+              if (out.length >= maxMatches) throw new IllegalStateException(
+                s"sealAll: key $key exceeds $maxMatches matches — anyMode/" +
+                  "allowCombinations patterns are combinatorial; narrow the " +
+                  "window or the predicates, or raise maxMatches deliberately")
+              out += PatternMatch(key, head.ts_ms, lastMs, seq)
+            }
+          }
+          if (stage >= stages.length) return
+          // deterministic stages take only their FIRST matching event per
+          // state; anyMode / combinations stages take every matching event
+          val dead = new java.util.BitSet(stages.length)
+          var j = lastIdx + 1
+          while (j < events.length && events(j).ts_ms <= horizon) {
+            val ev = toEvent(events(j))
+            var t = stage
+            var scanning = true
+            while (scanning && t < stages.length) {
+              if (!dead.get(t) && stages(t).pred(ev)) {
+                if (stages(t).kleene)
+                  go(t, sat = true, j, events(j).event_id :: ids, events(j).ts_ms)
+                else
+                  go(t + 1, sat = false, j, events(j).event_id :: ids, events(j).ts_ms)
+                if (!(stages(t).anyMode || (stages(t).kleene && stages(t).combinations)))
+                  dead.set(t)
+              }
+              if (stages(t).optional || (t == stage && sat)) t += 1 else scanning = false
+            }
+            j += 1
+          }
+        }
+        if (stages.head.kleene)
+          go(0, sat = true, i, List(head.event_id), head.ts_ms)
+        else
+          go(1, sat = false, i, List(head.event_id), head.ts_ms)
+      }
+      i += 1
+    }
+    val keep = events.filter(e => e.ts_ms + withinMs > wm)
     (out.toSeq, keep.toSeq)
   }
 
@@ -827,7 +993,11 @@ object PatternMatcher {
   * window the watermark has not sealed — bounded by horizon × per-key event
   * rate (the login-fail prune contract); plus one sliding timer. Events no
   * stage predicate accepts are never buffered — negative gap guards count
-  * as acceptors (an invalidating event must survive to its seal). */
+  * as acceptors (an invalidating event must survive to its seal) — EXCEPT
+  * when the pattern has a strict (next) stage: there every event is
+  * buffered, because a non-matching event breaks adjacency and must be
+  * visible to the matcher exactly as it is to a batch caller feeding the
+  * full event set. */
 class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
     extends StatefulProcessor[Long, Event, PatternMatch] {
 
@@ -854,10 +1024,11 @@ class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[Event],
       timers: TimerValues): Iterator[PatternMatch] = {
+    val hasStrict = stageDefs.exists(_.strict)
     rows.foreach { e =>
       val b = BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)
       val ev = toEvent(key, b)
-      if (stageDefs.exists(s => s.pred(ev) || s.negs.exists(n => n(ev))))
+      if (hasStrict || stageDefs.exists(s => s.pred(ev) || s.negs.exists(n => n(ev))))
         buf.appendValue(b)
     }
     // fire just past the current watermark: each advance re-runs sealing
@@ -870,6 +1041,57 @@ class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
     timerTs.clear()
     val wm = timers.getCurrentWatermarkInMs()
     val (out, keep) = PatternMatcher.seal(key, buf.get().toSeq, stageDefs, withinMs, wm)
+    buf.clear()
+    keep.foreach(buf.appendValue)
+    if (keep.nonEmpty) slideTimer(wm + 1)
+    out.iterator
+  }
+}
+
+/** Streaming surface of [[PatternMatcher.sealAll]] (flink NO_SKIP, r14) —
+  * identical watermark-driven buffering/sealing protocol to
+  * [[PatternSequenceProcessor]], with the all-matches matcher core:
+  * followedByAny branches, per-repetition-count kleene emission, optional
+  * variants, allowCombinations subsets. Seal safety needs no consumed-set
+  * argument here — sealAll carries no cross-head state, so a sealed
+  * head's alternative set is final by window containment alone. State per
+  * key: the unsealed buffer (events no stage accepts are never buffered;
+  * there are no gap guards on this surface) plus one sliding timer. */
+class PatternAnyProcessor(stageDefs: Seq[PosStage], withinMs: Long)
+    extends StatefulProcessor[Long, Event, PatternMatch] {
+  @transient private var buf: ListState[BufEv] = _
+  @transient private var timerTs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[BufEv]("buf", Encoders.product[BufEv], TTLConfig.NONE)
+    timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def toEvent(key: Long, b: BufEv): Event =
+    Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
+
+  private def slideTimer(fireAt: Long): Unit =
+    if (!timerTs.exists() || timerTs.get() != fireAt) {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(fireAt)
+      timerTs.update(fireAt)
+    }
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[PatternMatch] = {
+    rows.foreach { e =>
+      val b = BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)
+      if (stageDefs.exists(_.pred(toEvent(key, b)))) buf.appendValue(b)
+    }
+    slideTimer(timers.getCurrentWatermarkInMs() + 1)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[PatternMatch] = {
+    timerTs.clear()
+    val wm = timers.getCurrentWatermarkInMs()
+    val (out, keep) = PatternMatcher.sealAll(key, buf.get().toSeq, stageDefs, withinMs, wm)
     buf.clear()
     keep.foreach(buf.appendValue)
     if (keep.nonEmpty) slideTimer(wm + 1)

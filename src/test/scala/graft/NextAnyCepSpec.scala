@@ -1,0 +1,250 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import graft.streaming._
+
+/** Semantics anchors for the r14 second-batch CEP surface: strict
+  * contiguity (`next`, greedy surface — q_cep_next), and the all-matches
+  * NO_SKIP surface (`matchBatchAll` / `sealAll`) carrying `followedByAny`
+  * (q_cep_any), non-greedy kleene multiplicity (q_cep_reluctant),
+  * `allowCombinations` subsets, and branched optionals. Hand-computed
+  * matches per semantic corner, builder shape-rule enforcement, and
+  * streaming ≡ batch reversed-replay equivalences over real events for
+  * both new surfaces. */
+class NextAnyCepSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minutes: Int): Timestamp = new Timestamp(minutes * 60000L)
+  private def mk(id: Long, min: Int, tp: String, user: Long = 1L): Event =
+    Event(id, ts(min), user, tp, 1.0)
+  private val h = 60L * 60000 // 1-hour horizon
+
+  private def matchIds(pat: Pattern, evs: Seq[Event]): Seq[Seq[Long]] =
+    pat.matchBatch(spark.createDataset(evs)).collect()
+      .sortBy(m => (m.first_ms, m.event_ids.head)).map(_.event_ids).toSeq
+
+  private def allIds(pat: Pattern, evs: Seq[Event]): Set[Seq[Long]] =
+    pat.matchBatchAll(spark.createDataset(evs)).collect().map(_.event_ids.toSeq).toSet
+
+  // ---------------- strict contiguity (next) ----------------
+
+  private val nextPat = Pattern
+    .begin("a")(_.event_type == "A")
+    .next("b")(_.event_type == "B")
+    .within(h)
+
+  test("s_cep_next: adjacent B matches; ANY intervening event kills the attempt") {
+    assert(matchIds(nextPat, Seq(mk(1, 1, "A"), mk(2, 2, "B"))) === Seq(Seq(1L, 2L)))
+    // an interloper of a type no stage accepts still breaks adjacency —
+    // this is the whole difference vs followedBy
+    assert(matchIds(nextPat, Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "B"))) === Seq())
+    // whereas the relaxed twin matches through the interloper
+    val relaxed = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")((_: Event).event_type == "B").within(h)
+    assert(matchIds(relaxed, Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "B")))
+      === Seq(Seq(1L, 3L)))
+  }
+
+  test("next: a second head immediately before B wins over an earlier separated head") {
+    // A1's successor is A2 (miss -> abort); A2's successor is B3 (match)
+    assert(matchIds(nextPat, Seq(mk(1, 1, "A"), mk(2, 2, "A"), mk(3, 3, "B")))
+      === Seq(Seq(2L, 3L)))
+  }
+
+  test("next: the window edge bounds adjacency too") {
+    // B is adjacent but outside the 1h window
+    assert(matchIds(nextPat, Seq(mk(1, 1, "A"), mk(2, 70, "B"))) === Seq())
+  }
+
+  test("next composes after a relaxed stage: A ... B next C") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .followedBy("b")(_.event_type == "B")
+      .next("c")(_.event_type == "C")
+      .within(h)
+    // relaxed gap to B, then C must be immediate
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "B"), mk(4, 4, "C")))
+      === Seq(Seq(1L, 3L, 4L)))
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "X"), mk(4, 4, "C")))
+      === Seq())
+  }
+
+  test("next shape rules: no strict head, none after optional/kleene, no guard into it, " +
+       "no quantifier/optional on it; greedy surface only rejects anyMode") {
+    def A = (e: Event) => e.event_type == "A"
+    def B = (e: Event) => e.event_type == "B"
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).followedBy("b")(B).optional.next("c")(A))
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).followedBy("b")(B).oneOrMore.next("c")(A))
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).notFollowedBy("x")(B).next("c")(A))
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).next("b")(B).optional)
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).next("b")(B).oneOrMore)
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).next("b")(B).times(2))
+    // all-matches surface rejects strict stages
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).next("b")(B).within(h).compiledAll)
+    // greedy surface rejects anyMode stages
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).followedByAny("b")(B).within(h).compiled)
+    // guards are greedy-surface only
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).notFollowedBy("x")(B).followedBy("c")(A).within(h).compiledAll)
+    // allowCombinations needs a kleene stage
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).followedBy("b")(B).allowCombinations)
+  }
+
+  // ---------------- all-matches surface (sealAll) ----------------
+
+  private val anyPat = Pattern
+    .begin("a")(_.event_type == "A")
+    .followedByAny("b")(_.event_type == "B")
+    .within(h)
+
+  test("s_cep_any followedByAny: every (A, later in-window B) combination is a match") {
+    assert(allIds(anyPat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "A"), mk(4, 4, "B")))
+      === Set(Seq(1L, 2L), Seq(1L, 4L), Seq(3L, 4L)))
+    // window bounds the combinations per head
+    assert(allIds(anyPat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 70, "B")))
+      === Set(Seq(1L, 2L)))
+  }
+
+  test("all-matches followedBy (deterministic) still takes only the FIRST match per state") {
+    val pat = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")((_: Event).event_type == "B").within(h)
+    // NO_SKIP heads: both As match, each with the first B after it
+    assert(allIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "A"), mk(3, 3, "B"), mk(4, 4, "B")))
+      === Set(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("s_cep_reluctant kleene: every repetition count emits (prefix family)") {
+    val pat = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")((_: Event).event_type == "B").oneOrMore.within(h)
+    assert(allIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "B"), mk(4, 4, "B")))
+      === Set(Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)))
+    // repetitions are deterministic first-match chains: no gap-skipping
+    // subsets without allowCombinations
+    assert(!allIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "B")))
+      .contains(Seq(1L, 3L)))
+  }
+
+  test("allowCombinations: repetition SUBSETS in arrival order (2^n - 1 per head)") {
+    val pat = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")((_: Event).event_type == "B").oneOrMore.allowCombinations
+      .within(h)
+    assert(allIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "B"), mk(4, 4, "B")))
+      === Set(
+        Seq(1L, 2L), Seq(1L, 3L), Seq(1L, 4L),
+        Seq(1L, 2L, 3L), Seq(1L, 2L, 4L), Seq(1L, 3L, 4L),
+        Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("all-matches optional branches: both the with- and without- variants emit") {
+    val pat = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")((_: Event).event_type == "B").optional
+      .followedBy("c")((_: Event).event_type == "C").within(h)
+    assert(allIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"), mk(3, 3, "C")))
+      === Set(Seq(1L, 3L), Seq(1L, 2L, 3L)))
+  }
+
+  test("convergent branches dedup: an event matching two reachable stages emits once per id-set") {
+    // X matches both the optional b-stage and the closer c-stage
+    val x = (e: Event) => e.event_type == "X"
+    val pat = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")(x).optional
+      .followedBy("c")(x).within(h)
+    // [1,2] via c directly; [1,2,3] via b then c — and no duplicates
+    val ms = Pattern.begin("a")((_: Event).event_type == "A")
+      .followedBy("b")(x).optional.followedBy("c")(x).within(h)
+      .matchBatchAll(spark.createDataset(Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "X"))))
+      .collect().map(_.event_ids.toSeq).toSeq
+    assert(ms.size === ms.distinct.size, s"duplicate emissions in $ms")
+    assert(ms.toSet === Set(Seq(1L, 2L), Seq(1L, 2L, 3L)))
+    assert(pat.compiledAll.nonEmpty)
+  }
+
+  test("sealAll maxMatches bounds combinatorial output loudly") {
+    import graft.streaming.{BufEv, PatternMatcher, PosStage}
+    val stages = Seq(
+      PosStage((e: Event) => e.event_type == "A", optional = false, Nil),
+      PosStage((e: Event) => e.event_type == "B", optional = false, Nil, anyMode = true))
+    val evs = (1 to 10).map(i => BufEv(i.toLong, i * 1000L, if (i == 1) "A" else "B", 0.0))
+    intercept[IllegalStateException](
+      PatternMatcher.sealAll(1L, evs, stages, 60000L, Long.MaxValue, maxMatches = 3))
+  }
+
+  test("streaming processorAll == matchBatchAll (reversed replay, q_cep_any backing)") {
+    val pat = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .followedByAny("purchase")((e: Event) => e.event_type == "purchase")
+      .within(86400000L)
+    val evs = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .where($"event_type".isin("signup", "purchase"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val expected = pat.matchBatchAll(spark.createDataset(evs.toSeq)).collect()
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+    assert(expected.nonEmpty, "any-pattern should match on sf0.001 events")
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = "pat_any_snk"
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processorAll, TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val streamed = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+        .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+      assert(streamed === expected,
+        s"any streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
+
+  test("streaming processor == matchBatch for the strict pattern over ALL event types " +
+       "(reversed replay, q_cep_next backing — interlopers must be buffered)") {
+    val pat = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .next("purchase")((e: Event) => e.event_type == "purchase")
+      .within(3600000L)
+    val evs = graft.tables.Tables.events(spark, sf("sf0.001"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val expected = pat.matchBatch(spark.createDataset(evs.toSeq)).collect()
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+    val maxMs = evs.map(_.ts.getTime).max
+    val in = MemoryStream[Event]
+    val sink = "pat_next_snk"
+    val q = in.toDS().withWatermark("ts", "35 days")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processor, TimeMode.EventTime(), OutputMode.Append())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val (h1, h2) = evs.sortBy(e => -e.ts.getTime).splitAt(evs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      val sentTs = new Timestamp(maxMs + 50L * 24 * 3600000)
+      in.addData(Event(-1L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2L, sentTs, -99L, "sentinel", 0.0)); q.processAllAvailable()
+      val streamed = spark.table(sink).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+        .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids)).toSet
+      assert(streamed === expected,
+        s"strict streaming≡batch diverged; missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
+}

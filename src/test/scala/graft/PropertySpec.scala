@@ -299,6 +299,116 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP sealing with strict (next) stages: incremental == one-shot at any schedule (r14)") {
+    import graft.streaming.{BufEv, Event, PatternMatcher, PosStage}
+    def tp(t: String): Event => Boolean = (e: Event) => e.event_type == t
+    def or(a: String, b: String): Event => Boolean =
+      (e: Event) => e.event_type == a || e.event_type == b
+    val evGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", "X"))
+    } yield ts.zip(tp).zipWithIndex.map { case ((t, y), i) => BufEv(i.toLong, t, y, 0.0) }
+    // every builder-legal strict position: after the head, after a
+    // relaxed stage, chained, before an optional tail, and with
+    // overlapping predicates (a strict candidate consumed by an earlier
+    // match must read as unavailable, not as an adjacency break)
+    val patGen = Gen.oneOf(
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, strict = true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil),
+        PosStage(tp("C"), false, Nil, strict = true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, strict = true),
+        PosStage(tp("C"), false, Nil, strict = true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, strict = true),
+        PosStage(tp("C"), true, Nil)),
+      Seq(PosStage(or("A", "B"), false, Nil), PosStage(or("B", "C"), false, Nil, strict = true)))
+    val caseGen = for {
+      evs <- evGen
+      pat <- patGen
+      within <- Gen.chooseNum(1L, 800L)
+      nSeals <- Gen.chooseNum(1, 5)
+      seals <- Gen.listOfN(nSeals, Gen.chooseNum(0L, 3000L))
+      arrivals <- Gen.listOfN(evs.length, Gen.chooseNum(0, nSeals - 1))
+    } yield (evs, pat, within, seals.sorted, arrivals)
+    forAllN(caseGen, n = 500) { case (evs, pat, within, seals, arrivals) =>
+      val fin = seals.last + 5000
+      val (oneShot, rest) = PatternMatcher.seal(1L, evs, pat, within, fin)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      def effectiveBatch(e: BufEv, a: Int): Int = {
+        val firstCovering = seals.indexWhere(_ >= e.ts_ms)
+        if (firstCovering < 0) a else a min firstCovering
+      }
+      var buffer = Seq.empty[BufEv]
+      var emitted = Seq.empty[graft.streaming.PatternMatch]
+      (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
+        val due = evs.zip(arrivals).collect {
+          case (e, a) if effectiveBatch(e, a) == batch => e
+        }
+        val (m, keep) = PatternMatcher.seal(1L, buffer ++ due, pat, within, wm)
+        emitted ++= m
+        buffer = keep
+      }
+      assert(emitted.toSet === oneShot.toSet,
+        s"incremental != one-shot (strict) for within=$within seals=$seals")
+    }
+  }
+
+  test("all-matches sealing (sealAll): incremental == one-shot at any schedule (r14)") {
+    import graft.streaming.{BufEv, Event, PatternMatcher, PosStage}
+    def tp(t: String): Event => Boolean = (e: Event) => e.event_type == t
+    def or(a: String, b: String): Event => Boolean =
+      (e: Event) => e.event_type == a || e.event_type == b
+    val evGen = for {
+      n <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 2000L))
+      tp <- Gen.listOfN(n, Gen.oneOf("A", "B", "C", "X"))
+    } yield ts.zip(tp).zipWithIndex.map { case ((t, y), i) => BufEv(i.toLong, t, y, 0.0) }
+    // anyMode at each position, kleene with and without combinations,
+    // branched optionals, overlapping predicates
+    val patGen = Gen.oneOf(
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, anyMode = true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, anyMode = true),
+        PosStage(tp("C"), false, Nil)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil),
+        PosStage(tp("C"), false, Nil, anyMode = true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, kleene = true)),
+      Seq(PosStage(tp("A"), false, Nil),
+        PosStage(tp("B"), false, Nil, kleene = true, combinations = true)),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), true, Nil),
+        PosStage(tp("C"), false, Nil, anyMode = true)),
+      Seq(PosStage(or("A", "B"), false, Nil), PosStage(or("B", "C"), false, Nil, anyMode = true)),
+      Seq(PosStage(tp("A"), false, Nil, kleene = true), PosStage(tp("C"), false, Nil)))
+    val caseGen = for {
+      evs <- evGen
+      pat <- patGen
+      within <- Gen.chooseNum(1L, 800L)
+      nSeals <- Gen.chooseNum(1, 5)
+      seals <- Gen.listOfN(nSeals, Gen.chooseNum(0L, 3000L))
+      arrivals <- Gen.listOfN(evs.length, Gen.chooseNum(0, nSeals - 1))
+    } yield (evs, pat, within, seals.sorted, arrivals)
+    forAllN(caseGen, n = 500) { case (evs, pat, within, seals, arrivals) =>
+      val fin = seals.last + 5000
+      val (oneShot, rest) = PatternMatcher.sealAll(1L, evs, pat, within, fin)
+      assert(rest.isEmpty, "final seal must drain the buffer")
+      def effectiveBatch(e: BufEv, a: Int): Int = {
+        val firstCovering = seals.indexWhere(_ >= e.ts_ms)
+        if (firstCovering < 0) a else a min firstCovering
+      }
+      var buffer = Seq.empty[BufEv]
+      var emitted = Seq.empty[graft.streaming.PatternMatch]
+      (seals :+ fin).zipWithIndex.foreach { case (wm, batch) =>
+        val due = evs.zip(arrivals).collect {
+          case (e, a) if effectiveBatch(e, a) == batch => e
+        }
+        val (m, keep) = PatternMatcher.sealAll(1L, buffer ++ due, pat, within, wm)
+        emitted ++= m
+        buffer = keep
+      }
+      assert(emitted.toSet === oneShot.toSet,
+        s"incremental != one-shot (sealAll) for within=$within seals=$seals")
+    }
+  }
+
   test("PERMUTE sealing: incremental matching at any watermark schedule == one-shot") {
     import graft.streaming.{BufEv, Event, PatternMatcher}
     val evGen = for {
