@@ -722,10 +722,14 @@ object Curation {
     * int64 (cross-multiplied, no float ECDFs), argmax ties break on the
     * smaller bucket; only the final ks = gap/(nA·nB) is one
     * correctly-rounded double division (R4 rounding at the boundary).
-    * Int64 bound: gap ~ n² wraps past ~3·10⁹ events — beyond that the
-    * cross-products lift to DECIMAL(38) AND the emitted gap_num column
-    * widens with them (the output schema is part of the bound, unlike
-    * q_stats_psi where the wide intermediates reduce back to a ppm).
+    * The cross-products (gap ~ n², and the nA·nB divisor) are
+    * DECIMAL(38,0) from CONSTRUCTION (r14, the q_stats_psi/acf/auc lift
+    * completing the int64 audit — gap would wrap past ~3·10⁹ events
+    * silently in non-ANSI mode, error under ANSI; HUGEINT twins in the
+    * oracle): the statistic stays exact to ~10³⁸ events, and the
+    * decimal gap_num orders/emits exactly. DecimalBoundSpec plants a
+    * histogram whose gap exceeds Long.MaxValue and checks against
+    * independent BigInt arithmetic.
     * Scale: one map-side-partial hash agg to the bucket histogram, the
     * cumulative window runs over ≤500 HISTOGRAM rows (never raw events),
     * totals broadcast one-row. */
@@ -744,6 +748,14 @@ object Curation {
         when($"event_id" <= $"cut", 1L).otherwise(0L).as("is_a"))
       .groupBy($"bucket")
       .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
+    statsKsFromHist(s, hist)
+  }
+
+  /** [[statsKs]] core over a (bucket, ca, cb) histogram — the DECIMAL(38,0)
+    * wide path, factored so DecimalBoundSpec can drive it past the int64
+    * bound directly (the statsAucFromHist pattern). */
+  private[graft] def statsKsFromHist(s: SparkSession, hist: DataFrame): DataFrame = {
+    import s.implicits._
     // totals are sum windows over the SAME ≤500-row histogram frame — a
     // separate agg cross-joined back would re-run the event scan for the
     // second consumer (the q_search_bm25 ReusedExchange lesson).
@@ -755,12 +767,16 @@ object Curation {
       .withColumn("cum_b", sum($"cb").over(wCum))
       .withColumn("na", sum($"ca").over(wAll))
       .withColumn("nb", sum($"cb").over(wAll))
+      // lift BEFORE the cross-product forms, not after it wraps
       .select($"bucket", $"na", $"nb",
-        abs($"cum_a" * $"nb" - $"cum_b" * $"na").as("gap_num"))
+        abs($"cum_a".cast("decimal(38,0)") * $"nb" -
+            $"cum_b".cast("decimal(38,0)") * $"na").as("gap_num"))
       .orderBy($"gap_num".desc, $"bucket")
       .limit(1)
       .select($"bucket".as("ks_bucket"), $"na", $"nb", $"gap_num",
-        round($"gap_num".cast("double") / ($"na" * $"nb").cast("double"), 6).as("ks"))
+        round($"gap_num".cast("double") /
+            expr("CAST(nullif(CAST(na AS DECIMAL(38,0)) * nb, 0) AS DOUBLE)"),
+          6).as("ks"))
   }
 
   val statsKsSql: String =
@@ -778,9 +794,9 @@ object Curation {
       |    CAST(SUM(cb) OVER () AS BIGINT) AS nb
       |  FROM hist)
       |SELECT bucket AS ks_bucket, na, nb,
-      |  ABS(cum_a * nb - cum_b * na) AS gap_num,
-      |  ROUND(CAST(ABS(cum_a * nb - cum_b * na) AS DOUBLE)
-      |        / CAST(na * nb AS DOUBLE), 6) AS ks
+      |  CAST(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na) AS BIGINT) AS gap_num,
+      |  ROUND(CAST(ABS(CAST(cum_a AS HUGEINT) * nb - CAST(cum_b AS HUGEINT) * na) AS DOUBLE)
+      |        / CAST(NULLIF(CAST(na AS HUGEINT) * nb, 0) AS DOUBLE), 6) AS ks
       |FROM cum
       |ORDER BY gap_num DESC, bucket LIMIT 1""".stripMargin
 

@@ -3,7 +3,8 @@ package graft
 import graft.ops.{Curation, TimeWindows}
 
 /** Planted near-int64-bound proofs for the DECIMAL(38,0)-at-construction
-  * lifts (VERDICT r13 #2): q_ts_acf, q_stats_auc, q_stats_gini.
+  * lifts (VERDICT r13 #2): q_ts_acf, q_stats_auc, q_stats_gini, and
+  * (r14 second batch, closing the audit) q_stats_ks.
   *
   * Each test injects a histogram whose quadratic terms EXCEED
   * Long.MaxValue (asserted explicitly, so the plant really is past the
@@ -98,5 +99,26 @@ class DecimalBoundSpec extends SparkTestBase {
     // gini_ppm = (2T − S(n+1))·10⁶ div (n·S), floored integral division
     val expectedPpm = ((t2 - s * (n + 1)) * 1000000) / (n * s)
     assert(r.getLong(3) === expectedPpm.toLong, "gini_ppm")
+  }
+
+  test("stats_ks: gap > int64 — decimal path matches exact BigInt arithmetic") {
+    import spark.implicits._
+    // two buckets, billions per side: at bucket 1, cum_a·nb ≈ 3.2·10¹⁹
+    // and the gap ≈ 2.8·10¹⁹ — past int64.
+    val hist = Seq((1L, 4000000000L, 1000000000L), (2L, 1000000000L, 4000000000L))
+      .toDF("bucket", "ca", "cb")
+    val na = BigInt(5000000000L)
+    val nb = BigInt(5000000000L)
+    // argmax gap is at bucket 1: |cum_a·nb − cum_b·na|
+    val gap1 = (BigInt(4000000000L) * nb - BigInt(1000000000L) * na).abs
+    val gap2 = (na * nb - nb * na).abs // bucket 2 closes both ECDFs: 0
+    assert(gap1 > BigInt(Long.MaxValue), "plant must exceed the int64 bound")
+    assert(gap2 < gap1)
+    val r = Curation.statsKsFromHist(spark, hist).collect().head
+    assert(r.getLong(0) === 1L, "ks_bucket argmax")
+    assert(r.getLong(1) === na.toLong)
+    assert(r.getLong(2) === nb.toLong)
+    assertDec(r.getDecimal(3), gap1, "gap_num")
+    assert(r.getDouble(4) === round6(gap1, na * nb), "ks")
   }
 }
