@@ -226,9 +226,25 @@ object LlmVector {
     * candidates come from a self-join on
     * (band, band_bits) — the shuffle key — then pair-dedup BEFORE the
     * arrays are attached (the band join moves only (vec_id, band, bits)
-    * rows, never the 64-float payload), then exact cosine verify. Nothing
-    * is quadratic in the corpus: work = Σ_buckets C(|bucket|,2), the same
-    * contract as the MinHash/SimHash dedup family. The embedding attach is
+    * rows, never the 64-float payload), then exact cosine verify. Work =
+    * Σ_buckets C(|bucket|,2), the same contract as the MinHash/SimHash
+    * dedup family.
+    *
+    * MEASURED SCALE BOUND (r14 ScaleGen 30×, recorded in BASELINE.md): at
+    * THIS row's contract threshold (cos = 0.45) the bucket mass is itself
+    * quadratic — a 4-bit band has only 16 values, so a uniform random
+    * pair collides in ≥1 of the 12 bands with prob 1−(1−2⁻⁴)¹² ≈ 0.54
+    * and candidates ≈ 0.27·N² (measured: N 2k→60k drove candidates
+    * ~1.1·10⁶→~9.7·10⁸ and the cluster sibling 1.6 s→734 s, with a spill
+    * cliff past ~10× where the pair shuffle leaves memory). Banding
+    * cannot be sharpened here: 8-bit bands would drop detection to
+    * ~0.17 recall at cos 0.45 on near-isotropic data — the SURVEY-
+    * documented no-sub-quadratic position, now with a 30× datapoint.
+    * Production near-dup thresholds (cos ≥ 0.85, p ≈ 0.82/plane) keep
+    * 16-bit bands BOTH selective (1.5·10⁻⁵ random admit) and sensitive —
+    * at fleet N, tighten the threshold or widen the bands; never run the
+    * 0.45 contract row at fleet scale. Both banded rows stay fenced to
+    * verification-SF duty with their exact twin. The embedding attach is
     * an un-hinted equi-join: AQE broadcasts it at test SF and shuffles on
     * vec_id at scale. */
   def dedupEmbedBanded(s: SparkSession, dir: String): DataFrame = {
