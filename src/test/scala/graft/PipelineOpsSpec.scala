@@ -560,9 +560,11 @@ class PipelineOpsSpec extends SparkTestBase {
   }
 
   test("q_stats_ks: binned KS recomputes brute-force; statistic in [0,1]") {
-    val Array((bucket, na, nb, gapNum, ks)) = Curation.statsKs(spark, dir)
+    // gap_num is DECIMAL(38,0) since the r14 wide lift — decode exactly
+    val Array((bucket, na, nb, gapDec, ks)) = Curation.statsKs(spark, dir)
       .select("ks_bucket", "na", "nb", "gap_num", "ks")
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, java.math.BigDecimal, Double)].collect()
+    val gapNum = gapDec.longValueExact()
     val evs = graft.tables.Tables.events(spark, dir)
       .select($"event_id", $"value").as[(Long, Double)].collect()
     val cut = evs.map(_._1).max / 2
