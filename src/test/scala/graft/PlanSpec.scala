@@ -875,4 +875,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "concurrency census should join nothing — sweep-line shapes are banned here")
   }
+
+  test("r14 CEP rows (next/any/reluctant): one key shuffle, one scan, no joins — " +
+       "the MATCH_RECOGNIZE partition contract") {
+    // both matcher surfaces plan identically: scan → shuffle on user_id →
+    // per-key sort + linear matcher (flatMapGroups) → global order. The
+    // per-key state never crosses keys, so 1000 executors split by user
+    // with zero driver involvement; the one Exchange before the final
+    // sort is the inherent partition contract, not overhead.
+    Seq("q_cep_next", "q_cep_any", "q_cep_reluctant").foreach { k =>
+      val p = planOf(SparkEntry.queries(k)(spark, dir))
+      assert(nodeIds(p, "Scan parquet").size === 1, s"$k: events scanned more than once")
+      assert(!p.contains("Join"), s"$k: the matcher must not plan joins")
+      val exs = nodeIds(p, "Exchange")
+      assert(exs.size <= 2, s"$k: more than (key shuffle + output sort) exchanges:\n$p")
+    }
+  }
 }
