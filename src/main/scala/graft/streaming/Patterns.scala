@@ -12,7 +12,8 @@ import org.apache.spark.sql.{Dataset, Encoders}
 final case class StageDef(name: String, pred: Event => Boolean,
     optional: Boolean, negsBefore: Seq[(String, Event => Boolean)],
     kleene: Boolean = false, strict: Boolean = false,
-    anyMode: Boolean = false, combinations: Boolean = false)
+    anyMode: Boolean = false, combinations: Boolean = false,
+    negsNextBefore: Seq[(String, Event => Boolean)] = Nil)
 
 /** Flink-CEP-style pattern builder — the `Pattern.begin(..).followedBy(..)
   * .within(..)` surface over the generic linear matcher, mapping a
@@ -68,11 +69,13 @@ final case class StageDef(name: String, pred: Event => Boolean,
 final case class Pattern private (
     stages: Seq[StageDef],
     pendingNegs: Seq[(String, Event => Boolean)],
-    horizonMs: Option[Long]) {
+    horizonMs: Option[Long],
+    pendingStrictNegs: Seq[(String, Event => Boolean)] = Nil) {
 
   def followedBy(name: String)(pred: Event => Boolean): Pattern =
-    copy(stages = stages :+ StageDef(name, pred, optional = false, pendingNegs),
-      pendingNegs = Nil)
+    copy(stages = stages :+ StageDef(name, pred, optional = false, pendingNegs,
+        negsNextBefore = pendingStrictNegs),
+      pendingNegs = Nil, pendingStrictNegs = Nil)
 
   /** flink-cep `.next(..)` (r14): STRICT contiguity — the stage must be
     * satisfied by the IMMEDIATELY following event in the key's (ts, id)
@@ -91,7 +94,11 @@ final case class Pattern private (
         "('immediately after' what?); make the previous stage plain required")
     require(pendingNegs.isEmpty,
       "notFollowedBy before next guards a zero-length gap and can never fire")
-    copy(stages = stages :+ StageDef(name, pred, optional = false, Nil, strict = true))
+    // a pending notNext shares the strict stage's position: the immediate
+    // event must satisfy the stage AND no strict guard (guards outrank)
+    copy(stages = stages :+ StageDef(name, pred, optional = false, Nil, strict = true,
+        negsNextBefore = pendingStrictNegs),
+      pendingStrictNegs = Nil)
   }
 
   /** flink-cep `.followedByAny(..)` (r14): NON-DETERMINISTIC relaxed
@@ -103,9 +110,9 @@ final case class Pattern private (
     * events across matches. */
   def followedByAny(name: String)(pred: Event => Boolean): Pattern = {
     require(stages.nonEmpty, "followedByAny needs a preceding stage")
-    require(pendingNegs.isEmpty,
-      "notFollowedBy guards are a greedy-surface construct; the all-matches " +
-        "surface that followedByAny requires does not support them")
+    require(pendingNegs.isEmpty && pendingStrictNegs.isEmpty,
+      "notFollowedBy/notNext guards are a greedy-surface construct; the " +
+        "all-matches surface that followedByAny requires does not support them")
     copy(stages = stages :+ StageDef(name, pred, optional = false, Nil, anyMode = true))
   }
 
@@ -121,6 +128,21 @@ final case class Pattern private (
       "allowCombinations applies to a oneOrMore stage")
     require(!stages.last.combinations, "stage already allows combinations")
     copy(stages = stages.init :+ stages.last.copy(combinations = true))
+  }
+
+  /** flink-cep `.notNext(..)` (r14 second batch): STRICT gap guard — the
+    * IMMEDIATELY following available event must not match `pred`; events
+    * further into the gap are unconstrained (vs [[notFollowedBy]]'s
+    * whole-gap scope). Attaches to the NEXT positive stage; a pattern may
+    * not end on one. Same availability semantics as [[next]] (consumed
+    * events are invisible; the streaming processor buffers all events for
+    * adjacency-sensitive patterns), greedy surface only. */
+  def notNext(name: String)(pred: Event => Boolean): Pattern = {
+    require(stages.nonEmpty, "notNext needs a preceding stage")
+    require(!stages.last.optional && !stages.last.kleene,
+      "notNext after an optional or oneOrMore stage is ambiguous " +
+        "('immediately after' what?); make the previous stage plain required")
+    copy(pendingStrictNegs = pendingStrictNegs :+ (name -> pred))
   }
 
   /** flink-cep `.notFollowedBy(..)`: no event matching `pred` may occur
@@ -148,11 +170,11 @@ final case class Pattern private (
         "following stage's adjacency target unclear")
     require(!stages.last.kleene,
       "optional on a oneOrMore stage is zero-or-more, which is not supported")
-    require(stages.last.negsBefore.isEmpty,
+    require(stages.last.negsBefore.isEmpty && stages.last.negsNextBefore.isEmpty,
       "optional on a guarded stage is ambiguous (merged-gap guards); " +
         "guards must sit between two required stages")
-    require(pendingNegs.isEmpty,
-      "declare notFollowedBy AFTER optional's followedBy, not before it")
+    require(pendingNegs.isEmpty && pendingStrictNegs.isEmpty,
+      "declare notFollowedBy/notNext AFTER optional's followedBy, not before it")
     copy(stages = stages.init :+ stages.last.copy(optional = true))
   }
 
@@ -179,11 +201,11 @@ final case class Pattern private (
       "oneOrMore on a followedByAny stage is ambiguous — use oneOrMore + " +
         "allowCombinations for non-deterministic repetitions")
     require(!stages.last.kleene, "stage is already oneOrMore")
-    require(stages.last.negsBefore.isEmpty,
+    require(stages.last.negsBefore.isEmpty && stages.last.negsNextBefore.isEmpty,
       "oneOrMore on a guarded stage is ambiguous (guards straddling repetitions); " +
         "guards must sit between two plain required stages")
-    require(pendingNegs.isEmpty,
-      "declare notFollowedBy AFTER oneOrMore's followedBy, not before it")
+    require(pendingNegs.isEmpty && pendingStrictNegs.isEmpty,
+      "declare notFollowedBy/notNext AFTER oneOrMore's followedBy, not before it")
     copy(stages = stages.init :+ stages.last.copy(kleene = true))
   }
 
@@ -209,7 +231,8 @@ final case class Pattern private (
         "quantify a plain followedBy stage")
     require(!stages.last.kleene,
       "times on a oneOrMore stage is ambiguous; quantify before oneOrMore")
-    require(pendingNegs.isEmpty, "dangling notFollowedBy before times")
+    require(pendingNegs.isEmpty && pendingStrictNegs.isEmpty,
+      "dangling notFollowedBy/notNext before times")
     val last = stages.last
     copy(stages = stages ++
       (2 to from).map(i => StageDef(s"${last.name}#$i", last.pred, optional = false, Nil)) ++
@@ -231,7 +254,11 @@ final case class Pattern private (
     require(pendingNegs.isEmpty,
       s"pattern ends on dangling notFollowedBy(${pendingNegs.map(_._1).mkString(",")}); " +
         "a guard needs a following stage")
-    require(!stages.head.optional && stages.head.negsBefore.isEmpty,
+    require(pendingStrictNegs.isEmpty,
+      s"pattern ends on dangling notNext(${pendingStrictNegs.map(_._1).mkString(",")}); " +
+        "a guard needs a following stage")
+    require(!stages.head.optional && stages.head.negsBefore.isEmpty &&
+        stages.head.negsNextBefore.isEmpty,
       "the head stage must be required and unguarded")
     require(stages.forall(st => !st.anyMode && !st.combinations),
       s"stage(s) ${stages.filter(st => st.anyMode || st.combinations).map(_.name).mkString(",")} " +
@@ -243,12 +270,13 @@ final case class Pattern private (
             !st.kleene && !stages(i - 1).kleene,
           s"stage ${st.name}: guards must sit between two plain required stages")
       }
-      if (st.strict)
+      if (st.strict || st.negsNextBefore.nonEmpty)
         require(!stages(i - 1).optional && !stages(i - 1).kleene,
-          s"stage ${st.name}: next must directly follow a plain required stage")
+          s"stage ${st.name}: next/notNext must directly follow a plain required stage")
     }
     stages.map(st =>
-      PosStage(st.pred, st.optional, st.negsBefore.map(_._2), st.kleene, st.strict))
+      PosStage(st.pred, st.optional, st.negsBefore.map(_._2), st.kleene, st.strict,
+        negsNext = st.negsNextBefore.map(_._2)))
   }
 
   /** Compile to the ALL-MATCHES matcher's stage model
@@ -257,8 +285,9 @@ final case class Pattern private (
     * scaladoc for why each construct belongs to exactly one surface. */
   def compiledAll: Seq[PosStage] = {
     require(stages.nonEmpty, "empty pattern")
-    require(pendingNegs.isEmpty && stages.forall(_.negsBefore.isEmpty),
-      "notFollowedBy guards require the greedy surface (matchBatch/processor): " +
+    require(pendingNegs.isEmpty && pendingStrictNegs.isEmpty &&
+        stages.forall(st => st.negsBefore.isEmpty && st.negsNextBefore.isEmpty),
+      "notFollowedBy/notNext guards require the greedy surface (matchBatch/processor): " +
         "invalidating 'the attempt' is well-defined only with one attempt per head")
     require(stages.forall(st => !st.strict),
       "next (strict) stages require the greedy surface: adjacency is a property " +

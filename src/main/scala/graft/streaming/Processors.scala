@@ -619,11 +619,17 @@ case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids:
   *     stage): repetitions branch non-deterministically — every matching
   *     event may be taken or skipped as the next repetition, enumerating
   *     event SUBSETS instead of the deterministic first-match chain.
-  *     All-matches surface only. */
+  *     All-matches surface only.
+  *   - `negsNext` (flink-cep `.notNext()`): STRICT gap guards — the
+  *     IMMEDIATELY following available event (only) must not match any
+  *     of them, vs `negs`' whole-gap scope; checked once per pointer
+  *     arrival, before the stage's relaxed matching begins. Greedy
+  *     surface only, same availability semantics as `strict`. */
 final case class PosStage(pred: Event => Boolean, optional: Boolean,
     negs: Seq[Event => Boolean], kleene: Boolean = false,
     strict: Boolean = false, anyMode: Boolean = false,
-    combinations: Boolean = false)
+    combinations: Boolean = false,
+    negsNext: Seq[Event => Boolean] = Nil)
 
 /** The pure matcher core of [[PatternSequenceProcessor]], factored out so
   * its central invariant — incremental matching at successive watermark
@@ -695,8 +701,16 @@ object PatternMatcher {
             "directly after a plain required stage — 'immediately after' is " +
             "ambiguous across a skipped optional or an open-ended oneOrMore, and " +
             "a guard before a zero-length gap can never fire")
+      if (stages(k).negsNext.nonEmpty)
+        require(!stages(k).optional && !stages(k).kleene &&
+            !stages(k - 1).optional && !stages(k - 1).kleene,
+          s"shape: notNext-guarded stage $k must be plain required directly after " +
+            "a plain required stage — 'the immediate successor' is ambiguous " +
+            "across a skipped optional or an open-ended oneOrMore")
       k += 1
     }
+    require(stages.head.negsNext.isEmpty,
+      "shape: the head stage has no predecessor for a notNext guard")
     def toEvent(b: BufEv): Event =
       Event(b.event_id, new java.sql.Timestamp(b.ts_ms), key, b.event_type, b.value)
     val events = buffer.sortBy(e => (e.ts_ms, e.event_id)).toArray
@@ -715,6 +729,9 @@ object PatternMatcher {
         var pointerSat = stages.head.kleene
         var lastMs = head.ts_ms
         var aborted = false
+        // true until the first AVAILABLE event after the last acceptance
+        // has been examined — the window where a notNext guard applies
+        var firstAvail = true
         var j = i + 1
         while (!aborted && stage < stages.length && j < events.length
             && events(j).ts_ms <= head.ts_ms + withinMs) {
@@ -732,7 +749,9 @@ object PatternMatcher {
           if (!consumed(e.event_id)) {
             val strictPtr = stages(stage).strict
             val ev = toEvent(e)
-            if (stages(stage).negs.exists(n => n(ev))) {
+            if (firstAvail && stages(stage).negsNext.exists(n => n(ev))) {
+              aborted = true // strict gap guard: the immediate successor matched a notNext
+            } else if (stages(stage).negs.exists(n => n(ev))) {
               aborted = true // gap guard hit: this head can never match
             } else {
               // greedy-earliest among reachable stages: pointer stage,
@@ -751,8 +770,11 @@ object PatternMatcher {
                 ids += e.event_id; lastMs = e.ts_ms
                 if (stages(hit).kleene) { stage = hit; pointerSat = true }
                 else { stage = hit + 1; pointerSat = false }
+                firstAvail = true // a new gap opens behind the acceptance
               } else if (strictPtr) {
                 aborted = true // the immediate available successor missed a strict stage
+              } else {
+                firstAvail = false // gap continues past its first available event
               }
             }
           }
@@ -834,9 +856,9 @@ object PatternMatcher {
     require(stages.forall(st => !st.strict),
       "shape: strict (next) stages require the greedy matcher — adjacency is a " +
         "property of the single consumed chain, not of branched alternatives")
-    require(stages.forall(st => st.negs.isEmpty),
-      "shape: notFollowedBy guards require the greedy matcher — invalidating 'the " +
-        "attempt' is well-defined only when a head has exactly one attempt")
+    require(stages.forall(st => st.negs.isEmpty && st.negsNext.isEmpty),
+      "shape: notFollowedBy/notNext guards require the greedy matcher — invalidating " +
+        "'the attempt' is well-defined only when a head has exactly one attempt")
     require(stages.forall(st => !st.combinations || st.kleene),
       "shape: allowCombinations applies to a oneOrMore stage")
     def toEvent(b: BufEv): Event =
@@ -1024,11 +1046,15 @@ class PatternSequenceProcessor(stageDefs: Seq[PosStage], withinMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[Event],
       timers: TimerValues): Iterator[PatternMatch] = {
-    val hasStrict = stageDefs.exists(_.strict)
+    // strict contiguity AND notNext guards both key on "the immediately
+    // following available event" — ANY event can be that event, so
+    // adjacency-sensitive patterns buffer everything (a batch caller
+    // feeding the full set must see identical verdicts)
+    val hasAdjacency = stageDefs.exists(s => s.strict || s.negsNext.nonEmpty)
     rows.foreach { e =>
       val b = BufEv(e.event_id, e.ts.getTime, e.event_type, e.value)
       val ev = toEvent(key, b)
-      if (hasStrict || stageDefs.exists(s => s.pred(ev) || s.negs.exists(n => n(ev))))
+      if (hasAdjacency || stageDefs.exists(s => s.pred(ev) || s.negs.exists(n => n(ev))))
         buf.appendValue(b)
     }
     // fire just past the current watermark: each advance re-runs sealing

@@ -102,6 +102,56 @@ class NextAnyCepSpec extends SparkTestBase {
       Pattern.begin("a")(A).followedBy("b")(B).allowCombinations)
   }
 
+  test("s_cep_not_next: only the IMMEDIATE successor is guarded; deeper gap events are free") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .notNext("x")(_.event_type == "X")
+      .followedBy("b")(_.event_type == "B")
+      .within(h)
+    // immediate successor is the guard type: attempt dies
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "X"), mk(3, 3, "B"))) === Seq())
+    // guard type DEEPER in the gap is fine (the notFollowedBy contrast)
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "Y"), mk(3, 3, "X"), mk(4, 4, "B")))
+      === Seq(Seq(1L, 4L)))
+    // whereas the whole-gap guard kills it
+    val relaxedGuard = Pattern
+      .begin("a")((_: Event).event_type == "A")
+      .notFollowedBy("x")((_: Event).event_type == "X")
+      .followedBy("b")((_: Event).event_type == "B")
+      .within(h)
+    assert(matchIds(relaxedGuard,
+      Seq(mk(1, 1, "A"), mk(2, 2, "Y"), mk(3, 3, "X"), mk(4, 4, "B"))) === Seq())
+    // no interloper at all: both match
+    assert(matchIds(pat, Seq(mk(1, 1, "A"), mk(2, 2, "B"))) === Seq(Seq(1L, 2L)))
+  }
+
+  test("notNext composes with next: the immediate event must satisfy the stage AND no guard") {
+    val pat = Pattern
+      .begin("a")(_.event_type == "A")
+      .notNext("hot")(e => e.event_type == "B" && e.value > 10.0)
+      .next("b")(_.event_type == "B")
+      .within(h)
+    assert(pat.matchBatch(spark.createDataset(Seq(
+      mk(1, 1, "A"), Event(2, ts(2), 1L, "B", 5.0)))).collect().map(_.event_ids.toSeq).toSeq
+      === Seq(Seq(1L, 2L)))
+    // guard outranks the positive stage on the same event
+    assert(pat.matchBatch(spark.createDataset(Seq(
+      mk(1, 1, "A"), Event(2, ts(2), 1L, "B", 50.0)))).collect().isEmpty)
+  }
+
+  test("notNext shape rules: not after optional/kleene, not dangling, greedy surface only") {
+    def A = (e: Event) => e.event_type == "A"
+    def B = (e: Event) => e.event_type == "B"
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).followedBy("b")(B).optional.notNext("x")(A))
+    intercept[IllegalArgumentException](
+      Pattern.begin("a")(A).followedBy("b")(B).oneOrMore.notNext("x")(A))
+    intercept[IllegalArgumentException]( // dangling
+      Pattern.begin("a")(A).notNext("x")(B).within(h).compiled)
+    intercept[IllegalArgumentException]( // all-matches surface rejects strict guards
+      Pattern.begin("a")(A).notNext("x")(B).followedBy("b")(B).within(h).compiledAll)
+  }
+
   // ---------------- all-matches surface (sealAll) ----------------
 
   private val anyPat = Pattern

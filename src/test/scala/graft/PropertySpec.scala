@@ -321,7 +321,16 @@ class PropertySpec extends AnyFunSuite {
         PosStage(tp("C"), false, Nil, strict = true)),
       Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, strict = true),
         PosStage(tp("C"), true, Nil)),
-      Seq(PosStage(or("A", "B"), false, Nil), PosStage(or("B", "C"), false, Nil, strict = true)))
+      Seq(PosStage(or("A", "B"), false, Nil), PosStage(or("B", "C"), false, Nil, strict = true)),
+      // notNext strict guards: after the head, mid-pattern, on a strict
+      // stage, and with overlapping guard/stage predicates
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil, negsNext = Seq(tp("X")))),
+      Seq(PosStage(tp("A"), false, Nil), PosStage(tp("B"), false, Nil),
+        PosStage(tp("C"), false, Nil, negsNext = Seq(tp("X")))),
+      Seq(PosStage(tp("A"), false, Nil),
+        PosStage(tp("B"), false, Nil, strict = true, negsNext = Seq(or("X", "B")))),
+      Seq(PosStage(tp("A"), false, Nil),
+        PosStage(or("B", "C"), false, Nil, negsNext = Seq(or("C", "X")))))
     val caseGen = for {
       evs <- evGen
       pat <- patGen
