@@ -16,14 +16,24 @@ final case class StageDef(name: String, pred: Event => Boolean,
     negsNextBefore: Seq[(String, Event => Boolean)] = Nil)
 
 /** Flink-CEP-style pattern builder — the `Pattern.begin(..).followedBy(..)
-  * .within(..)` surface over the generic linear matcher, mapping a
-  * reference user's CEP program onto this engine's SKIP-PAST-LAST-ROW
-  * greedy semantics. Two deliberate deviations from flink-cep:
-  * `optional` emits only the single greedy match (flink-cep's default
-  * NO_SKIP strategy branches and emits both the with- and
-  * without-optional variants), and an event matching both a gap guard and
-  * a positive stage counts as the guard — negatives outrank positives, a
-  * local tie-break flink-cep leaves unspecified:
+  * .within(..)` surface over the generic linear matcher. TWO emission
+  * surfaces share this one builder (r14 second batch):
+  *
+  *   - GREEDY ([[matchBatch]] / [[processor]]): SKIP-PAST-LAST-ROW
+  *     consumed-set semantics — one maximal match per head, no event
+  *     reuse. Carries `next` / `notNext` / `notFollowedBy` (adjacency
+  *     and guards are properties of the single consumed chain).
+  *   - ALL-MATCHES ([[matchBatchAll]] / [[processorAll]], flink NO_SKIP):
+  *     every alternative emits — `followedByAny` branching, optional
+  *     with/without variants, per-repetition-count kleene,
+  *     `allowCombinations` subsets. No consumption, events shared.
+  *
+  * On the greedy surface, two deliberate deviations from flink-cep
+  * remain: `optional` emits only the single greedy match (the NO_SKIP
+  * branching variant lives on the all-matches surface), and an event
+  * matching both a gap guard and a positive stage counts as the guard —
+  * negatives outrank positives, a local tie-break flink-cep leaves
+  * unspecified:
   *
   * {{{
   * val pat = Pattern
