@@ -748,12 +748,17 @@ object Curation {
         when($"event_id" <= $"cut", 1L).otherwise(0L).as("is_a"))
       .groupBy($"bucket")
       .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
+    // contract schema keeps gap_num int64 (the statsAuc discipline): past
+    // ITS bound this final cast fails loudly under ANSI while ks — computed
+    // from the wide intermediates — stays correct
     statsKsFromHist(s, hist)
+      .select($"ks_bucket", $"na", $"nb",
+        $"gap_num".cast(LongType).as("gap_num"), $"ks")
   }
 
   /** [[statsKs]] core over a (bucket, ca, cb) histogram — the DECIMAL(38,0)
-    * wide path, factored so DecimalBoundSpec can drive it past the int64
-    * bound directly (the statsAucFromHist pattern). */
+    * wide path, exposed (gap_num uncast) so DecimalBoundSpec can drive it
+    * past the int64 bound directly (the statsAucFromHist pattern). */
   private[graft] def statsKsFromHist(s: SparkSession, hist: DataFrame): DataFrame = {
     import s.implicits._
     // totals are sum windows over the SAME ≤500-row histogram frame — a
