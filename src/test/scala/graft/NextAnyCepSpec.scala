@@ -265,6 +265,41 @@ class NextAnyCepSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_cep_any checkpoint recovery: buffered alternatives survive stop/restart") {
+    val pat = Pattern
+      .begin("signup")((e: Event) => e.event_type == "signup")
+      .followedByAny("purchase")((e: Event) => e.event_type == "purchase")
+      .within(h)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_any").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_any_out").toString
+    val in = MemoryStream[Event]
+    def stream = in.toDS().withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .transformWithState(pat.processorAll, TimeMode.EventTime(), OutputMode.Append())
+    // append-mode memory sink can't recover from a checkpoint — file sink
+    // (the EwmaProcessor recovery test's convention)
+    def start() = stream.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    // head + first alternative arrive BEFORE the restart; the head's
+    // window is still unsealed, so both live only in ListState
+    in.addData(mk(1, 1, "signup"), mk(2, 2, "purchase"))
+    q1.processAllAvailable(); q1.stop()
+    // second alternative + watermark advance arrive after the restart:
+    // the sealed head must emit BOTH pairs, proving the buffer survived
+    in.addData(mk(3, 3, "purchase"), mk(-1, 600, "sentinel", user = -99L))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData(mk(-2, 601, "sentinel", user = -99L))
+      q2.processAllAvailable()
+      val ms = spark.read.parquet(outDir).as[PatternMatch].collect()
+        .filter(_.user_id != -99L)
+      assert(ms.map(_.event_ids.toSeq).toSet === Set(Seq(1L, 2L), Seq(1L, 3L)),
+        s"buffered alternatives lost across restart: ${ms.toSeq}")
+    } finally q2.stop()
+  }
+
   test("streaming processor == matchBatch for the strict pattern over ALL event types " +
        "(reversed replay, q_cep_next backing — interlopers must be buffered)") {
     val pat = Pattern
