@@ -748,12 +748,25 @@ object Curation {
         when($"event_id" <= $"cut", 1L).otherwise(0L).as("is_a"))
       .groupBy($"bucket")
       .agg(sum($"is_a").as("ca"), sum(lit(1L) - $"is_a").as("cb"))
-    // contract schema keeps gap_num int64 (the statsAuc discipline): past
-    // ITS bound this final cast fails loudly under ANSI while ks — computed
-    // from the wide intermediates — stays correct
+    statsKsInt64(s, hist)
+  }
+
+  /** [[statsKs]]'s contract-schema projection: gap_num int64 (the statsAuc
+    * discipline). The narrowing guard is ANSI-INDEPENDENT: non-ANSI
+    * decimal→long overflow would silently NULL the contract column, so a
+    * past-bound gap raises explicitly instead (DuckDB's HUGEINT→BIGINT
+    * cast errors the same way); ks — computed from the wide intermediates
+    * — stays correct right up to the raise. Exposed so DecimalBoundSpec
+    * can plant a past-bound histogram and assert the raise. */
+  private[graft] def statsKsInt64(s: SparkSession, hist: DataFrame): DataFrame = {
+    import s.implicits._
     statsKsFromHist(s, hist)
       .select($"ks_bucket", $"na", $"nb",
-        $"gap_num".cast(LongType).as("gap_num"), $"ks")
+        when($"gap_num" > lit(Long.MaxValue).cast("decimal(38,0)"),
+            raise_error(concat(lit("q_stats_ks: gap_num exceeds the int64 "
+              + "contract column (use statsKsFromHist for the wide path): "),
+              $"gap_num".cast("string"))))
+          .otherwise($"gap_num".cast(LongType)).as("gap_num"), $"ks")
   }
 
   /** [[statsKs]] core over a (bucket, ca, cb) histogram — the DECIMAL(38,0)

@@ -88,9 +88,12 @@ final case class Pattern private (
       pendingNegs = Nil, pendingStrictNegs = Nil)
 
   /** flink-cep `.next(..)` (r14): STRICT contiguity — the stage must be
-    * satisfied by the IMMEDIATELY following event in the key's (ts, id)
-    * stream order; any other event in between (matching or not, including
-    * one consumed by an earlier match) kills the head's attempt. Greedy
+    * satisfied by the IMMEDIATELY following AVAILABLE (unconsumed) event
+    * in the key's (ts, id) stream order; any other available event in
+    * between (matching or not) kills the head's attempt, while events
+    * consumed by an earlier match are invisible to adjacency (same
+    * availability semantics as [[notNext]]; keeps incremental ≡ one-shot
+    * since pruning drops consumed events from the buffer). Greedy
     * surface only ([[matchBatch]] / [[processor]]): adjacency is a
     * property of the single consumed chain, so [[matchBatchAll]] rejects
     * strict stages. Shape rules: must directly follow a plain required

@@ -638,6 +638,13 @@ final case class PosStage(pred: Event => Boolean, optional: Boolean,
   * random streams × random seal schedules, including optional and negated
   * stages). */
 object PatternMatcher {
+  /** One partial-match state of [[sealAll]]'s explicit-stack DFS: the
+    * pointer stage, whether a kleene pointer is satisfied, the index of
+    * the last accepted event, the consumed ids (reversed), and the last
+    * accepted event's ts. */
+  private final case class MatchState(stage: Int, sat: Boolean, lastIdx: Int,
+      ids: List[Long], lastMs: Long)
+
   /** All-required convenience overload (the original surface). */
   def seal(key: Long, buffer: Seq[BufEv], stages: Seq[Event => Boolean],
       withinMs: Long, wm: Long): (Seq[PatternMatch], Seq[BufEv]) =
@@ -876,45 +883,56 @@ object PatternMatcher {
         def complete(stage: Int, sat: Boolean): Boolean =
           (stage until stages.length).forall(t =>
             stages(t).optional || (t == stage && sat))
-        // DFS over partial-match states; ids accumulates in reverse
-        def go(stage: Int, sat: Boolean, lastIdx: Int, ids: List[Long], lastMs: Long): Unit = {
-          if (complete(stage, sat)) {
-            val seq = ids.reverse
+        // DFS over partial-match states on an EXPLICIT stack (the JVM call
+        // stack would overflow on deep deterministic-kleene chains — a key
+        // with ~10k matching events in one window recursed that deep —
+        // long before maxMatches fired its designed loud error); children
+        // are pushed in reverse so pop order replicates the recursive
+        // pre-order exactly, keeping emission order byte-identical. ids
+        // accumulates in reverse.
+        val stack = scala.collection.mutable.ArrayDeque(
+          if (stages.head.kleene) MatchState(0, sat = true, i, List(head.event_id), head.ts_ms)
+          else MatchState(1, sat = false, i, List(head.event_id), head.ts_ms))
+        val children = scala.collection.mutable.ArrayBuffer.empty[MatchState]
+        while (stack.nonEmpty) {
+          val st = stack.removeHead()
+          if (complete(st.stage, st.sat)) {
+            val seq = st.ids.reverse
             if (seen.add(seq)) {
               if (out.length >= maxMatches) throw new IllegalStateException(
                 s"sealAll: key $key exceeds $maxMatches matches — anyMode/" +
                   "allowCombinations patterns are combinatorial; narrow the " +
                   "window or the predicates, or raise maxMatches deliberately")
-              out += PatternMatch(key, head.ts_ms, lastMs, seq)
+              out += PatternMatch(key, head.ts_ms, st.lastMs, seq)
             }
           }
-          if (stage >= stages.length) return
-          // deterministic stages take only their FIRST matching event per
-          // state; anyMode / combinations stages take every matching event
-          val dead = new java.util.BitSet(stages.length)
-          var j = lastIdx + 1
-          while (j < events.length && events(j).ts_ms <= horizon) {
-            val ev = toEvent(events(j))
-            var t = stage
-            var scanning = true
-            while (scanning && t < stages.length) {
-              if (!dead.get(t) && stages(t).pred(ev)) {
-                if (stages(t).kleene)
-                  go(t, sat = true, j, events(j).event_id :: ids, events(j).ts_ms)
-                else
-                  go(t + 1, sat = false, j, events(j).event_id :: ids, events(j).ts_ms)
-                if (!(stages(t).anyMode || (stages(t).kleene && stages(t).combinations)))
-                  dead.set(t)
+          if (st.stage < stages.length) {
+            // deterministic stages take only their FIRST matching event per
+            // state; anyMode / combinations stages take every matching event
+            children.clear()
+            val dead = new java.util.BitSet(stages.length)
+            var j = st.lastIdx + 1
+            while (j < events.length && events(j).ts_ms <= horizon) {
+              val ev = toEvent(events(j))
+              var t = st.stage
+              var scanning = true
+              while (scanning && t < stages.length) {
+                if (!dead.get(t) && stages(t).pred(ev)) {
+                  children += (
+                    if (stages(t).kleene)
+                      MatchState(t, sat = true, j, events(j).event_id :: st.ids, events(j).ts_ms)
+                    else
+                      MatchState(t + 1, sat = false, j, events(j).event_id :: st.ids, events(j).ts_ms))
+                  if (!(stages(t).anyMode || (stages(t).kleene && stages(t).combinations)))
+                    dead.set(t)
+                }
+                if (stages(t).optional || (t == st.stage && st.sat)) t += 1 else scanning = false
               }
-              if (stages(t).optional || (t == stage && sat)) t += 1 else scanning = false
+              j += 1
             }
-            j += 1
+            children.reverseIterator.foreach(stack.prepend)
           }
         }
-        if (stages.head.kleene)
-          go(0, sat = true, i, List(head.event_id), head.ts_ms)
-        else
-          go(1, sat = false, i, List(head.event_id), head.ts_ms)
       }
       i += 1
     }

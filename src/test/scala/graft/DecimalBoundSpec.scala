@@ -121,4 +121,22 @@ class DecimalBoundSpec extends SparkTestBase {
     assertDec(r.getDecimal(3), gap1, "gap_num")
     assert(r.getDouble(4) === round6(gap1, na * nb), "ks")
   }
+
+  test("stats_ks: past-bound gap RAISES on the int64 contract projection " +
+      "(ANSI-independent — non-ANSI would otherwise silently NULL)") {
+    import spark.implicits._
+    val hist = Seq((1L, 4000000000L, 1000000000L), (2L, 1000000000L, 4000000000L))
+      .toDF("bucket", "ca", "cb")
+    val ex = intercept[Exception] {
+      Curation.statsKsInt64(spark, hist).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("gap_num exceeds the int64")),
+      s"want the explicit raise, got: $ex")
+    // and an in-bound histogram still projects cleanly to int64
+    val small = Seq((1L, 40L, 10L), (2L, 10L, 40L)).toDF("bucket", "ca", "cb")
+    val ok = Curation.statsKsInt64(spark, small).collect().head
+    assert(ok.getLong(3) === (BigInt(40) * 50 - BigInt(10) * 50).abs.toLong)
+  }
 }

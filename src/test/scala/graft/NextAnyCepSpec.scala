@@ -231,6 +231,26 @@ class NextAnyCepSpec extends SparkTestBase {
       PatternMatcher.sealAll(1L, evs, stages, 60000L, Long.MaxValue, maxMatches = 3))
   }
 
+  test("sealAll is stack-safe on a deep deterministic kleene chain (ADVICE r14: " +
+      "explicit-stack DFS, not JVM recursion)") {
+    import graft.streaming.{BufEv, PatternMatcher, PosStage}
+    // one head + 20k chained kleene repetitions: the recursive DFS nested one
+    // JVM frame per repetition (one emission per level) and overflowed the
+    // default thread stack long before the maxMatches guard could fire
+    val n = 20000
+    val stages = Seq(
+      PosStage((e: Event) => e.event_type == "A", optional = false, Nil),
+      PosStage((e: Event) => e.event_type == "B", optional = false, Nil, kleene = true))
+    val evs = BufEv(0L, 0L, "A", 0.0) +:
+      (1 to n).map(i => BufEv(i.toLong, i.toLong, "B", 0.0))
+    val (ms, rest) = PatternMatcher.sealAll(1L, evs, stages, n + 10L, Long.MaxValue)
+    assert(rest.isEmpty)
+    // flink NO_SKIP kleene: one match per repetition count, each a prefix chain
+    assert(ms.size === n)
+    assert(ms.map(_.event_ids.length).sorted === (2 to n + 1).toSeq)
+    assert(ms.last.event_ids === (0L to n.toLong).toSeq || ms.head.event_ids === (0L to n.toLong).toSeq)
+  }
+
   test("streaming processorAll == matchBatchAll (reversed replay, q_cep_any backing)") {
     val pat = Pattern
       .begin("signup")((e: Event) => e.event_type == "signup")
