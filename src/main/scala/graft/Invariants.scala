@@ -139,6 +139,25 @@ object Invariants {
           (banded intersect exact).size.toDouble / math.max(1, exact.size), 0.7, ">="))
     }
 
+    add("q_dedup_embed_banded_prod") {
+      // r15 (VERDICT r14 #1): the production-threshold sibling — cos ≥ 0.85,
+      // 24×16-bit bands — graded against its own exact brute-force twin over
+      // the planted-duplicate corpus. exact_twin_nonempty guards against the
+      // vacuous-recall trap (the raw corpus has NO 0.85-pairs, so a grading
+      // that silently fell back to it would pass on an empty set).
+      def pairSet(df: DataFrame): Set[(Long, Long)] =
+        df.select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+      val exact = pairSet(graft.ops.LlmVector.prodExactPairs(spark, dir))
+      val banded = pairSet(SparkEntry.queries("q_dedup_embed_banded_prod")(spark, dir))
+      Seq(
+        Check("exact_twin_nonempty", exact.size.toDouble, 1.0, ">="),
+        Check("precision_vs_exact_twin",
+          if (banded.isEmpty) 1.0 else (banded intersect exact).size.toDouble / banded.size, 1.0, ">="),
+        Check("recall_vs_exact_twin",
+          (banded intersect exact).size.toDouble / math.max(1, exact.size), 0.8, ">="),
+        determinism(spark, dir, "q_dedup_embed_banded_prod"))
+    }
+
     add("q_dedup_embed_cluster") {
       val rows = SparkEntry.queries("q_dedup_embed_cluster")(spark, dir).collect()
       val medoidMember = rows.forall { r =>

@@ -302,6 +302,108 @@ object LlmVector {
       .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
   }
 
+  // ------------------------------------------- production-threshold banding
+  /** Near-dup benchmark corpus with PLANTED duplicates (r15): the raw
+    * embeddings ∪ one deterministic DEGRADED COPY per vector (copy id =
+    * vec_id + 10⁹). A copy zeroes every stride-th dimension of its
+    * original, stride ∈ {32, 16, 8, 4} by vec_id mod 4 — on these
+    * near-unit-mass-per-dim vectors the planted pair's true cosine
+    * clusters near √(1 − k/64) for k zeroed dims: ≈ 0.98 / 0.97 / 0.93 /
+    * 0.87, a population that straddles the 0.85 production threshold
+    * from ABOVE AND BELOW (the k=16 quarter scatters across it), so the
+    * verify gate and the recall grading are both exercised at the
+    * boundary. Needed because the raw synthetic embeddings are
+    * near-isotropic (mean pairwise |cos| ≈ 0.01): the exact cos ≥ 0.85
+    * pair set on them is EMPTY, and a production-threshold row graded
+    * against an empty twin would be vacuously green. Purely row-local
+    * column arithmetic — no shuffle, scales as one map over the corpus. */
+  private[graft] def prodDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir).select($"vec_id", $"embedding")
+    val copies = e.select(($"vec_id" + lit(1000000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, d) ->
+          CASE WHEN pmod(d + vec_id, CASE CAST(pmod(vec_id, 4) AS INT)
+                 WHEN 0 THEN 32 WHEN 1 THEN 16 WHEN 2 THEN 8 ELSE 4 END) = 0
+               THEN CAST(0.0 AS FLOAT) ELSE x END)""").as("embedding"))
+    e.unionByName(copies)
+  }
+
+  /** Exact brute-force cos ≥ 0.85 twin over [[prodDupCorpus]] — the
+    * grading anchor for [[dedupEmbedBandedProd]] (Invariants +
+    * VectorDedupSpec), never a bench row: all-pairs is the verification-SF
+    * tool, the banded row is the scale path. */
+  private[graft] def prodExactPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = prodDupCorpus(s, dir)
+    val a = aug.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = aug.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    a.crossJoin(b).where($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
+      .where($"cos" >= 0.85)
+      .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+  }
+
+  /** PRODUCTION-THRESHOLD banded near-dup (r15, clearing the r14 `weak`
+    * pair): cosine ≥ 0.85 with 24 × 16-BIT bands over 384 hyperplanes —
+    * the scale-safe posture the 0.45 contract row's scaladoc promises
+    * ("tighten the threshold or widen the bands"), demonstrated as its
+    * own row over [[prodDupCorpus]].
+    *
+    * Why this banding is scale-safe where the 0.45 row is quadratic: a
+    * 16-bit band admits a uniform RANDOM pair (cos ≈ 0, p = ½/plane)
+    * with probability 2⁻¹⁶, so 24 bands admit ≈ 3.7·10⁻⁴ of C(N,2) —
+    * ~700× below the 0.45 row's 0.27·N² candidate mass, and the band
+    * join's shuffle volume stays the LINEAR 24 rows/vector band table.
+    * Sensitivity at production similarity is simultaneously high because
+    * near-dup pairs band sharply: detection 1−(1−p¹⁶)²⁴ with
+    * p = 1−θ/π ≈ 0.94/0.92/0.88/0.83 at cos 0.98/0.97/0.93/0.87 gives
+    * per-group recall ≈ 1.0/0.99/0.97/0.74 — overall ≈ 0.93 measured vs
+    * the exact twin (Invariants bound ≥ 0.8; precision exactly 1 because
+    * every candidate passes the same codegen cosine gate as the twin).
+    * The candidate-mass crossover the r14 analysis predicted — shallow
+    * thresholds must go quadratic, production thresholds need not —
+    * becomes a measured ScaleGen datapoint in BASELINE.md (r15).
+    *
+    * Shape mirrors [[embedBandedPairs]]: row-local packed sign signatures
+    * (6 × 64-plane codegen kernels → 6 longs → 24 16-bit band slices),
+    * band table materialized pre-self-join, pair-dedup BEFORE the
+    * 64-float arrays are attached, exact verify last. Rows-only contract
+    * (LSH banding is not SQL-expressible); graded by INVARIANTS +
+    * VectorDedupSpec against [[prodExactPairs]]. */
+  def dedupEmbedBandedProd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nSigs = 6          // 6 packed 64-plane signatures
+    val bandsPerSig = 4    // 4 × 16-bit slices per long
+    val aug = prodDupCorpus(s, dir)
+    val sigCols = (0 until nSigs).map { i =>
+      val rnd = new scala.util.Random(42L + 1000L * i)
+      val planes = Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
+      graft.functions.CentroidFunctions.hyperplane_sig($"embedding", planes).as(s"sig$i")
+    }
+    val sigs = aug.select(($"vec_id" +: sigCols): _*)
+    val bandStructs = array((0 until nSigs * bandsPerSig).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col(s"sig${bnd / bandsPerSig}"), (bnd % bandsPerSig) * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bits"))
+    }: _*)
+    // materialize the 24-rows/vector band table pre-self-join (the same
+    // ReusedExchange trap as the 0.45 row and the MinHash band table)
+    val banded = graft.tables.Layout.materialize(
+      sigs.select($"vec_id", explode(bandStructs).as("bs"))
+        .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits")))
+    val a = banded.select($"vec_id".as("vec_a"), $"band", $"bits")
+    val b = banded.select($"vec_id".as("vec_b"), $"band", $"bits")
+    val cands = a.join(b, Seq("band", "bits")).where($"vec_a" < $"vec_b")
+      .groupBy($"vec_a", $"vec_b").agg(count(lit(1)).as("_nb")).drop("_nb")
+    cands
+      .join(aug.select($"vec_id".as("vec_a"), $"embedding".as("ea")), Seq("vec_a"))
+      .join(aug.select($"vec_id".as("vec_b"), $"embedding".as("eb")), Seq("vec_b"))
+      .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
+      .where($"cos" >= 0.85)
+      .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Embedding near-dup CLUSTERS (r9) — the pairs→clusters→canonical step
     * for the vector modality, completing the same path the text side has
     * (q_dedup_cluster): [[dedupEmbedBanded]]'s verified pairs feed the
@@ -1331,6 +1433,7 @@ object LlmVector {
     "q_multimodal_join"    -> (multimodalJoin _),
     "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
     "q_dedup_embed_banded" -> (dedupEmbedBanded _),
+    "q_dedup_embed_banded_prod" -> (dedupEmbedBandedProd _),
     "q_dedup_embed_cluster" -> (dedupEmbedCluster _),
     "q_ann_ivf"            -> (annIvf _),
     "q_ann_ivf_incremental" -> (annIvfIncremental _),

@@ -1079,6 +1079,93 @@ object TimeWindows {
       |FROM m WHERE match_no >= 1
       |ORDER BY user_id, first_ms, ids""".stripMargin
 
+  /** ZERO-OR-MORE KLEENE contract (r15, closing the last grammar gap vs
+    * public flink-cep): `signup click*` — flink's `oneOrMore().optional()`
+    * composition / SQL PATTERN `*`. Unlike [[cepKleene]]'s `click+`, a
+    * signup whose window holds NO available click still completes: the
+    * star stage contributes nothing and the match is the head alone
+    * (first_ms = last_ms = head ts, ids = head id) — so EVERY signup
+    * emits exactly one match.
+    *
+    * Oracle validity is [[cepKleene]]'s contiguous-range argument with
+    * head-only rows spliced in: once entered, the star consumes the first
+    * available click c1 after the head and then ALL clicks in
+    * [c1, head+24h] (every click matches the star stage and nothing can
+    * advance past it), so a non-empty match's consumed set is a
+    * contiguous (t, id)-range of clicks whose max l is MONOTONE across
+    * matches (for any earlier match k, c1 ≥ c1_k by unconsumed-then ∧
+    * after-h_k, and c1 ≤ l_k would put c1 inside match k's consumed
+    * range — so c1 > l_k). A head-only match consumes no click and
+    * leaves the watermark where it was. The recursive CTE therefore
+    * steps over EVERY signup in (t, id) order carrying (last head, last
+    * consumed click): c1 turns into a LEFT lateral (absent ⇒ head-only
+    * row, watermark carried), and the DESC-ordered last-pick and the
+    * id-list aggregate ride the same closed range as the kleene oracle. */
+  def cepKleeneStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Event, Pattern}
+    val pat = Pattern.matchRecognize("signup click* within 24h")(
+      "signup" -> ((e: Event) => e.event_type == "signup"),
+      "click"  -> ((e: Event) => e.event_type == "click"))
+    val evs = events(s, dir)
+      .where($"event_type".isin("signup", "click"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+    pat.matchBatch(evs)
+      .map(m => (m.user_id, m.first_ms, m.last_ms, m.event_ids.mkString("/")))
+      .toDF("user_id", "first_ms", "last_ms", "ids")
+      .orderBy($"user_id", $"first_ms", $"ids")
+  }
+
+  val cepKleeneStarSql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
+      |  FROM events WHERE event_type IN ('signup','click')),
+      |m AS (
+      |  SELECT user_id, 0 AS match_no,
+      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
+      |    CAST(-9223372036854775808 AS BIGINT) AS w_t, CAST(-1 AS BIGINT) AS w_id,
+      |    CAST(NULL AS BIGINT) AS l_t, CAST(NULL AS VARCHAR) AS ids
+      |  FROM (SELECT DISTINCT user_id FROM ev)
+      |  UNION ALL
+      |  SELECT nxt.user_id, m.match_no + 1,
+      |    nxt.h_t, nxt.h_id,
+      |    COALESCE(nxt.c_t, m.w_t), COALESCE(nxt.c_id, m.w_id),
+      |    COALESCE(nxt.c_t, nxt.h_t), nxt.ids
+      |  FROM m, LATERAL (
+      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
+      |      lst.t AS c_t, lst.id AS c_id,
+      |      CAST(e1.event_id AS VARCHAR) || COALESCE('/' || agg.idl, '') AS ids
+      |    FROM ev e1
+      |    LEFT JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND (c.t > e1.t OR (c.t = e1.t AND c.event_id > e1.event_id))
+      |        AND (c.t > m.w_t OR (c.t = m.w_t AND c.event_id > m.w_id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t, c.event_id LIMIT 1) c1 ON TRUE
+      |    LEFT JOIN LATERAL (
+      |      SELECT c.t, c.event_id AS id FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND c1.id IS NOT NULL
+      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
+      |        AND c.t <= e1.t + 86400000
+      |      ORDER BY c.t DESC, c.event_id DESC LIMIT 1) lst ON TRUE
+      |    LEFT JOIN LATERAL (
+      |      SELECT string_agg(CAST(c.event_id AS VARCHAR), '/'
+      |               ORDER BY c.t, c.event_id) AS idl
+      |      FROM ev c
+      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
+      |        AND c1.id IS NOT NULL
+      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
+      |        AND c.t <= e1.t + 86400000) agg ON TRUE
+      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
+      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
+      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
+      |SELECT user_id, h_t AS first_ms, l_t AS last_ms, ids
+      |FROM m WHERE match_no >= 1
+      |ORDER BY user_id, first_ms, ids""".stripMargin
+
   /** STRICT-CONTIGUITY CEP contract (r14 second batch): flink-cep
     * `Pattern.begin("signup").next("purchase")` — `next` demands the
     * match be the IMMEDIATELY following event of that user (no event of
@@ -1697,6 +1784,7 @@ object TimeWindows {
     "q_cep_alternation"   -> (cepAlternation _),
     "q_cep_quantified"    -> (cepQuantified _),
     "q_cep_kleene"        -> (cepKleene _),
+    "q_cep_kleene_star"   -> (cepKleeneStar _),
     "q_cep_next"          -> (cepNext _),
     "q_cep_any"           -> (cepAny _),
     "q_cep_reluctant"     -> (cepReluctant _),
@@ -1728,6 +1816,7 @@ object TimeWindows {
     "q_cep_alternation"  -> cepAlternationSql,
     "q_cep_quantified"   -> cepQuantifiedSql,
     "q_cep_kleene"       -> cepKleeneSql,
+    "q_cep_kleene_star"  -> cepKleeneStarSql,
     "q_cep_next"         -> cepNextSql,
     "q_cep_any"          -> cepAnySql,
     "q_cep_reluctant"    -> cepReluctantSql,

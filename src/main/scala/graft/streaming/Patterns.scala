@@ -174,15 +174,17 @@ final case class Pattern private (
 
   /** flink-cep `.optional()`: the last declared stage may be skipped.
     * Greedy: an event matching it is still consumed in preference to
-    * skipping ahead. Not allowed on the head, on a guarded stage, or
-    * with gap guards pending (see shape rules). */
+    * skipping ahead. On a `oneOrMore` stage this is flink's ZERO-OR-MORE
+    * composition (`oneOrMore().optional()`, SQL `*` / `{0,}`, r15): the
+    * stage may be skipped entirely OR repeat greedily once entered — a
+    * head whose window holds no matching event still completes, with the
+    * star stage contributing nothing. Not allowed on the head, on a
+    * guarded stage, or with gap guards pending (see shape rules). */
   def optional: Pattern = {
     require(stages.length >= 2, "the head stage cannot be optional")
     require(!stages.last.strict,
       "optional on a strict (next) stage is ambiguous: skipping it makes the " +
         "following stage's adjacency target unclear")
-    require(!stages.last.kleene,
-      "optional on a oneOrMore stage is zero-or-more, which is not supported")
     require(stages.last.negsBefore.isEmpty && stages.last.negsNextBefore.isEmpty,
       "optional on a guarded stage is ambiguous (merged-gap guards); " +
         "guards must sit between two required stages")
@@ -198,16 +200,17 @@ final case class Pattern private (
     * the kleene stage — the greedy-earliest rule applied to the
     * reachable-set {kleene, next, ...}). Unlike `times(a, b)` there is no
     * bounded desugar: the matcher's pointer simply stays on a satisfied
-    * kleene stage. Not allowed on an optional stage (zero-or-more is not
-    * supported), on a guarded stage, or with gap guards pending — the
+    * kleene stage. Compose `.oneOrMore.optional` (that order) for flink's
+    * zero-or-more (r15). Not allowed directly on an optional stage (one
+    * canonical spelling), on a guarded stage, or with gap guards pending — the
     * same merged-gap ambiguity argument as `optional` (a guard straddling
     * the repetitions would be silently ignored by the pointer-stage guard
     * check). */
   def oneOrMore: Pattern = {
     require(stages.nonEmpty, "oneOrMore needs a stage to repeat")
     require(!stages.last.optional,
-      "oneOrMore on an optional stage is zero-or-more, which is not supported " +
-        "(no '*' form — see matchRecognize)")
+      "oneOrMore on an optional stage: spell zero-or-more the flink way, " +
+        "oneOrMore THEN optional (one canonical order keeps shape rules simple)")
     require(!stages.last.strict,
       "oneOrMore on a strict (next) stage (flink consecutive()) is not supported")
     require(!stages.last.anyMode,
@@ -415,8 +418,8 @@ object Pattern {
 
   private val DurRe = """(\d+)(ms|s|m|h|d)""".r
   private val NegRe = """!([A-Za-z_][A-Za-z0-9_]*)""".r
-  private val SymRe = """([A-Za-z_][A-Za-z0-9_]*)(\?|\+|\{(\d+)\}|\{(\d+),(\d+)\}|\{(\d+),\})?""".r
-  private val AltRe = """\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)(\?|\+|\{(\d+)\}|\{(\d+),(\d+)\}|\{(\d+),\})?""".r
+  private val SymRe = """([A-Za-z_][A-Za-z0-9_]*)(\?|\+|\*|\{(\d+)\}|\{(\d+),(\d+)\}|\{(\d+),\})?""".r
+  private val AltRe = """\(([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)\)(\?|\+|\*|\{(\d+)\}|\{(\d+),(\d+)\}|\{(\d+),\})?""".r
   private val BareAltRe = """([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)+)""".r
 
   /** MATCH_RECOGNIZE-lite: compile a SQL-PATTERN-clause-flavored string
@@ -438,7 +441,10 @@ object Pattern {
     *   - `sym{n}`       exactly n            (builder `.times(n)`)
     *   - `sym{a,b}`     between a and b      (builder `.times(a, b)`)
     *   - `sym+`         one or more, unbounded (builder `.oneOrMore`, r14)
-    *   - `sym{a,}`      at least a, unbounded (`.times(a)` + `.oneOrMore`)
+    *   - `sym*`         zero or more, unbounded (builder `.oneOrMore.optional`
+    *                    — the flink `oneOrMore().optional()` composition, r15)
+    *   - `sym{a,}`      at least a, unbounded (`.times(a)` + `.oneOrMore`;
+    *                    `{0,}` ≡ `*`)
     *   - `(a|b)`        ALTERNATION: one stage accepting either symbol
     *                    (SQL PATTERN `(A|B)`), desugared to a single stage
     *                    whose predicate is the OR of the member DEFINEs —
@@ -451,8 +457,7 @@ object Pattern {
     *                    (builder `notFollowedBy`)
     *   - `within <n><ms|s|m|h|d>`  horizon, must be the final two tokens
     *
-    * Zero-or-more `*` is rejected (no optional-kleene form; `+` and
-    * `{a,}` cover the unbounded cases, r14). Everything funnels through
+    * Everything funnels through
     * the public builder
     * methods, so every shape rule (head required/unguarded, no dangling
     * guard, no guard adjacent to an optional) is enforced identically to
@@ -501,12 +506,14 @@ object Pattern {
         case null => ()
         case "?" => pat = pat.optional
         case "+" => pat = pat.oneOrMore
+        case "*" => pat = pat.oneOrMore.optional // zero-or-more (r15)
         case _ if n != null => pat = pat.times(n.toInt)
         case _ if atLeast != null =>
           // {a,}: a required occurrences (times desugar), then the last
-          // replica repeats unbounded
+          // replica repeats unbounded; {0,} is the star composition
           if (atLeast.toInt > 1) pat = pat.times(atLeast.toInt)
           pat = pat.oneOrMore
+          if (atLeast.toInt == 0) pat = pat.optional
         case _ => pat = pat.times(from.toInt, to.toInt)
       }
     }
@@ -520,10 +527,6 @@ object Pattern {
         addStage(syms, altPred(syms), null, null, null, null, null)
       case SymRe(sym, quant, n, from, to, atLeast) =>
         addStage(sym, predOf(sym), quant, n, from, to, atLeast)
-      case t if t.contains('*') =>
-        throw new IllegalArgumentException(
-          s"zero-or-more in '$t' is not supported (no optional-kleene form) — " +
-            "use + / {a,} for unbounded or {a,b} for bounded repetition")
       case t => throw new IllegalArgumentException(s"unparseable pattern token '$t'")
     }
     val built = horizon.fold(pat)(pat.within)

@@ -601,8 +601,10 @@ case class PatternMatch(user_id: Long, first_ms: Long, last_ms: Long, event_ids:
   * has consumed one event it keeps consuming every further matching
   * in-window event in preference to advancing). The [[Pattern]] builder
   * enforces the shape rules that keep greedy matching unambiguous: the
-  * head stage is required, guarded gaps sit between two plain required
-  * stages, and a stage is never both optional and kleene.
+  * head stage is required and guarded gaps sit between two plain required
+  * stages. A stage that is BOTH optional and kleene is ZERO-OR-MORE
+  * (r15, flink's `oneOrMore().optional()` / SQL `*`): skippable before
+  * its first occurrence, greedy-unbounded after it.
   *
   * r14 second batch adds the remaining flink-cep contiguity modes:
   *   - `strict` (flink-cep `.next()`): the stage must be satisfied by the
@@ -687,8 +689,10 @@ object PatternMatcher {
     require(stages.nonEmpty, "empty stage list")
     require(!stages.head.optional && stages.head.negs.isEmpty,
       "shape: the head stage must be required and unguarded")
-    require(stages.forall(st => !(st.optional && st.kleene)),
-      "shape: a stage cannot be both optional and oneOrMore (zero-or-more)")
+    // optional && kleene is ZERO-OR-MORE (r15, flink oneOrMore().optional()):
+    // skippable before its first occurrence (the optional arm of the
+    // reachability scan), greedy-unbounded after it (the satisfied-kleene
+    // pointer) — both arms below already compose, no extra state needed
     require(stages.forall(st => !st.anyMode && !st.combinations),
       "shape: followedByAny/allowCombinations stages require the all-matches " +
         "matcher (sealAll) — the greedy consumed-set surface cannot share events")
@@ -858,8 +862,9 @@ object PatternMatcher {
       withinMs: Long, wm: Long, maxMatches: Int = 1 << 20): (Seq[PatternMatch], Seq[BufEv]) = {
     require(stages.nonEmpty, "empty stage list")
     require(!stages.head.optional, "shape: the head stage must be required")
-    require(stages.forall(st => !(st.optional && st.kleene)),
-      "shape: a stage cannot be both optional and oneOrMore (zero-or-more)")
+    // optional && kleene is ZERO-OR-MORE (r15): the zero-repetition branch
+    // arises from the optional arm of the reachability scan (and the
+    // completion rule); each repetition count still emits separately
     require(stages.forall(st => !st.strict),
       "shape: strict (next) stages require the greedy matcher — adjacency is a " +
         "property of the single consumed chain, not of branched alternatives")

@@ -116,9 +116,10 @@ class MatchRecognizeSpec extends SparkTestBase {
     def bad(spec: String): String =
       intercept[IllegalArgumentException](
         Pattern.matchRecognize(spec)(defs: _*)).getMessage
-    // r14: 'click+' is now the legal unbounded-kleene form (KleeneCepSpec);
-    // only zero-or-more stays rejected
-    assert(bad("click* signup").contains("zero-or-more"))
+    // r14: 'click+' is the legal unbounded-kleene form (KleeneCepSpec);
+    // r15: 'click*' is legal TAILWARD (oneOrMore().optional()) but a star
+    // HEAD is still rejected — the head stage must be required
+    assert(bad("click* signup").contains("head stage cannot be optional"))
     assert(bad("signup mystery").contains("no DEFINE entry"))
     assert(bad("!error signup").contains("cannot start"))
     assert(bad("signup !error").contains("dangling"))          // builder rule via compiled-less end state

@@ -51,6 +51,34 @@ class VectorDedupSpec extends SparkTestBase {
     assert(recall >= 0.7, f"recall $recall%.3f collapsed — banding layout broken?")
   }
 
+  test("q_dedup_embed_banded_prod: planted corpus straddles 0.85; precision 1; recall >= 0.8 " +
+      "(r15 — the production-threshold posture clearing the 0.45 rows' weak mark)") {
+    val dir = sf("sf0.01")
+    val exact = LlmVector.prodExactPairs(spark, dir)
+      .select($"vec_a", $"vec_b", $"cos").as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    // the planted population must be non-vacuous AND straddle the threshold:
+    // some degraded copies fall below 0.85 (the k=16 quarter), so the exact
+    // twin must be strictly smaller than the plant count
+    val nVecs = graft.tables.Tables.embeddings(spark, dir).count()
+    assert(exactPairs.nonEmpty, "planted corpus produced no 0.85-pairs — plant broken?")
+    assert(exactPairs.size < nVecs,
+      "every planted copy qualified — the population no longer straddles the threshold")
+    // planted pairs dominate: accidental (non-planted) qualifying pairs ~ 0
+    val planted = exactPairs.count { case (a, b) => b - a == 1000000000L }
+    assert(planted.toDouble / exactPairs.size >= 0.99,
+      s"unexpected accidental 0.85-pairs: ${exactPairs.size - planted}")
+    val banded = LlmVector.dedupEmbedBandedProd(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exactPairs),
+      s"banded emitted non-qualifying pairs: ${(banded -- exactPairs).take(5)}")
+    val recall = banded.size.toDouble / exactPairs.size
+    info(f"prod banded recall = $recall%.3f (${banded.size}/${exactPairs.size})")
+    // deterministic on fixed data + seeded planes (measured 0.965 at sf0.01);
+    // the 0.8 floor matches the Invariants bound
+    assert(recall >= 0.8, f"recall $recall%.3f collapsed — prod banding layout broken?")
+  }
+
   test("Graph.connectedComponents clusters the banded embedding pairs (shared CC primitive)") {
     val pairs = LlmVector.dedupEmbedBanded(spark, sf("sf0.01")).select("vec_a", "vec_b")
     val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
