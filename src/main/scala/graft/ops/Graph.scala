@@ -100,8 +100,20 @@ object Graph {
     import s.implicits._
     // edges+degree come from the STANDING trading-graph table (see
     // [[tradingEdges]]) — the iteration prices rank propagation, not
-    // graph construction; materialize pins the read for the 5 rounds
-    val edges = graft.tables.Layout.materialize(tradingEdges(s, dir))
+    // graph construction. The pin is HASH-PARTITIONED ON src with the
+    // layout DECLARED on the pin (r15, Layout.materializeHashPartitioned:
+    // AQE hides a checkpoint's partitioning, so a plain pin re-exchanged
+    // the edge list once per round — 5 exchanges whose runtime "reuse"
+    // still re-READ the shuffled copy from scratch disk each round).
+    // Every round's join now consumes the pinned blocks directly, and the
+    // rank frame chains partition-aligned for free (round k's agg output
+    // is hashpartitioning(dst) ≡ the next join's node side), so the only
+    // per-round exchange left is the contribution agg itself. At the 300×
+    // ScaleGen corpus (352M edges) that is ~43 GB of edge shuffle traffic
+    // down to one 8.5 GB repartition at pin build; on a real cluster it
+    // is the bucketed-edge-table layout every distributed PageRank uses.
+    val edges = graft.tables.Layout.materializeHashPartitioned(
+      tradingEdges(s, dir), Seq("src"))
     // r0 = 10¹² div N and the damping base 0.15·10¹² div N as a one-row
     // broadcast frame referenced ONCE (rank init); `base` then rides the
     // rank frame as a constant column (8 bytes/row of shuffle) so the
@@ -428,9 +440,13 @@ object Graph {
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
-    val adj = graft.tables.Layout.materialize(
+    // adjacency pinned WITH ITS LAYOUT DECLARED on dst — the key every
+    // round's hash-min join probes (r15, the pagerank pin treatment):
+    // without the declared layout each round re-exchanged the edge
+    // relation, the loop's largest shuffle, once per round.
+    val adj = graft.tables.Layout.materializeHashPartitioned(
       pairs.select(ca.as("src"), cb.as("dst"))
-        .unionByName(pairs.select(cb.as("src"), ca.as("dst"))))
+        .unionByName(pairs.select(cb.as("src"), ca.as("dst"))), Seq("dst"))
     var labels = graft.tables.Layout.materialize(
       adj.groupBy(col("src")).agg(min(col("dst")).as("_m"))
         .select(col("src").as("vertex"), least(col("src"), col("_m")).as("component")))

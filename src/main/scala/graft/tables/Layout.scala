@@ -138,6 +138,22 @@ object Layout {
       case _ => df.localCheckpoint(true)
     }
 
+  /** [[materialize]] with a DECLARED hash layout (r15): repartition on
+    * `cols` at the session shuffle parallelism, pin, and rewrap the pin
+    * with the `HashPartitioning` it physically has — AQE hides it from
+    * `Dataset.checkpoint` (see [[org.apache.spark.sql.GraftBridge
+    * .withHashPartitioning]]), so without the rewrap every downstream
+    * join re-exchanges the pinned relation on every consumption. Use for
+    * pins that anchor ITERATION (pagerank's edge table, the CC loop's
+    * edges): one shuffle at pin build, zero on every round after — the
+    * local-mode analog of a bucketed table layout. */
+  def materializeHashPartitioned(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = materialize(
+      df.repartition(n, cols.map(org.apache.spark.sql.functions.col): _*))
+    org.apache.spark.sql.GraftBridge.withHashPartitioning(pinned, cols, n)
+  }
+
   /** Release the executor-storage blocks behind a [[materialize]]d frame
     * once it is SUPERSEDED — i.e. no live frame depends on it and it will
     * never be read again. A checkpointed frame's plan bottoms out in a
