@@ -189,6 +189,32 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ExistingRDD"), "band table not materialized pre-self-join")
   }
 
+  test("q_dedup_embed_banded_prod: band join only, no cartesian; band table pinned (r15)") {
+    val p = planOf(graft.ops.LlmVector.dedupEmbedBandedProd(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "prod banded dedup must not plan an O(n²) join")
+    assert(p.contains("ExistingRDD"), "prod band table not materialized pre-self-join")
+  }
+
+  test("q_graph_pagerank: pinned edges carry their declared hash layout — no per-round " +
+      "edge-side exchange (r15)") {
+    val p = planOf(SparkEntry.queries("q_graph_pagerank")(spark, dir))
+    // every ShuffledHashJoin consumes the pinned edge RDD DIRECTLY: an
+    // Exchange whose immediate child is the ExistingRDD scan means the
+    // declared layout was lost (the AQE-hides-checkpoint-partitioning
+    // regression this pin exists to prevent)
+    val lines = p.linesIterator.toSeq
+    val rddExchanged = lines.sliding(2).exists(w =>
+      w.head.trim.matches(".*- Exchange.*") && w.last.contains("Scan ExistingRDD"))
+    assert(!rddExchanged, "pinned edge RDD is re-exchanged — declared layout lost")
+  }
+
+  test("q_cep_kleene_star: one scan, one key shuffle, no joins (r15)") {
+    val p = planOf(SparkEntry.queries("q_cep_kleene_star")(spark, dir))
+    assert(nodeIds(p, "Scan parquet").size === 1, "star pattern should scan events once")
+    assert(nodeIds(p, "Join").isEmpty, "the matcher is per-key linear — no join belongs here")
+  }
+
   test("q_join_nullsafe: <=> plans as a hash equi-join, not nested-loop") {
     val p = planOf(SparkEntry.queries("q_join_nullsafe")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
