@@ -266,8 +266,11 @@ object Scalars {
     // contract — takes it further). Same loop-invariant hoisting the
     // hand-built PageRank does.
     val e0 = graft.ops.Graph.copurchaseEdges(s, dir)
-    graft.tables.Layout.materialize(
-      e0.unionAll(e0.select($"pb".as("pa"), $"pa".as("pb"))))
+    // layout declared on pa — the key every frontier join probes — so the
+    // UnionLoop body consumes the pinned blocks without re-exchanging the
+    // edge relation per iteration (r15, the pagerank pin treatment)
+    graft.tables.Layout.materializeHashPartitioned(
+      e0.unionAll(e0.select($"pb".as("pa"), $"pa".as("pb"))), Seq("pa"))
       .createOrReplaceTempView("g_rec_edges")
     s.sql(
       """WITH RECURSIVE seed AS (SELECT MIN(pa) AS root FROM g_rec_edges),
