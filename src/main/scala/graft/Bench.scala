@@ -20,9 +20,19 @@ object Bench {
       if (wanted.nonEmpty) SparkEntry.queries.filter { case (k, _) => wanted.contains(k) }
       else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale-measurement knob (r15): shuffle parallelism defaults to the
+    // thread count (the driver's bench contract), but ScaleGen sweeps may
+    // override it — at ≥300× the per-task working set under 32 partitions
+    // crosses the task-memory envelope (sorts spill, hash builds OOM),
+    // which measures the fixed local harness, not the plan. A real
+    // cluster sizes shuffle partitions to data volume; the sweep does the
+    // same via SPARK_GRAFT_SHUFFLE_PARTITIONS, recorded next to any
+    // number it produces.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       // absolute per-PID warehouse, deleted by a shutdown hook (TempDirs)
       .config("spark.sql.warehouse.dir", TempDirs.warehouse("bench"))
