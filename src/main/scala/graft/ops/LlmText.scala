@@ -485,6 +485,11 @@ object LlmText {
     // (verified via ExplainAudit). Layout.materialize cuts the lineage at
     // the 4-rows-per-doc band table — locally a localCheckpoint, at scale
     // a persisted intermediate (see the helper's scaladoc).
+    // NOT the declared-layout pin (r15 measured): at this table's size the
+    // forced full-parallelism repartition costs more task overhead than
+    // the join exchange it saves (0.50 → 0.63 s isolated) — AQE coalesces
+    // the reused join exchange below the explicit count. The declared pin
+    // pays only where bucket mass dominates (see embedBandedPairs).
     val bands = graft.tables.Layout.materialize(
       sig.select($"doc_id", explode(bandStructs).as("bs"))
         .select($"doc_id", $"bs.band".as("band"), $"bs.band_sig".as("band_sig")))
@@ -520,7 +525,9 @@ object LlmText {
       struct(lit(k).as("band"),
         shiftright($"simhash", k * 16).bitwiseAND(lit(0xFFFFL)).as("band_bits"))
     }: _*)
-    val banded = graft.tables.Layout.materialize( // once pre-self-join (see minhash)
+    val banded = graft.tables.Layout.materialize( // once pre-self-join;
+      // plain pin — the declared-layout variant regressed at this size
+      // (see the minhash note)
       sigs.select($"doc_id", $"simhash", explode(bandStructs).as("bs"))
         .select($"doc_id", $"simhash", $"bs.band".as("band"), $"bs.band_bits".as("band_bits")))
     val a = banded.select($"doc_id".as("doc_a"), $"simhash".as("sim_a"), $"band", $"band_bits")

@@ -289,10 +289,12 @@ object LlmVector {
         shiftright($"sig", b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
     }: _*)
     // materialize the 8-rows/doc band table pre-self-join (ReusedExchange
-    // trap — same rationale as the MinHash band table)
-    val banded = graft.tables.Layout.materialize(
+    // trap — same rationale as the MinHash band table), layout declared
+    // on the join key so the self-join is exchange-free (r15)
+    val banded = graft.tables.Layout.materializeHashPartitioned(
       sigs.select($"vec_id", explode(bandStructs).as("bs"))
-        .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits")))
+        .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits")),
+      Seq("band", "bits"))
     val a = banded.select($"vec_id".as("vec_a"), $"band", $"bits")
     val b = banded.select($"vec_id".as("vec_b"), $"band", $"bits")
     val cands = a.join(b, Seq("band", "bits")).where($"vec_a" < $"vec_b")
@@ -390,7 +392,10 @@ object LlmVector {
           .bitwiseAND(lit(0xFFFFL)).as("bits"))
     }: _*)
     // materialize the 24-rows/vector band table pre-self-join (the same
-    // ReusedExchange trap as the 0.45 row and the MinHash band table)
+    // ReusedExchange trap as the 0.45 row and the MinHash band table);
+    // plain pin — the 16-bit bands admit so few random pairs that the
+    // self-join is cheap and the declared-layout repartition's task
+    // overhead dominates at verification SFs (measured 0.79 → 0.98 s)
     val banded = graft.tables.Layout.materialize(
       sigs.select($"vec_id", explode(bandStructs).as("bs"))
         .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits")))
