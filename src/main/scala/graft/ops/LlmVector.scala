@@ -348,6 +348,34 @@ object LlmVector {
       .select($"vec_a", $"vec_b", round($"cos", 4).as("cos"))
   }
 
+  /** Shared banding front-end for [[dedupEmbedBandedProd]] and its
+    * streaming twin (`s_dedup_embed_banded`, r15): 6 row-local packed
+    * 64-plane sign signatures → 24 16-bit band slices, exploded to one
+    * row per (vec_id, band, bits) plus any `carry` columns. Pure column
+    * arithmetic over any (vec_id, embedding) frame — bounded OR unbounded
+    * (the streaming twin maps the SAME expressions over its ingest
+    * stream; sharing the construction is what makes the settle-
+    * equivalence test meaningful rather than two parallel banders that
+    * happen to agree today). */
+  private[graft] def prodBandTable(df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val nSigs = 6          // 6 packed 64-plane signatures
+    val bandsPerSig = 4    // 4 × 16-bit slices per long
+    val sigCols = (0 until nSigs).map { i =>
+      val rnd = new scala.util.Random(42L + 1000L * i)
+      val planes = Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
+      graft.functions.CentroidFunctions.hyperplane_sig(col("embedding"), planes).as(s"sig$i")
+    }
+    val keep = col("vec_id") +: carry.map(col)
+    val sigs = df.select((keep ++ sigCols): _*)
+    val bandStructs = array((0 until nSigs * bandsPerSig).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col(s"sig${bnd / bandsPerSig}"), (bnd % bandsPerSig) * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("bits"))
+    }: _*)
+    sigs.select((keep :+ explode(bandStructs).as("bs")): _*)
+      .select((keep ++ Seq(col("bs.band").as("band"), col("bs.bits").as("bits"))): _*)
+  }
+
   /** PRODUCTION-THRESHOLD banded near-dup (r15, clearing the r14 `weak`
     * pair): cosine ≥ 0.85 with 24 × 16-BIT bands over 384 hyperplanes —
     * the scale-safe posture the 0.45 contract row's scaladoc promises
@@ -377,28 +405,13 @@ object LlmVector {
     * VectorDedupSpec against [[prodExactPairs]]. */
   def dedupEmbedBandedProd(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nSigs = 6          // 6 packed 64-plane signatures
-    val bandsPerSig = 4    // 4 × 16-bit slices per long
     val aug = prodDupCorpus(s, dir)
-    val sigCols = (0 until nSigs).map { i =>
-      val rnd = new scala.util.Random(42L + 1000L * i)
-      val planes = Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
-      graft.functions.CentroidFunctions.hyperplane_sig($"embedding", planes).as(s"sig$i")
-    }
-    val sigs = aug.select(($"vec_id" +: sigCols): _*)
-    val bandStructs = array((0 until nSigs * bandsPerSig).map { bnd =>
-      struct(lit(bnd).as("band"),
-        shiftright(col(s"sig${bnd / bandsPerSig}"), (bnd % bandsPerSig) * 16)
-          .bitwiseAND(lit(0xFFFFL)).as("bits"))
-    }: _*)
     // materialize the 24-rows/vector band table pre-self-join (the same
     // ReusedExchange trap as the 0.45 row and the MinHash band table);
     // plain pin — the 16-bit bands admit so few random pairs that the
     // self-join is cheap and the declared-layout repartition's task
     // overhead dominates at verification SFs (measured 0.79 → 0.98 s)
-    val banded = graft.tables.Layout.materialize(
-      sigs.select($"vec_id", explode(bandStructs).as("bs"))
-        .select($"vec_id", $"bs.band".as("band"), $"bs.bits".as("bits")))
+    val banded = graft.tables.Layout.materialize(prodBandTable(aug))
     val a = banded.select($"vec_id".as("vec_a"), $"band", $"bits")
     val b = banded.select($"vec_id".as("vec_b"), $"band", $"bits")
     val cands = a.join(b, Seq("band", "bits")).where($"vec_a" < $"vec_b")

@@ -293,6 +293,88 @@ class ReservoirProcessor(k: Int)
   }
 }
 
+/** One banded vector routed to its band bucket: bkey = band·2¹⁶ | bits
+  * (band < 24, bits < 2¹⁶ — the packing is collision-free). */
+case class BandedVec(bkey: Long, vec_id: Long, embedding: Array[Float])
+/** A verified near-dup pair — same columns as the batch
+  * q_dedup_embed_banded_prod contract row. */
+case class NearDupPair(vec_a: Long, vec_b: Long, cos: Double)
+
+/** Exact batch-twin float math for the streaming near-dup verifier:
+  * cosine as the same left-to-right double fold the codegen'd
+  * [[graft.functions.CosineSimilarity]] emits (None for empty/zero-norm,
+  * matching its NULL), and round-half-up at 4 decimals exactly as Spark
+  * SQL `round()` — so settle-equivalence against the batch row is
+  * BITWISE equality on the cos column, not a float tolerance (the
+  * Quantize.cents discipline). */
+private[streaming] object ExactCosine {
+  def cos(x: Array[Float], y: Array[Float]): Option[Double] = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (n == 0 || na == 0.0 || nb == 0.0) None
+    else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
+
+/** Streaming half of the production-threshold banded near-dup row
+  * (SURVEY §2.8 `s_dedup_embed_banded`, r15): one band bucket per key —
+  * the keyed state IS the standing band index the batch path pins
+  * ([[graft.ops.LlmVector.prodBandTable]] under Layout.materialize),
+  * maintained live as vectors arrive. Each arrival pairs against the
+  * bucket's members, the exact cosine verify runs in-processor with the
+  * batch row's exact semantics (raw-cos threshold gate FIRST, round(,4)
+  * on emission — the batch plan's filter-then-project order), and
+  * verified pairs emit immediately; a pair colliding in several bands
+  * emits once per band, deduped by the downstream keyed pair-dedup that
+  * [[StreamOps.bandedDedupStream]] composes (Flink would need the same
+  * keyBy(pair) dedup after its per-bucket CoProcess). Re-sent vectors
+  * absorb via bucket membership (the at-least-once discipline every
+  * census processor follows). State across all 24 buckets ≡ the 24
+  * rows/vector batch band table plus the carried embeddings — linear in
+  * corpus, hash-partitioned by bucket like every keyed state. */
+class BandBucketProcessor(threshold: Double)
+    extends StatefulProcessor[Long, BandedVec, NearDupPair] {
+  @transient private var members: ListState[BandedVec] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[BandedVec]("members",
+      Encoders.product[BandedVec], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[BandedVec],
+      timers: TimerValues): Iterator[NearDupPair] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    var cur = members.get().toVector
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    cur.foreach(m => seen += m.vec_id)
+    // vec_id order inside the micro-batch: the pair SET is arrival-order-
+    // insensitive (every unordered pair meets exactly once), the sort just
+    // keeps replays deterministic (the FillForward convention)
+    rows.toSeq.sortBy(_.vec_id).foreach { v =>
+      if (seen.add(v.vec_id)) {
+        cur.foreach { m =>
+          val (lo, hi) = if (m.vec_id < v.vec_id) (m, v) else (v, m)
+          ExactCosine.cos(lo.embedding, hi.embedding)
+            .filter(_ >= threshold)
+            .foreach { c =>
+              out += NearDupPair(lo.vec_id, hi.vec_id, ExactCosine.round4(c))
+            }
+        }
+        members.appendValue(v)
+        cur = cur :+ v
+      }
+    }
+    out.iterator
+  }
+}
+
 /** Temperature-rise alert (the canonical KeyedProcessFunction + timer
   * example): if a key's value rises and keeps rising for `horizonMs` of
   * event time, emit an alert when the event-time timer fires. A falling

@@ -558,6 +558,44 @@ object StreamOps {
       .agg(top(col("cos"), col("vec_id")).as("top_ids"))
   }
 
+  /** Streaming production-threshold banded near-dup gate (SURVEY §2.8
+    * `s_dedup_embed_banded`, r15) — the ingest-side twin of
+    * `q_dedup_embed_banded_prod`: every arriving (vec_id, embedding) is
+    * banded by the SAME 24×16-bit construction as the batch row
+    * ([[graft.ops.LlmVector.prodBandTable]] — shared code, not parallel
+    * implementations), routed to its band buckets, paired against the
+    * live standing band index kept in keyed state, cosine-verified
+    * in-processor with the batch row's exact float semantics, and the
+    * verified pair stream is keyed-deduped so a pair colliding in
+    * several bands emits exactly once. The settled pair set equals the
+    * batch contract row BITWISE (asserted in StreamingSpec) — this is
+    * "dedup the corpus as it lands" where the batch row is "dedup the
+    * corpus after it landed".
+    *
+    * Scale posture: state is the linear 24-rows/vector band index (plus
+    * carried embeddings), hash-partitioned by bucket; per-arrival work is
+    * the bucket's collision list — the same ≈3.7·10⁻⁴·C(N,2) total pair
+    * mass as the batch row, paid incrementally. The pair-dedup state is
+    * the verified near-dup set itself (small by construction at the
+    * production threshold); a deployment that can tolerate re-verified
+    * duplicates across restarts would bound it with
+    * `dropDuplicatesWithinWatermark`, the [[curationStreamBounded]]
+    * trade. */
+  def bandedDedupStream(vectors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    graft.ops.LlmVector.prodBandTable(vectors, carry = Seq("embedding"))
+      .select((col("band") * lit(65536L) + col("bits")).as("bkey"),
+        col("vec_id"), col("embedding"))
+      .as[BandedVec]
+      .groupByKey(_.bkey)
+      .transformWithState(new BandBucketProcessor(0.85),
+        TimeMode.None(), OutputMode.Append())
+      .dropDuplicates("vec_a", "vec_b")
+      .toDF()
+  }
+
   /** Idempotent foreachBatch sink — the exactly-once pattern for
     * NON-transactional targets (Flink's TwoPhaseCommitSinkFunction
     * territory, via idempotence instead of transactions). Structured

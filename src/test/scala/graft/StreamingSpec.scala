@@ -9,6 +9,9 @@ import graft.streaming._
 /** A live ANN query vector (s_ann_serve). */
 case class ProbeVec(probe_id: Long, embedding: Seq[Float])
 
+/** A live embedding-ingest record (s_dedup_embed_banded). */
+case class VecRow(vec_id: Long, embedding: Seq[Float])
+
 /** SURVEY.md §2.8/§2.1 s_* rows: watermark semantics, streaming windows,
   * dedup, stream-stream/stream-static joins, output modes, side outputs,
   * sources/sinks, and checkpoint recovery — all driven via MemoryStream. */
@@ -1101,6 +1104,40 @@ class StreamingSpec extends SparkTestBase {
       }
       assert(got(100L) === expected(p0._2), s"probe 100: ${got(100L)}")
       assert(got(101L) === expected(p2._2), s"probe 101: ${got(101L)}")
+    } finally q.stop()
+  }
+
+  test("s_dedup_embed_banded: streamed band-index near-dup settles to the batch prod row bitwise") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.LlmVector.dedupEmbedBandedProd(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty, "planted corpus produced no pairs — the settle test would be vacuous")
+    val corpus = graft.ops.LlmVector.prodDupCorpus(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val in = MemoryStream[VecRow]
+    val sink = nextSink()
+    val q = StreamOps.bandedDedupStream(
+      in.toDF().select($"vec_id", $"embedding".cast("array<float>").as("embedding")))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // order by (base id, id) puts each original right before its planted
+      // copy; splitting that order in half makes the first batch discover
+      // its pairs INTRA-batch, while the rest — streamed originals-first,
+      // copies-later — must pair ACROSS micro-batches (the copy probes
+      // band state written by an earlier trigger)
+      val byBase = corpus.sortBy(v => (v._1 % 1000000000L, v._1))
+      val (b1, rest) = byBase.splitAt(byBase.length / 2)
+      val (b2, b3) = rest.partition(_._1 < 1000000000L)
+      Seq(b1, b2, b3).foreach { b =>
+        in.addData(b.map { case (id, e) => VecRow(id, e) }.toSeq)
+        q.processAllAvailable()
+      }
+      // at-least-once: a replayed slice absorbs via bucket membership
+      in.addData(b1.take(10).map { case (id, e) => VecRow(id, e) }.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table(sink).as[(Long, Long, Double)].collect()
+      assert(streamed.length === streamed.toSet.size, "pair dedup must emit exactly once")
+      assert(streamed.toSet === batch, "settled pair set != batch contract row")
     } finally q.stop()
   }
 
