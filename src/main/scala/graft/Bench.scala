@@ -88,13 +88,23 @@ object Bench {
     // models what independent per-query sessions would see. PinScope
     // scopes the release to pins the execution created (ADVICE r13), so
     // a future session-lived cache would survive the sweep.
+    // Scale-sweep knob (r15 s2): best-of-N executions, default 2 (the
+    // driver contract above). At 1000× ScaleGen a single execution's
+    // shuffle files are ~60 GB on RAM-backed scratch, and the session's
+    // lazy ContextCleaner does not reclaim execution 1's files before
+    // execution 2 needs the space — best-of-2 doubles peak scratch and
+    // the kernel OOM-kills the JVM (tmpfs pages are unreclaimable).
+    // SPARK_GRAFT_BENCH_RUNS=1 halves peak scratch for the single-box
+    // envelope runs; recorded next to any number it produces (like the
+    // shuffle-partitions knob).
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = onlyQueries.map { case (name, fn) =>
       def once(): Double = PinScope.scoped(spark) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> (1 to benchRuns).map(_ => once()).min
     }
     // 3-decimal seconds keep the whole line (~110 queries) inside the
     // driver's tail-capture window — full-precision doubles overflowed it
@@ -132,7 +142,10 @@ object Bench {
     // line from the front in rounds 5-6, losing the leading "total" field
     // (BENCH_r0{5,6}.json parsed: null). This line is ~120 bytes, so
     // whatever the capture window, the headline number survives.
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"warm,best-of-2","sf":"$sfDir"}""")
+    // protocol reflects what actually ran (r15 s2 — the string was
+    // hardcoded "warm,best-of-2" and misreported cold/single-run sweeps)
+    val protocol = (if (warmed) "warm" else "cold") + s",best-of-$benchRuns"
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,15 +55,21 @@ object TempDirs {
     * (`graft_<kind>_<role>_<pid>`) whose minting PID is no longer alive;
     * live runs are never touched. Runs once per JVM, at first mint. */
   private lazy val reapStale: Unit = {
-    val base = new java.io.File(fastTmpBase)
     val Named = """graft_(?:warehouse|local)_[A-Za-z]+_(\d+)""".r
     val self = ProcessHandle.current().pid()
-    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
-      f.getName match {
-        case Named(pid) if pid.toLong != self &&
-            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
-          deleteRecursively(f.toPath)
-        case _ => ()
+    // reap every base this JVM might mint under (incl. the extra
+    // GRAFT_SCRATCH_DIRS bases — a killed multi-dir scale run strands
+    // scratch on all of them)
+    val bases = (fastTmpBase +: sys.env.get("GRAFT_SCRATCH_DIRS")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)).distinct
+    bases.foreach { b =>
+      Option(new java.io.File(b).listFiles()).getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case Named(pid) if pid.toLong != self &&
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            deleteRecursively(f.toPath)
+          case _ => ()
+        }
       }
     }
   }
@@ -80,14 +86,30 @@ object TempDirs {
 
   /** Per-PID `spark.local.dir` (shuffle + spill scratch) on the fast
     * base, cleanup-hooked like [[warehouse]]. Spark deletes its own
-    * subdirs on clean `spark.stop()`; the hook covers abnormal exits. */
+    * subdirs on clean `spark.stop()`; the hook covers abnormal exits.
+    *
+    * `GRAFT_SCRATCH_DIRS` (r15 s2, scale-sweep knob): a comma-separated
+    * list of bases — mints one per-PID dir under EACH and returns the
+    * comma-joined list, which `spark.local.dir` round-robins blocks
+    * across exactly as a cluster node does its local disks. Exists for
+    * the single-box ScaleGen envelope runs where one medium alone cannot
+    * hold the live shuffle working set (1000× ngram_jaccard needs
+    * >107 GB: tmpfs has 126 GB total RAM shared with the JVM, the
+    * virtual disk has ~60 GB free — together they hold it). Recorded
+    * next to any number it produces, like the shuffle-partitions knob. */
   def localDir(role: String): String = {
     reapStale
-    val path = s"$fastTmpBase/graft_local_${role}_${ProcessHandle.current().pid()}"
-    val root = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(root)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
-    path
+    val bases = sys.env.get("GRAFT_SCRATCH_DIRS")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(Seq(fastTmpBase))
+    bases.map { b =>
+      val path = s"$b/graft_local_${role}_${ProcessHandle.current().pid()}"
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.createDirectories(root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+      path
+    }.mkString(",")
   }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
