@@ -895,6 +895,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("s_checkpoint_recovery: band-index state survives stop/restart — every pair crosses the restart") {
+    val dir = sf("sf0.001")
+    val batch = graft.ops.LlmVector.dedupEmbedBandedProd(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val corpus = graft.ops.LlmVector.prodDupCorpus(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_band").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_band_out").toString
+    val in = MemoryStream[VecRow]
+    def start() = StreamOps.bandedDedupStream(
+        in.toDF().select($"vec_id", $"embedding".cast("array<float>").as("embedding")))
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // all originals before the restart, all planted copies after: the
+    // planted corpus has no orig-orig or copy-copy 0.85-pairs, so EVERY
+    // contract pair must be discovered from the RESTORED band index (and
+    // the restored pair-dedup state must not re-emit or drop any)
+    val (origs, copies) = corpus.sortBy(_._1).partition(_._1 < 1000000000L)
+    val q1 = start()
+    in.addData(origs.map { case (id, e) => VecRow(id, e) }.toSeq)
+    q1.processAllAvailable(); q1.stop()
+    in.addData(copies.map { case (id, e) => VecRow(id, e) }.toSeq)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir).as[(Long, Long, Double)].collect()
+      assert(streamed.length === streamed.toSet.size, "restart re-emitted a pair")
+      assert(streamed.toSet === batch, "pairs lost across restart")
+    } finally q2.stop()
+  }
+
   test("s_sink_foreach: ForeachWriter open/process/close per partition-epoch") {
     val in = MemoryStream[Event]
     SparkTestBase.foreachSink.clear()
