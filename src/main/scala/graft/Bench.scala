@@ -30,6 +30,18 @@ object Bench {
     // number it produces.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Validated BEFORE Spark startup (ADVICE r15): a non-numeric or <1
+    // value would otherwise surface only after warmup has already run, as
+    // NumberFormatException or an empty-sequence .min in the timed loop.
+    val benchRuns = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2")
+      val n = try raw.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer >= 1, got '$raw'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -72,6 +84,27 @@ object Bench {
     System.err.println(
       if (warmed) s"[bench] per-query warmup ran at $warmDir (warm protocol)"
       else s"[bench] warmup SKIPPED: $warmDir absent (cold protocol — not comparable to warm-protocol numbers)")
+    // target-SF warmup pass (r16, VERDICT r15 #1a): ONE untimed execution
+    // of every query at sfDir before the timed loop. Builds every standing
+    // table / scalar manifest at the BENCH SF (the sf0.001 warmup above
+    // only built them for warmDir — run 1 of the timed loop was absorbing
+    // the day-0 standing builds plus their page-cache/GC pressure, which
+    // best-of-2's min() hides from the number but not from the box), so
+    // both timed runs measure steady-state execution. Gated off for
+    // single-run ScaleGen sweeps (SPARK_GRAFT_BENCH_RUNS=1), where the
+    // extra pass would double peak scratch — exactly what that knob
+    // exists to halve; override either way with SPARK_GRAFT_WARM_TARGET.
+    val warmTarget = sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET",
+      if (benchRuns >= 2) "1" else "0") == "1"
+    if (warmTarget)
+      onlyQueries.foreach { case (_, fn) =>
+        PinScope.scoped(spark) {
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+      }
+    System.err.println(
+      if (warmTarget) s"[bench] target-SF warmup pass ran at $sfDir (standing tables pre-built)"
+      else s"[bench] target-SF warmup pass skipped")
     // best-of-2 per query: the per-round driver machine carries external
     // load (r6 driver numbers ran ~2× idle medians on the heavy queries);
     // the min of two back-to-back runs discards one-off scheduler stalls
@@ -97,7 +130,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_RUNS=1 halves peak scratch for the single-box
     // envelope runs; recorded next to any number it produces (like the
     // shuffle-partitions knob).
-    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // (benchRuns parsed and validated above, before Spark startup)
     val results = onlyQueries.map { case (name, fn) =>
       def once(): Double = PinScope.scoped(spark) {
         val t0 = System.nanoTime()
@@ -144,7 +177,8 @@ object Bench {
     // whatever the capture window, the headline number survives.
     // protocol reflects what actually ran (r15 s2 — the string was
     // hardcoded "warm,best-of-2" and misreported cold/single-run sweeps)
-    val protocol = (if (warmed) "warm" else "cold") + s",best-of-$benchRuns"
+    val protocol = (if (warmed) "warm" else "cold") +
+      (if (warmTarget) "+target" else "") + s",best-of-$benchRuns"
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol","sf":"$sfDir"}""")
     spark.stop()
   }

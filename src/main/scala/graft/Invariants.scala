@@ -137,17 +137,62 @@ object Invariants {
 
     // -------------------------------------------------- embedding dedup
     add("q_dedup_embed_banded") {
-      // VectorDedupSpec: precision exactly 1 vs the exact twin; recall ≥ 0.7
+      // VectorDedupSpec: precision exactly 1 vs the exact twin; recall
+      // bound raised 0.7 → 0.8 (r16, VERDICT r15 #4 — measured 0.857 at
+      // sf0.01; the old bound left a 15-point silent-regression window)
       def pairSet(k: String): Set[(Long, Long)] =
         SparkEntry.queries(k)(spark, dir).select($"vec_a", $"vec_b")
           .as[(Long, Long)].collect().toSet
       val exact = pairSet("q_dedup_embed_cosine")
       val banded = pairSet("q_dedup_embed_banded")
+      // Planted near-threshold adversaries (r16, the minhash discipline):
+      // per base vector (150 lowest ids) two deterministic truncations —
+      // `hi` (+10⁹, first 20 of 64 dims kept → cos ≈ √(20/64) ≈ 0.56) and
+      // `lo` (+2·10⁹, first 8 kept → ≈ 0.35). True cosine is MEASURED per
+      // pair (same double fold as the engine), never trusted from the
+      // construction: pairs classify hi iff cos ≥ 0.5, lo iff ≤ 0.40, the
+      // dead zone is excluded. hi pairs must be FOUND by the banding
+      // (expected per-pair detection 1−(1−p⁴)¹² ≈ 0.95 at cos 0.56);
+      // measured-lo pairs must never be EMITTED — the row's exact-cosine
+      // gate makes that structural, and the check pins the
+      // filter-before-round order a refactor could silently break.
+      val base = graft.tables.Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding").orderBy($"vec_id").limit(150)
+        .as[(Long, Seq[Float])].collect()
+      def trunc(v: Seq[Float], keep: Int): Seq[Float] =
+        v.zipWithIndex.map { case (x, i) => if (i < keep) x else 0f }
+      def cosd(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < math.min(a.length, b.length)) {
+          val (x, y) = (a(i).toDouble, b(i).toDouble)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val plantedRows = base.flatMap { case (id, v) =>
+        Seq((id, v), (id + 1000000000L, trunc(v, 20)), (id + 2000000000L, trunc(v, 8)))
+      }.toSeq
+      val cand = graft.ops.LlmVector
+        .embedBandedPairsOf(spark, spark.createDataset(plantedRows)
+          .toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>").as("embedding")))
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+      val measured = base.flatMap { case (id, v) =>
+        Seq((id, id + 1000000000L, cosd(v, trunc(v, 20))),
+          (id, id + 2000000000L, cosd(v, trunc(v, 8))))
+      }
+      val hi = measured.filter(_._3 >= 0.5).map(p => (p._1, p._2))
+      val lo = measured.filter(_._3 <= 0.40).map(p => (p._1, p._2))
       Seq(
         Check("precision_vs_exact_twin",
           if (banded.isEmpty) 1.0 else (banded intersect exact).size.toDouble / banded.size, 1.0, ">="),
         Check("recall_vs_exact_twin",
-          (banded intersect exact).size.toDouble / math.max(1, exact.size), 0.7, ">="))
+          (banded intersect exact).size.toDouble / math.max(1, exact.size), 0.8, ">="),
+        Check("planted_hi_pairs_present", hi.size.toDouble, 1.0, ">="),
+        Check("planted_lo_pairs_present", lo.size.toDouble, 1.0, ">="),
+        Check("planted_hi_recall", hi.count(cand).toDouble / math.max(1, hi.size), 0.8, ">="),
+        Check("planted_lo_emitted", lo.count(cand).toDouble, 0.0, "<="))
     }
 
     add("q_dedup_embed_banded_prod") {

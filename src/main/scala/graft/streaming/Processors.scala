@@ -12,8 +12,13 @@ import org.apache.spark.sql.streaming._
   * on Spark's arbitrary-state API.
   *
   * Scale posture: state lives in the per-partition StateStore keyed by the
-  * group key; nothing here buffers unboundedly — count windows flush at n,
-  * CEP lists prune to their time horizon, timer state clears on fire.
+  * group key. Per-event state is bounded — count windows flush at n, CEP
+  * lists prune to their time horizon, timer state clears on fire — with one
+  * deliberate exception: [[BandBucketProcessor]] maintains a standing band
+  * index that grows linearly with the corpus (it IS the index; see its
+  * scaladoc for the retention contract), and the pair-dedup state that
+  * [[StreamOps.bandedDedupStream]] composes after it is the verified
+  * near-dup set itself.
   */
 
 /** Shared cent quantization for processors whose batch twins use Spark
@@ -293,9 +298,20 @@ class ReservoirProcessor(k: Int)
   }
 }
 
-/** One banded vector routed to its band bucket: bkey = band·2¹⁶ | bits
-  * (band < 24, bits < 2¹⁶ — the packing is collision-free). */
-case class BandedVec(bkey: Long, vec_id: Long, embedding: Array[Float])
+/** One banded vector id routed to its band bucket: bkey = band·2¹⁶ | bits
+  * (band < 24, bits < 2¹⁶ — the packing is collision-free). Ids only —
+  * the bucket index never carries embeddings (r16 state-size fix; the
+  * embeddings live once per verify hop in [[EmbedAttachProcessor]] /
+  * [[EmbedVerifyProcessor]]). */
+case class BandId(bkey: Long, vec_id: Long)
+/** A message on the verify path, keyed by `key`. Three shapes share the
+  * encoder: a REGISTRATION (a == Long.MinValue, emb = the vector, key =
+  * its vec_id), an unverified CANDIDATE from the band stage (emb empty,
+  * key = b), and an emb_b-ATTACHED candidate from the attach stage
+  * (emb = b's embedding, key = a). */
+case class VerifyMsg(key: Long, a: Long, b: Long, emb: Array[Float])
+/** The single stored embedding copy per vector per verify hop. */
+case class EmbState(e: Array[Float])
 /** A verified near-dup pair — same columns as the batch
   * q_dedup_embed_banded_prod contract row. */
 case class NearDupPair(vec_a: Long, vec_b: Long, cos: Double)
@@ -324,52 +340,133 @@ private[streaming] object ExactCosine {
     BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
 
-/** Streaming half of the production-threshold banded near-dup row
-  * (SURVEY §2.8 `s_dedup_embed_banded`, r15): one band bucket per key —
-  * the keyed state IS the standing band index the batch path pins
+/** Band stage of the streaming production-threshold banded near-dup row
+  * (SURVEY §2.8 `s_dedup_embed_banded`): one band bucket per key — the
+  * keyed state IS the standing band index the batch path pins
   * ([[graft.ops.LlmVector.prodBandTable]] under Layout.materialize),
-  * maintained live as vectors arrive. Each arrival pairs against the
-  * bucket's members, the exact cosine verify runs in-processor with the
-  * batch row's exact semantics (raw-cos threshold gate FIRST, round(,4)
-  * on emission — the batch plan's filter-then-project order), and
-  * verified pairs emit immediately; a pair colliding in several bands
-  * emits once per band, deduped by the downstream keyed pair-dedup that
+  * maintained live as vectors arrive, but holding IDS ONLY (8 bytes per
+  * band row — r16: the r15 shape carried the full embedding in every one
+  * of a vector's 24 band buckets, a 24× state bill the 100 TB posture
+  * can't pay). Each arrival pairs against the bucket's member ids and
+  * emits UNVERIFIED candidates (key = the larger id, emb empty); the
+  * exact-cosine verify happens downstream on the read side
+  * ([[EmbedAttachProcessor]] → [[EmbedVerifyProcessor]], one embedding
+  * copy per hop). A pair colliding in several bands emits once per band,
+  * deduped by the final keyed pair-dedup that
   * [[StreamOps.bandedDedupStream]] composes (Flink would need the same
   * keyBy(pair) dedup after its per-bucket CoProcess). Re-sent vectors
   * absorb via bucket membership (the at-least-once discipline every
-  * census processor follows). State across all 24 buckets ≡ the 24
-  * rows/vector batch band table plus the carried embeddings — linear in
-  * corpus, hash-partitioned by bucket like every keyed state. */
-class BandBucketProcessor(threshold: Double)
-    extends StatefulProcessor[Long, BandedVec, NearDupPair] {
-  @transient private var members: ListState[BandedVec] = _
+  * census processor follows). State across all 24 buckets ≡ the batch
+  * band table's (band, bits, vec_id) rows — 24 longs per vector, linear
+  * in corpus, hash-partitioned by bucket like every keyed state. */
+class BandBucketProcessor
+    extends StatefulProcessor[Long, BandId, VerifyMsg] {
+  @transient private var members: ListState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    members = getHandle.getListState[BandedVec]("members",
-      Encoders.product[BandedVec], TTLConfig.NONE)
+    members = getHandle.getListState[Long]("members",
+      Encoders.scalaLong, TTLConfig.NONE)
 
-  override def handleInputRows(key: Long, rows: Iterator[BandedVec],
-      timers: TimerValues): Iterator[NearDupPair] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+  override def handleInputRows(key: Long, rows: Iterator[BandId],
+      timers: TimerValues): Iterator[VerifyMsg] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[VerifyMsg]
     var cur = members.get().toVector
     val seen = scala.collection.mutable.HashSet.empty[Long]
-    cur.foreach(m => seen += m.vec_id)
+    cur.foreach(seen += _)
     // vec_id order inside the micro-batch: the pair SET is arrival-order-
     // insensitive (every unordered pair meets exactly once), the sort just
     // keeps replays deterministic (the FillForward convention)
     rows.toSeq.sortBy(_.vec_id).foreach { v =>
       if (seen.add(v.vec_id)) {
         cur.foreach { m =>
-          val (lo, hi) = if (m.vec_id < v.vec_id) (m, v) else (v, m)
-          ExactCosine.cos(lo.embedding, hi.embedding)
-            .filter(_ >= threshold)
-            .foreach { c =>
-              out += NearDupPair(lo.vec_id, hi.vec_id, ExactCosine.round4(c))
-            }
+          val (lo, hi) = if (m < v.vec_id) (m, v.vec_id) else (v.vec_id, m)
+          out += VerifyMsg(hi, lo, hi, Array.emptyFloatArray)
         }
-        members.appendValue(v)
-        cur = cur :+ v
+        members.appendValue(v.vec_id)
+        cur = cur :+ v.vec_id
       }
+    }
+    out.iterator
+  }
+}
+
+/** Attach stage of the streaming banded near-dup verify path: keyed by
+  * the candidate's LARGER id b, holds exactly ONE embedding copy per
+  * vector (ValueState — registrations are idempotent under at-least-once
+  * replay), and forwards each candidate re-keyed to its smaller id a with
+  * b's embedding attached. Candidates can only be generated after both
+  * ids passed the band stage, and registrations ride the same micro-batch
+  * as their source rows, so b's embedding is always in state (or in this
+  * very batch — registrations are applied first) by the time a candidate
+  * arrives; the pending list is pure at-least-once armor and is empty in
+  * steady state. */
+class EmbedAttachProcessor
+    extends StatefulProcessor[Long, VerifyMsg, VerifyMsg] {
+  @transient private var emb: ValueState[EmbState] = _
+  @transient private var pending: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    emb = getHandle.getValueState[EmbState]("emb",
+      Encoders.product[EmbState], TTLConfig.NONE)
+    pending = getHandle.getListState[Long]("pending",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[VerifyMsg],
+      timers: TimerValues): Iterator[VerifyMsg] = {
+    val rs = rows.toVector
+    // registrations first: a candidate and its b-registration can share a
+    // micro-batch (intra-batch discovery)
+    rs.foreach { r => if (r.a == Long.MinValue) emb.update(EmbState(r.emb)) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[VerifyMsg]
+    val cands = rs.filter(_.a != Long.MinValue).map(_.a) ++
+      (if (pending.exists()) { val p = pending.get().toVector; pending.clear(); p }
+       else Vector.empty)
+    if (cands.nonEmpty) {
+      if (emb.exists()) {
+        val e = emb.get().e
+        // sorted: replay-deterministic output order (FillForward convention)
+        cands.distinct.sorted.foreach(a => out += VerifyMsg(a, a, key, e))
+      } else cands.foreach(pending.appendValue) // armor; see scaladoc
+    }
+    out.iterator
+  }
+}
+
+/** Verify stage of the streaming banded near-dup path: keyed by the
+  * candidate's SMALLER id a, holds the second (and last) embedding copy,
+  * and runs the exact batch-twin cosine gate — raw-cos threshold FIRST,
+  * round(,4) on emission, the batch plan's filter-then-project order — so
+  * settle-equivalence against q_dedup_embed_banded_prod stays BITWISE. */
+class EmbedVerifyProcessor(threshold: Double)
+    extends StatefulProcessor[Long, VerifyMsg, NearDupPair] {
+  @transient private var emb: ValueState[EmbState] = _
+  @transient private var pending: ListState[VerifyMsg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    emb = getHandle.getValueState[EmbState]("emb",
+      Encoders.product[EmbState], TTLConfig.NONE)
+    pending = getHandle.getListState[VerifyMsg]("pending",
+      Encoders.product[VerifyMsg], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[VerifyMsg],
+      timers: TimerValues): Iterator[NearDupPair] = {
+    val rs = rows.toVector
+    rs.foreach { r => if (r.a == Long.MinValue) emb.update(EmbState(r.emb)) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    val cands = rs.filter(_.a != Long.MinValue) ++
+      (if (pending.exists()) { val p = pending.get().toVector; pending.clear(); p }
+       else Vector.empty)
+    if (cands.nonEmpty) {
+      if (emb.exists()) {
+        val ea = emb.get().e
+        cands.sortBy(_.b).foreach { c =>
+          ExactCosine.cos(ea, c.emb)
+            .filter(_ >= threshold)
+            .foreach(v => out += NearDupPair(c.a, c.b, ExactCosine.round4(v)))
+        }
+      } else cands.foreach(pending.appendValue)
     }
     out.iterator
   }

@@ -572,9 +572,15 @@ object StreamOps {
     * "dedup the corpus as it lands" where the batch row is "dedup the
     * corpus after it landed".
     *
-    * Scale posture: state is the linear 24-rows/vector band index (plus
-    * carried embeddings), hash-partitioned by bucket; per-arrival work is
-    * the bucket's collision list — the same ≈3.7·10⁻⁴·C(N,2) total pair
+    * Scale posture (r16 state-size fix): the standing band index holds
+    * IDS ONLY — 24 longs per vector, hash-partitioned by bucket — where
+    * the r15 shape carried the full embedding in every one of a vector's
+    * 24 band buckets (a 24× state-store bill at fleet N). Embeddings are
+    * stored exactly once per verify hop (attach keyed by the pair's
+    * larger id, verify keyed by the smaller — 2 copies total), and
+    * candidates from the band stage are verified on the read side by
+    * routing them through those two keyed hops; per-arrival work is the
+    * bucket's collision list — the same ≈3.7·10⁻⁴·C(N,2) total pair
     * mass as the batch row, paid incrementally. The pair-dedup state is
     * the verified near-dup set itself (small by construction at the
     * production threshold); a deployment that can tolerate re-verified
@@ -585,12 +591,28 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val spark = vectors.sparkSession
     import spark.implicits._
-    graft.ops.LlmVector.prodBandTable(vectors, carry = Seq("embedding"))
+    // registrations: one per source row, routed to the row's own vec_id
+    // on both verify hops (ride the same micro-batch as the band rows, so
+    // an embedding is always registered no later than any candidate that
+    // references it)
+    def regs = vectors
+      .select(col("vec_id").as("key"), lit(Long.MinValue).as("a"),
+        lit(Long.MinValue).as("b"), col("embedding").as("emb"))
+      .as[VerifyMsg]
+    val candidates = graft.ops.LlmVector.prodBandTable(vectors)
       .select((col("band") * lit(65536L) + col("bits")).as("bkey"),
-        col("vec_id"), col("embedding"))
-      .as[BandedVec]
+        col("vec_id"))
+      .as[BandId]
       .groupByKey(_.bkey)
-      .transformWithState(new BandBucketProcessor(0.85),
+      .transformWithState(new BandBucketProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val withEmbB = regs.union(candidates)
+      .groupByKey(_.key)
+      .transformWithState(new EmbedAttachProcessor,
+        TimeMode.None(), OutputMode.Append())
+    regs.union(withEmbB)
+      .groupByKey(_.key)
+      .transformWithState(new EmbedVerifyProcessor(0.85),
         TimeMode.None(), OutputMode.Append())
       .dropDuplicates("vec_a", "vec_b")
       .toDF()

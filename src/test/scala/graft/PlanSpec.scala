@@ -209,6 +209,64 @@ class PlanSpec extends SparkTestBase {
     assert(!rddExchanged, "pinned edge RDD is re-exchanged — declared layout lost")
   }
 
+  // ---- declared-layout pin regression guards (r16, VERDICT r15 #6): the
+  // AQE-hides-checkpoint-partitioning bug was found by measurement at 300×;
+  // these keep every materializeHashPartitioned consumer red in CI if a
+  // Spark upgrade changes the checkpoint/AQE interplay, instead of 2× at
+  // scale. One test per call site: pagerank (above), the CC loop's
+  // adjacency (Graph.scala), sql_recursive's edge view (Scalars.scala),
+  // and the banded band table (LlmVector.scala).
+
+  private def rddDirectlyExchanged(p: String): Boolean =
+    p.linesIterator.toSeq.sliding(2).exists(w =>
+      w.head.trim.matches(".*- Exchange.*") && w.last.contains("Scan ExistingRDD"))
+
+  test("cc-loop round join: pinned adjacency carries its declared dst layout — " +
+      "only the label side exchanges (r16)") {
+    // replicates the hash-min round join Graph.connectedComponents builds
+    // (adj pinned on dst, labels plainly materialized): the adj side must
+    // consume its pinned blocks directly; exactly the label side shuffles.
+    // Auto-broadcast disabled: at sf0.001 the label side would broadcast
+    // and the shuffled-join shape this pin exists for would be moot.
+    import spark.implicits._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+    val pairs = graft.ops.Graph.copurchaseEdges(spark, dir)
+    val adj = graft.tables.Layout.materializeHashPartitioned(
+      pairs.select($"pa".as("src"), $"pb".as("dst"))
+        .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst"))), Seq("dst"))
+    val labels = graft.tables.Layout.materialize(
+      adj.groupBy($"src").agg(org.apache.spark.sql.functions.min($"dst").as("_m"))
+        .select($"src".as("vertex"), $"_m".as("component")))
+    val round = adj.join(labels, adj("dst") === labels("vertex"))
+    val p = planOf(round)
+    val exchanges = p.linesIterator.count(_.trim.matches(".*- Exchange.*"))
+    assert(exchanges === 1,
+      s"round join must exchange ONLY the label side (got $exchanges exchanges):\n$p")
+    // negative control: an UNdeclared pin re-exchanges — proves the
+    // declared layout (not AQE mood) is what removes the exchange
+    val undeclared = graft.tables.Layout.materialize(
+      pairs.select($"pa".as("src"), $"pb".as("dst")))
+    val ctrl = planOf(undeclared.join(labels, undeclared("dst") === labels("vertex")))
+    assert(ctrl.linesIterator.count(_.trim.matches(".*- Exchange.*")) === 2,
+      "control: undeclared pin should need both sides exchanged — assertion harness broken?")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q_sql_recursive: pinned edge view feeds the UnionLoop without per-iteration re-exchange (r16)") {
+    val p = planOf(SparkEntry.queries("q_sql_recursive")(spark, dir))
+    assert(!rddDirectlyExchanged(p),
+      "pinned g_rec_edges relation is re-exchanged inside the recursion — declared layout lost")
+  }
+
+  test("q_dedup_embed_banded: pinned band table self-joins exchange-free (r16)") {
+    val p = planOf(graft.ops.LlmVector.dedupEmbedBanded(spark, dir))
+    assert(!rddDirectlyExchanged(p),
+      "pinned band table is re-exchanged for its self-join — declared layout lost")
+  }
+
   test("q_cep_kleene_star: one scan, one key shuffle, no joins (r15)") {
     val p = planOf(SparkEntry.queries("q_cep_kleene_star")(spark, dir))
     assert(nodeIds(p, "Scan parquet").size === 1, "star pattern should scan events once")
