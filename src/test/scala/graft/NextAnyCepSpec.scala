@@ -251,6 +251,36 @@ class NextAnyCepSpec extends SparkTestBase {
     assert(ms.last.event_ids === (0L to n.toLong).toSeq || ms.head.event_ids === (0L to n.toLong).toSeq)
   }
 
+  test("sealAll adversarial key skew: 10^6 anyMode matches on ONE key complete in one seal " +
+      "and prune the buffer to empty (r16 throughput datapoint)") {
+    import graft.streaming.{BufEv, PatternMatcher, PosStage}
+    // the skew shape a census processor sees when one hot key owns the
+    // stream: 200 heads, each pairing with all 5000 later partners in the
+    // window — 10^6 emissions, just under the 1<<20 maxMatches bound the
+    // loud-error test above pins. The datapoint this measures: the
+    // explicit-stack DFS sustains ~10^5-10^6 matches/s per key per seal
+    // (recorded in BASELINE.md), and the post-seal keep-set — what the
+    // streaming processor would retain in ListState — is EMPTY once the
+    // watermark passes every head's horizon, so a hot key's state does not
+    // outlive its window even when its match volume is combinatorial.
+    val heads = 200
+    val partners = 5000
+    val stages = Seq(
+      PosStage((e: Event) => e.event_type == "A", optional = false, Nil),
+      PosStage((e: Event) => e.event_type == "B", optional = false, Nil, anyMode = true))
+    val evs = (1 to heads).map(i => BufEv(i.toLong, i.toLong, "A", 0.0)) ++
+      (1 to partners).map(i => BufEv((heads + i).toLong, (heads + i).toLong, "B", 0.0))
+    val t0 = System.nanoTime()
+    val (ms, rest) = PatternMatcher.sealAll(1L, evs, stages, 10000L, Long.MaxValue)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"sealAll skew: ${ms.size} matches in $sec%.2f s (${ms.size / sec}%.0f matches/s)")
+    assert(ms.size === heads * partners, "every (head, later partner) pair must emit")
+    assert(rest.isEmpty, "fully-sealed hot key must retain no buffer state")
+    // generous CI bound — the point is completing without pathological
+    // blowup, not a tight perf gate on a shared box
+    assert(sec < 120.0, f"combinatorial seal took $sec%.1f s — DFS throughput regressed")
+  }
+
   test("streaming processorAll == matchBatchAll (reversed replay, q_cep_any backing)") {
     val pat = Pattern
       .begin("signup")((e: Event) => e.event_type == "signup")

@@ -255,6 +255,27 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("GraftBridge.withHashPartitioning keeps its single sanctioned caller (r16, VERDICT r15 #2)") {
+    // The rewrap's correctness precondition — the declared layout must be
+    // the physical truth — is enforced structurally ONLY because the sole
+    // caller, Layout.materializeHashPartitioned, performs the
+    // repartition(n, cols) itself. A second direct call site would be a
+    // silent-wrong-results hazard (co-partitioned joins dropping matches),
+    // so this guard fails the build if one appears.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filter { p =>
+        val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        body.contains("withHashPartitioning") &&
+          !p.toString.endsWith("org/apache/spark/sql/GraftBridge.scala") &&
+          !p.toString.endsWith("graft/tables/Layout.scala")
+      }.map(_.toString).toList
+    assert(offenders.isEmpty,
+      s"withHashPartitioning called outside Layout.materializeHashPartitioned: $offenders")
+  }
+
   test("q_sql_recursive: pinned edge view feeds the UnionLoop without per-iteration re-exchange (r16)") {
     val p = planOf(SparkEntry.queries("q_sql_recursive")(spark, dir))
     assert(!rddDirectlyExchanged(p),
