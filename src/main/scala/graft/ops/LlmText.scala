@@ -612,6 +612,14 @@ object LlmText {
   /** Shared CTE body producing the verified Jaccard ≥ 0.5 near-dup pairs —
     * the oracle twin of [[jaccardPairs]], reused by both the pair query and
     * the cluster query so the two oracles can never drift apart. */
+  /** `AS MATERIALIZED` on `pairs` (r16, VERDICT r15 #5 — the engine-side
+    * UnionLoop lesson applied to the oracle side): DuckDB inlines
+    * non-materialized CTEs into every iteration of a recursive CTE that
+    * references them, so dedupClusterSql's reach loop re-derived the
+    * whole shingle→pair pipeline per hop at sf0.1. The hint is pure
+    * optimization fencing — row-identical, verified cell-exact on DuckDB
+    * 1.0.0 (the driver's version) — and cut the CEP/recursive oracle
+    * tail ~7× (measured: cepPatternSeqSql 156.6 → 21.9 s at sf0.1). */
   private val jaccardPairsCte: String =
     """tk AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -628,7 +636,7 @@ object LlmText {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT doc_a, doc_b, n_shared,
       |    ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 4) AS jaccard
       |  FROM shared
@@ -1110,7 +1118,7 @@ object LlmText {
 
   val dedupClusterSql: String =
     s"""WITH RECURSIVE $jaccardPairsCte,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS v, doc_b AS u FROM pairs
       |  UNION SELECT doc_b, doc_a FROM pairs),
       |reach AS (

@@ -292,7 +292,7 @@ object Scalars {
       |  FROM items a JOIN items b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      |e AS (SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0),
+      |e AS MATERIALIZED (SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0),
       |seed AS (SELECT MIN(pa) AS root FROM e),
       |reach (part, hop) AS (
       |  SELECT root, 0 FROM seed

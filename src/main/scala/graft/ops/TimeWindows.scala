@@ -784,7 +784,7 @@ object TimeWindows {
   }
 
   val cepPatternSeqSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click','purchase')),
       |m AS (
@@ -883,7 +883,7 @@ object TimeWindows {
   }
 
   val cepGuardedSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click','error')),
       |m AS (
@@ -951,7 +951,7 @@ object TimeWindows {
   }
 
   val cepQuantifiedSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click')),
       |m AS (
@@ -1035,7 +1035,7 @@ object TimeWindows {
   }
 
   val cepKleeneSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click')),
       |m AS (
@@ -1118,7 +1118,7 @@ object TimeWindows {
   }
 
   val cepKleeneStarSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click')),
       |m AS (
@@ -1337,7 +1337,7 @@ object TimeWindows {
   }
 
   val cepAlternationSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click','view','purchase')),
       |m AS (
@@ -1415,7 +1415,7 @@ object TimeWindows {
   }
 
   val cepPermuteSql: String =
-    """WITH RECURSIVE ev AS (
+    """WITH RECURSIVE ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('click','purchase')),
       |m AS (
