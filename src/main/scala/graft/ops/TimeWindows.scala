@@ -1011,13 +1011,22 @@ object TimeWindows {
     * kleene stage and nothing can advance past it — ALL clicks in
     * [c1, head+24h] in (t, id) order, so a match's consumed set is a
     * contiguous (t, id)-range of clicks and its last pick l is that
-    * range's max. l is monotone across matches (c1_{k+1} > l_k), so the
-    * CTE again carries only (last head, last consumed click): c1 is an
-    * earliest-pick lateral exactly as in the quantified oracle, and the
-    * unbounded tail needs no per-replica picks at all — one DESC-ordered
-    * lateral fetches l and one aggregate lateral builds the id list over
-    * the same closed range. A head with no c1 matches nothing and
-    * consumes nothing (inner join), same as the engine. */
+    * range's max, monotone across matches (c1_{k+1} > l_k).
+    *
+    * CLOSED FORM (r16, replacing the recursive-CTE replay — row-identical
+    * at sf0.001/sf0.01/sf0.1, 45 s → 0.2 s at sf0.1): index clicks per
+    * user by (t, id) rank cseq; the in-horizon clicks of a head form the
+    * cseq-PREFIX ending at L = max in-horizon cseq (t ≤ horizon is
+    * prefix-closed in cseq order). The consumed-click watermark after
+    * head k is then w_k = max over j ≤ k of { L_j if L_j > hpos_j } where
+    * hpos is the head's own click-rank position — BECAUSE whenever any
+    * consumption happens its last pick IS L_j (the in-horizon max), and
+    * an L_j ≤ w contributes nothing to a max. That makes w a plain
+    * windowed running MAX over heads in (t, id) order — no recursion —
+    * and each match's consumed range is (greatest(hpos, w_prev), L],
+    * nonempty iff L clears it (the engine's has-available-click test).
+    * DuckDB 1.0.0 re-iterated the old CTE's lateral probes once per match
+    * per user; the closed form is three hash joins and a window. */
   def cepKleene(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.{Event, Pattern}
@@ -1035,49 +1044,41 @@ object TimeWindows {
   }
 
   val cepKleeneSql: String =
-    """WITH RECURSIVE ev AS MATERIALIZED (
+    """WITH ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click')),
-      |m AS (
-      |  SELECT user_id, 0 AS match_no,
-      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
-      |    CAST(-9223372036854775808 AS BIGINT) AS l_t, CAST(-1 AS BIGINT) AS l_id,
-      |    CAST(NULL AS VARCHAR) AS ids
-      |  FROM (SELECT DISTINCT user_id FROM ev)
-      |  UNION ALL
-      |  SELECT nxt.user_id, m.match_no + 1,
-      |    nxt.h_t, nxt.h_id, nxt.l_t, nxt.l_id, nxt.ids
-      |  FROM m, LATERAL (
-      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
-      |      lst.t AS l_t, lst.id AS l_id,
-      |      CAST(e1.event_id AS VARCHAR) || '/' || agg.idl AS ids
-      |    FROM ev e1
-      |    JOIN LATERAL (
-      |      SELECT c.t, c.event_id AS id FROM ev c
-      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
-      |        AND (c.t > e1.t OR (c.t = e1.t AND c.event_id > e1.event_id))
-      |        AND (c.t > m.l_t OR (c.t = m.l_t AND c.event_id > m.l_id))
-      |        AND c.t <= e1.t + 86400000
-      |      ORDER BY c.t, c.event_id LIMIT 1) c1 ON TRUE
-      |    JOIN LATERAL (
-      |      SELECT c.t, c.event_id AS id FROM ev c
-      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
-      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
-      |        AND c.t <= e1.t + 86400000
-      |      ORDER BY c.t DESC, c.event_id DESC LIMIT 1) lst ON TRUE
-      |    JOIN LATERAL (
-      |      SELECT string_agg(CAST(c.event_id AS VARCHAR), '/'
-      |               ORDER BY c.t, c.event_id) AS idl
-      |      FROM ev c
-      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
-      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
-      |        AND c.t <= e1.t + 86400000) agg ON TRUE
-      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
-      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
-      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
-      |SELECT user_id, h_t AS first_ms, l_t AS last_ms, ids
-      |FROM m WHERE match_no >= 1
-      |ORDER BY user_id, first_ms, ids""".stripMargin
+      |clk AS MATERIALIZED (
+      |  SELECT user_id, event_id, t,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS cseq
+      |  FROM ev WHERE event_type = 'click'),
+      |heads AS (
+      |  SELECT user_id, event_id AS h_id, t AS h_t, t + 86400000 AS horizon
+      |  FROM ev WHERE event_type = 'signup'),
+      |hl AS (
+      |  SELECT h.user_id, h.h_id, h.h_t,
+      |    COALESCE(MAX(c.cseq), 0) AS l_cseq,
+      |    COALESCE(MAX(CASE WHEN c.t < h.h_t OR (c.t = h.h_t AND c.event_id < h.h_id)
+      |      THEN c.cseq END), 0) AS hpos
+      |  FROM heads h LEFT JOIN clk c ON c.user_id = h.user_id AND c.t <= h.horizon
+      |  GROUP BY 1, 2, 3),
+      |rng AS (
+      |  SELECT user_id, h_id, h_t, l_cseq,
+      |    GREATEST(hpos, COALESCE(MAX(CASE WHEN l_cseq > hpos THEN l_cseq END)
+      |      OVER (PARTITION BY user_id ORDER BY h_t, h_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS start_cseq
+      |  FROM hl),
+      |agg AS (
+      |  SELECT r.user_id, r.h_id,
+      |    string_agg(CAST(c.event_id AS VARCHAR), '/' ORDER BY c.cseq) AS idl,
+      |    MAX(c.t) AS lst_t
+      |  FROM rng r JOIN clk c ON c.user_id = r.user_id
+      |    AND c.cseq > r.start_cseq AND c.cseq <= r.l_cseq
+      |  GROUP BY 1, 2)
+      |SELECT r.user_id AS user_id, r.h_t AS first_ms,
+      |  a.lst_t AS last_ms,
+      |  CAST(r.h_id AS VARCHAR) || '/' || a.idl AS ids
+      |FROM rng r JOIN agg a ON a.user_id = r.user_id AND a.h_id = r.h_id
+      |ORDER BY r.user_id, first_ms, ids""".stripMargin
 
   /** ZERO-OR-MORE KLEENE contract (r15, closing the last grammar gap vs
     * public flink-cep): `signup click*` — flink's `oneOrMore().optional()`
@@ -1096,11 +1097,15 @@ object TimeWindows {
     * matches (for any earlier match k, c1 ≥ c1_k by unconsumed-then ∧
     * after-h_k, and c1 ≤ l_k would put c1 inside match k's consumed
     * range — so c1 > l_k). A head-only match consumes no click and
-    * leaves the watermark where it was. The recursive CTE therefore
-    * steps over EVERY signup in (t, id) order carrying (last head, last
-    * consumed click): c1 turns into a LEFT lateral (absent ⇒ head-only
-    * row, watermark carried), and the DESC-ordered last-pick and the
-    * id-list aggregate ride the same closed range as the kleene oracle. */
+    * leaves the watermark where it was.
+    *
+    * CLOSED FORM (r16): [[cepKleeneSql]]'s running-max watermark argument
+    * verbatim — the star only changes emission (every head emits, the
+    * consumed range may be empty ⇒ LEFT join, ids/last fall back to the
+    * head) while the watermark algebra is untouched (a head-only match
+    * has L ≤ max(hpos, w_prev), which contributes nothing to the running
+    * max). Row-identical at sf0.001/sf0.01/sf0.1; 477 s → 0.2 s at sf0.1
+    * (this single oracle was ~40% of the r15 sweep's CEP tail). */
   def cepKleeneStar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.{Event, Pattern}
@@ -1118,53 +1123,41 @@ object TimeWindows {
   }
 
   val cepKleeneStarSql: String =
-    """WITH RECURSIVE ev AS MATERIALIZED (
+    """WITH ev AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type
       |  FROM events WHERE event_type IN ('signup','click')),
-      |m AS (
-      |  SELECT user_id, 0 AS match_no,
-      |    CAST(-9223372036854775808 AS BIGINT) AS h_t, CAST(-1 AS BIGINT) AS h_id,
-      |    CAST(-9223372036854775808 AS BIGINT) AS w_t, CAST(-1 AS BIGINT) AS w_id,
-      |    CAST(NULL AS BIGINT) AS l_t, CAST(NULL AS VARCHAR) AS ids
-      |  FROM (SELECT DISTINCT user_id FROM ev)
-      |  UNION ALL
-      |  SELECT nxt.user_id, m.match_no + 1,
-      |    nxt.h_t, nxt.h_id,
-      |    COALESCE(nxt.c_t, m.w_t), COALESCE(nxt.c_id, m.w_id),
-      |    COALESCE(nxt.c_t, nxt.h_t), nxt.ids
-      |  FROM m, LATERAL (
-      |    SELECT e1.user_id, e1.t AS h_t, e1.event_id AS h_id,
-      |      lst.t AS c_t, lst.id AS c_id,
-      |      CAST(e1.event_id AS VARCHAR) || COALESCE('/' || agg.idl, '') AS ids
-      |    FROM ev e1
-      |    LEFT JOIN LATERAL (
-      |      SELECT c.t, c.event_id AS id FROM ev c
-      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
-      |        AND (c.t > e1.t OR (c.t = e1.t AND c.event_id > e1.event_id))
-      |        AND (c.t > m.w_t OR (c.t = m.w_t AND c.event_id > m.w_id))
-      |        AND c.t <= e1.t + 86400000
-      |      ORDER BY c.t, c.event_id LIMIT 1) c1 ON TRUE
-      |    LEFT JOIN LATERAL (
-      |      SELECT c.t, c.event_id AS id FROM ev c
-      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
-      |        AND c1.id IS NOT NULL
-      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
-      |        AND c.t <= e1.t + 86400000
-      |      ORDER BY c.t DESC, c.event_id DESC LIMIT 1) lst ON TRUE
-      |    LEFT JOIN LATERAL (
-      |      SELECT string_agg(CAST(c.event_id AS VARCHAR), '/'
-      |               ORDER BY c.t, c.event_id) AS idl
-      |      FROM ev c
-      |      WHERE c.user_id = e1.user_id AND c.event_type = 'click'
-      |        AND c1.id IS NOT NULL
-      |        AND (c.t > c1.t OR (c.t = c1.t AND c.event_id >= c1.id))
-      |        AND c.t <= e1.t + 86400000) agg ON TRUE
-      |    WHERE e1.user_id = m.user_id AND e1.event_type = 'signup'
-      |      AND (e1.t > m.h_t OR (e1.t = m.h_t AND e1.event_id > m.h_id))
-      |    ORDER BY e1.t, e1.event_id LIMIT 1) nxt)
-      |SELECT user_id, h_t AS first_ms, l_t AS last_ms, ids
-      |FROM m WHERE match_no >= 1
-      |ORDER BY user_id, first_ms, ids""".stripMargin
+      |clk AS MATERIALIZED (
+      |  SELECT user_id, event_id, t,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS cseq
+      |  FROM ev WHERE event_type = 'click'),
+      |heads AS (
+      |  SELECT user_id, event_id AS h_id, t AS h_t, t + 86400000 AS horizon
+      |  FROM ev WHERE event_type = 'signup'),
+      |hl AS (
+      |  SELECT h.user_id, h.h_id, h.h_t,
+      |    COALESCE(MAX(c.cseq), 0) AS l_cseq,
+      |    COALESCE(MAX(CASE WHEN c.t < h.h_t OR (c.t = h.h_t AND c.event_id < h.h_id)
+      |      THEN c.cseq END), 0) AS hpos
+      |  FROM heads h LEFT JOIN clk c ON c.user_id = h.user_id AND c.t <= h.horizon
+      |  GROUP BY 1, 2, 3),
+      |rng AS (
+      |  SELECT user_id, h_id, h_t, l_cseq,
+      |    GREATEST(hpos, COALESCE(MAX(CASE WHEN l_cseq > hpos THEN l_cseq END)
+      |      OVER (PARTITION BY user_id ORDER BY h_t, h_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS start_cseq
+      |  FROM hl),
+      |agg AS (
+      |  SELECT r.user_id, r.h_id,
+      |    string_agg(CAST(c.event_id AS VARCHAR), '/' ORDER BY c.cseq) AS idl,
+      |    MAX(c.t) AS lst_t
+      |  FROM rng r JOIN clk c ON c.user_id = r.user_id
+      |    AND c.cseq > r.start_cseq AND c.cseq <= r.l_cseq
+      |  GROUP BY 1, 2)
+      |SELECT r.user_id AS user_id, r.h_t AS first_ms,
+      |  COALESCE(a.lst_t, r.h_t) AS last_ms,
+      |  CAST(r.h_id AS VARCHAR) || COALESCE('/' || a.idl, '') AS ids
+      |FROM rng r LEFT JOIN agg a ON a.user_id = r.user_id AND a.h_id = r.h_id
+      |ORDER BY r.user_id, first_ms, ids""".stripMargin
 
   /** STRICT-CONTIGUITY CEP contract (r14 second batch): flink-cep
     * `Pattern.begin("signup").next("purchase")` — `next` demands the
