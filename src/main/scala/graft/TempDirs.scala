@@ -75,14 +75,27 @@ object TempDirs {
   }
 
   /** Mint the per-PID warehouse path for `role` ("verify" / "bench" /
-    * "test") and register its cleanup-at-exit hook. */
-  def warehouse(role: String): String = {
-    reapStale
-    val path = s"$fastTmpBase/graft_warehouse_${role}_${ProcessHandle.current().pid()}"
-    val root = java.nio.file.Paths.get(path)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
-    path
-  }
+    * "test") and register its cleanup-at-exit hook.
+    *
+    * `SPARK_GRAFT_WAREHOUSE_DIR` (r16, scale-sweep knob): a PERSISTENT
+    * warehouse path used verbatim — no PID suffix, no delete hook. The
+    * local analog of day-0 standing tables living on durable storage: at
+    * scale SFs one JVM cannot hold the construction pass's shuffle AND
+    * the serve pass's scratch (the 1000× cluster_incremental serve
+    * attempts were kernel-OOM/ENOSPC-bounded all through r15-s2 and
+    * r16), but with the standing tables persisted across JVMs the
+    * construction run and the serve-timing run each get the whole
+    * scratch envelope. Single-owner discipline is the caller's:
+    * concurrent JVMs sharing one warehouse race their managed-table
+    * writes. Recorded next to any number it produces. */
+  def warehouse(role: String): String =
+    sys.env.get("SPARK_GRAFT_WAREHOUSE_DIR").filter(_.nonEmpty).getOrElse {
+      reapStale
+      val path = s"$fastTmpBase/graft_warehouse_${role}_${ProcessHandle.current().pid()}"
+      val root = java.nio.file.Paths.get(path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(root)))
+      path
+    }
 
   /** Per-PID `spark.local.dir` (shuffle + spill scratch) on the fast
     * base, cleanup-hooked like [[warehouse]]. Spark deletes its own
