@@ -1506,3 +1506,122 @@ class TemporalJoinProcessor(dimType: String, probeType: String)
     out
   }
 }
+
+/** Per-window aggregate register for [[AllowedLatenessProcessor]]:
+  * `fired` records that the window's first (on-time) result was emitted,
+  * so later in-lateness arrivals emit tagged revisions. */
+case class LateWinAgg(n: Long, sum: Double, fired: Boolean)
+
+/** One emission of the allowed-lateness window operator. `emit_kind`:
+  *   - `on_time`     — the window's first firing (watermark passed end)
+  *   - `late_update` — a revision fired by an element that arrived after
+  *                     the on-time firing but within allowedLateness
+  *   - `side_output` — the element itself, too late even for lateness
+  *                     (the Flink late-data side-output tag, expressed as
+  *                     a tagged row on the single output — Spark has no
+  *                     multi-output operator; consumers split by filter,
+  *                     the same mapping s_side_output documents).
+  * For window firings `late_event_id` is -1; for side-output rows `n` is 0
+  * and `sum_value` carries the late element's value. */
+case class LateWindowEmit(event_type: String, win_start: Long, emit_kind: String,
+                          n: Long, sum_value: Double, late_event_id: Long)
+
+/** TRUE allowedLateness analog (SURVEY §2.8 `s_late_side_output`, r16 —
+  * upgrades the documented update-mode-revision mapping to Flink's actual
+  * WindowOperator semantics): a tumbling event-time window aggregate that
+  *   1. fires once when the watermark passes window end (EventTimeTrigger),
+  *   2. RE-FIRES per element for late arrivals within `latenessMs`
+  *      (Flink's per-element late firing under allowedLateness),
+  *   3. routes elements later than end-1+latenessMs to a side output, and
+  *   4. purges window state at the Flink cleanup time end-1+latenessMs —
+  *      state per key is O(live windows), never corpus-bound.
+  *
+  * The one structural gap this has to bridge: Spark drops rows older than
+  * the watermark BEFORE they reach any stateful operator, so rows Flink
+  * would refire or side-output would never be seen under the natural
+  * delay. The operator therefore runs under an ENLARGED Spark watermark
+  * delay D = oooBound + lateness + sideHorizon and reconstructs the Flink
+  * watermark inside the processor: sparkWm = maxTs - D and flinkWm =
+  * maxTs - oooBound, so flinkWm = sparkWm + `shiftMs` with shiftMs =
+  * D - oooBound = lateness + sideHorizon. Timers are registered in
+  * shifted (Spark) time for the same reason. `sideHorizon` bounds how
+  * long side-output capture stays live after a window's lateness expires
+  * — the price of bounded state; Flink's side output is unbounded-lookback
+  * only because it never frees the operator from the row (documented
+  * deviation). Spark's initial watermark is 0 (not -inf); a 0 watermark is
+  * treated as "none yet" so early windows don't misroute (the epoch-0
+  * caveat every event-time timer test in this suite carries).
+  *
+  * Flink boundary conventions are kept exactly: a window [s, s+W) has
+  * maxTimestamp = s+W-1; it fires when flinkWm >= maxTimestamp and an
+  * element is side-output iff maxTimestamp + lateness <= flinkWm. */
+class AllowedLatenessProcessor(windowMs: Long, latenessMs: Long, shiftMs: Long)
+    extends StatefulProcessor[String, Event, LateWindowEmit] {
+  @transient private var agg: MapState[Long, LateWinAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getMapState[Long, LateWinAgg]("agg",
+      Encoders.scalaLong, Encoders.product[LateWinAgg], TTLConfig.NONE)
+
+  private def flinkWm(timers: TimerValues): Long = {
+    val w = timers.getCurrentWatermarkInMs()
+    if (w <= 0L) Long.MinValue else w + shiftMs
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Event],
+      timers: TimerValues): Iterator[LateWindowEmit] = {
+    val wmF = flinkWm(timers)
+    val out = scala.collection.mutable.ArrayBuffer.empty[LateWindowEmit]
+    // (ts, event_id) order: emission ORDER is replay-deterministic (the
+    // FillForward convention); the settled emission SET is order-free
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val s = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+      val maxTs = s + windowMs - 1
+      if (wmF != Long.MinValue && maxTs + latenessMs <= wmF) {
+        out += LateWindowEmit(key, s, "side_output", 0L, e.value, e.event_id)
+      } else {
+        val first = !agg.containsKey(s)
+        val cur = if (first) LateWinAgg(0L, 0.0, fired = false) else agg.getValue(s)
+        var upd = LateWinAgg(cur.n + 1L, cur.sum + e.value, cur.fired)
+        if (first) {
+          // Flink registers the cleanup timer on every element add; one
+          // registration per window suffices here because the window key
+          // set only grows until cleanup. The on-time fire timer is only
+          // ahead of the watermark when the window hasn't fired yet.
+          if (wmF < maxTs) getHandle.registerTimer(maxTs - shiftMs)
+          getHandle.registerTimer(maxTs + latenessMs - shiftMs)
+        }
+        if (wmF != Long.MinValue && wmF >= maxTs) {
+          // late-but-in-lateness: Flink's EventTimeTrigger FIREs per
+          // element once the watermark sits past maxTimestamp
+          out += LateWindowEmit(key, s,
+            if (upd.fired) "late_update" else "on_time", upd.n, upd.sum, -1L)
+          upd = upd.copy(fired = true)
+        }
+        agg.updateValue(s, upd)
+      }
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[LateWindowEmit] = {
+    // one expiry timestamp can mean fire for one window AND cleanup for an
+    // older one (when lateness is a multiple of the window size); check
+    // both interpretations against live state
+    val tF = expired.getExpiryTimeInMs() + shiftMs
+    val out = scala.collection.mutable.ArrayBuffer.empty[LateWindowEmit]
+    val fireStart = tF + 1L - windowMs            // maxTs == tF
+    if (Math.floorMod(fireStart, windowMs) == 0 && agg.containsKey(fireStart)) {
+      val cur = agg.getValue(fireStart)
+      if (!cur.fired) {
+        out += LateWindowEmit(key, fireStart, "on_time", cur.n, cur.sum, -1L)
+        agg.updateValue(fireStart, cur.copy(fired = true))
+      }
+    }
+    val purgeStart = tF + 1L - latenessMs - windowMs  // maxTs + lateness == tF
+    if (Math.floorMod(purgeStart, windowMs) == 0 && agg.containsKey(purgeStart))
+      agg.removeKey(purgeStart)
+    out.iterator
+  }
+}

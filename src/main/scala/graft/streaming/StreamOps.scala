@@ -691,4 +691,34 @@ object StreamOps {
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topic)
+
+  /** TRUE allowedLateness window counts (SURVEY §2.8 `s_late_side_output`,
+    * r16): Flink's `window(...).allowedLateness(L).sideOutputLateData(tag)`
+    * semantics — on-time firing, per-element late refiring within L, and a
+    * tagged side output for elements later than that — over a tumbling
+    * event-time window, implemented as an [[AllowedLatenessProcessor]]
+    * keyed by event_type. See the processor scaladoc for the one bridge
+    * this needs: Spark drops pre-watermark rows before any stateful
+    * operator, so the stream runs under the enlarged delay
+    * D = ooo + lateness + sideHorizon and the processor reconstructs the
+    * Flink watermark (maxTs - ooo) from the Spark one (maxTs - D) by the
+    * constant shift D - ooo. `sideHorizonMs` bounds how long after a
+    * window's lateness expiry its too-late rows are still CAPTURED (rows
+    * older than D are dropped before the operator) — the bounded-state
+    * price of the analog; window state itself purges at end+lateness
+    * regardless, so state is O(live windows) per key. */
+  def allowedLatenessCounts(events: Dataset[Event],
+      oooMs: Long = 10L * 60000L, latenessMs: Long = 30L * 60000L,
+      windowMs: Long = 3600000L,
+      sideHorizonMs: Long = 2L * 3600000L): Dataset[LateWindowEmit] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dMs = oooMs + latenessMs + sideHorizonMs
+    events.toDF().withWatermark("ts", s"$dMs milliseconds")
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new AllowedLatenessProcessor(windowMs, latenessMs, dMs - oooMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

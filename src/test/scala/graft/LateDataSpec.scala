@@ -40,6 +40,88 @@ class LateDataSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("s_late_side_output: true allowedLateness analog — on-time fire, " +
+    "late refire within lateness, side output beyond, state purged") {
+    // Flink: window [360,420) min, ooo=10m, allowedLateness=30m.
+    // Flink wm = maxTs - 10m; fire at wm >= 420m-1ms; refire per late
+    // element until wm >= 450m-1ms; later elements -> side output.
+    val W = 3600000L
+    val in = MemoryStream[Event]
+    val sink = "late_true"
+    val q = StreamOps.allowedLatenessCounts(in.toDS(),
+        oooMs = 10 * 60000L, latenessMs = 30 * 60000L, windowMs = W,
+        sideHorizonMs = 2 * 3600000L)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    def emits(): Seq[LateWindowEmit] =
+      spark.table(sink).as[LateWindowEmit].collect()
+        .filter(_.win_start == 360L * 60000L).toSeq
+    try {
+      // window [360,420): two on-time elements (no firing yet — wm behind)
+      in.addData(ev(1, 365), ev(2, 380))
+      q.processAllAvailable()
+      assert(emits().isEmpty, "window must not fire before the watermark passes its end")
+      // probe pushes Flink wm to 425m (>= 420m): on-time fire with n=2
+      in.addData(ev(100, 435, "probe"))
+      q.processAllAvailable()
+      assert(emits() === Seq(LateWindowEmit("view", 360L * 60000L, "on_time", 2L, 2.0, -1L)))
+      // late element at 370m with wm=425m: within lateness (< 450m) -> refire n=3
+      in.addData(ev(3, 370))
+      q.processAllAvailable()
+      assert(emits().count(_.emit_kind == "late_update") === 1)
+      assert(emits().filter(_.emit_kind == "late_update").head.n === 3L)
+      // probe pushes Flink wm to 455m (>= 450m): lateness expires, state purged
+      in.addData(ev(101, 465, "probe"))
+      q.processAllAvailable()
+      // element at 375m now: too late even for lateness -> side output row
+      in.addData(ev(4, 375))
+      q.processAllAvailable()
+      val side = emits().filter(_.emit_kind == "side_output")
+      assert(side === Seq(LateWindowEmit("view", 360L * 60000L, "side_output", 0L, 1.0, 4L)))
+      // and NO new late_update: the purge is real, not just a tag change
+      assert(emits().count(_.emit_kind == "late_update") === 1)
+      assert(emits().count(_.emit_kind == "on_time") === 1)
+    } finally q.stop()
+  }
+
+  test("s_late_side_output: window state, fired flag, and cleanup timer " +
+    "survive stop/restart (transformWithState checkpoint recovery)") {
+    // restart lands between the on-time fire and the late refire: the
+    // refire must see the restored (n, sum, fired) register, and the purge
+    // must come from the PRE-restart cleanup timer.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_late").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_late_out").toString
+    val in = MemoryStream[Event]
+    def start() = StreamOps.allowedLatenessCounts(in.toDS(),
+        oooMs = 10 * 60000L, latenessMs = 30 * 60000L, windowMs = 3600000L,
+        sideHorizonMs = 2 * 3600000L)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def emits(): Seq[LateWindowEmit] =
+      spark.read.parquet(outDir).as[LateWindowEmit].collect()
+        .filter(_.win_start == 360L * 60000L).toSeq
+    val q1 = start()
+    in.addData(ev(1, 365), ev(2, 380))
+    q1.processAllAvailable()
+    in.addData(ev(100, 435, "probe")) // wm -> on-time fire n=2, timers armed
+    q1.processAllAvailable(); q1.stop()
+    assert(emits() === Seq(LateWindowEmit("view", 360L * 60000L, "on_time", 2L, 2.0, -1L)))
+    in.addData(ev(3, 370))            // late refire must see restored n=2+fired
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(emits().filter(_.emit_kind == "late_update")
+        === Seq(LateWindowEmit("view", 360L * 60000L, "late_update", 3L, 3.0, -1L)),
+        "restored window register must fold the pre-restart elements")
+      in.addData(ev(101, 465, "probe")) // pre-restart cleanup timer purges
+      q2.processAllAvailable()
+      in.addData(ev(4, 375))            // post-purge -> side output
+      q2.processAllAvailable()
+      assert(emits().filter(_.emit_kind == "side_output").map(_.late_event_id) === Seq(4L))
+      assert(emits().count(_.emit_kind == "late_update") === 1,
+        "post-purge arrival must not refire — the purge timer survived the restart")
+    } finally q2.stop()
+  }
+
   test("s_embed_udf: pluggable embedding surface with a deterministic stub") {
     // The production surface is udf(text => model.encode(text)); offline the
     // encoder is a STUB: a seeded hash-ngram embedder. Deterministic, fixed
