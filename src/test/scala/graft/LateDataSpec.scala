@@ -122,6 +122,58 @@ class LateDataSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("s_late_side_output: settled allowedLateness frame equals the batch " +
+    "tumble over replayed real events (lateness covering the corpus span)") {
+    // Replay sf0.001 events in three ROUND-ROBIN slices: slice 1's max ts
+    // drives the watermark near the corpus end, so slices 2-3 arrive almost
+    // entirely late and exercise the refire path on real data. Lateness is
+    // sized to the corpus span, so nothing is side-output or purged before
+    // settling, and the per-window FINAL emission must equal the batch
+    // tumble exactly (counts) / to float tolerance (sums fold in a
+    // different order than the batch agg).
+    val W = 3600000L
+    val dir = sf("sf0.001")
+    val evs = graft.tables.Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val minT = evs.head.ts.getTime; val maxT = evs.last.ts.getTime
+    val maxWinEnd = (Math.floorDiv(maxT, W) + 1L) * W
+    val latenessMs = maxWinEnd - Math.floorDiv(minT, W) * W + 2L * W
+    val batch = evs.groupBy(e => (e.event_type, Math.floorDiv(e.ts.getTime, W) * W))
+      .map { case (k, es) => k -> (es.size.toLong, es.map(_.value).sum) }
+    val in = MemoryStream[Event]
+    val sink = "late_settle"
+    val q = StreamOps.allowedLatenessCounts(in.toDS(),
+        oooMs = 10 * 60000L, latenessMs = latenessMs, windowMs = W,
+        sideHorizonMs = W)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      (0 until 3).foreach { slice =>
+        in.addData(evs.zipWithIndex.collect { case (e, i) if i % 3 == slice => e }.toSeq)
+        q.processAllAvailable()
+      }
+      // final probe: wm past every window END but short of every purge
+      // horizon (lateness > span + W guarantees the gap), so each window
+      // fires exactly once and no fire races its own purge in one batch
+      in.addData(Event(-1L, new Timestamp(maxWinEnd + 10 * 60000L + W), 0L, "probe", 0.0))
+      q.processAllAvailable()
+      val emitted = spark.table(sink).as[LateWindowEmit].collect()
+        .filter(e => e.event_type != "probe")
+      assert(emitted.forall(_.emit_kind != "side_output"),
+        "lateness covers the corpus span — nothing may be side-output")
+      assert(emitted.exists(_.emit_kind == "late_update"),
+        "round-robin slices must exercise the late refire path")
+      val settled = emitted.groupBy(e => (e.event_type, e.win_start))
+        .map { case (k, es) => k -> es.maxBy(_.n) }
+      assert(settled.keySet === batch.keySet, "window key sets diverge from batch")
+      batch.foreach { case (k, (n, sum)) =>
+        assert(settled(k).n === n, s"count diverges from batch tumble at $k")
+        assert(math.abs(settled(k).sum_value - sum) <= 1e-6 * math.max(1.0, math.abs(sum)),
+          s"sum diverges from batch tumble at $k")
+      }
+    } finally q.stop()
+  }
+
   test("s_embed_udf: pluggable embedding surface with a deterministic stub") {
     // The production surface is udf(text => model.encode(text)); offline the
     // encoder is a STUB: a seeded hash-ngram embedder. Deterministic, fixed
