@@ -33,20 +33,34 @@ object Curation {
     * salts; a top key at 1.2× mean needs none).
     *
     * Determinism: all columns are exact integer arithmetic — shares use
-    * int64 `div`, never float division (R2); ties in the top-20 cut break
-    * on user_id. Scale: ONE map-side-partial hash agg over the fact table;
-    * the totals are a one-row broadcast (never a window over raw rows);
-    * top-20 via TakeOrderedAndProject. The report costs a fraction of any
-    * join it tunes. */
+    * integral `div`, never float division (R2); ties in the top-20 cut
+    * break on user_id. Scale: ONE map-side-partial hash agg over the fact
+    * table; the totals are a one-row broadcast (never a window over raw
+    * rows); top-20 via TakeOrderedAndProject. The report costs a fraction
+    * of any join it tunes. */
   def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perKey = events(s, dir).groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    skewDiagnoseFromCounts(s, perKey)
+  }
+
+  /** [[skewDiagnose]] core over a (user_id, cnt) frame — exposed for
+    * DecimalBoundSpec's past-int64 plant. r16, the int64-audit
+    * follow-through: the r9 form's int64 cross-products wrap silently at
+    * fact scales this profiler exists FOR — cnt·10⁶ past ~9·10¹² rows on
+    * one key, and cnt·100·n_keys past ~10¹⁹ (a 10⁸-row hot key in a
+    * 10⁹-key fact — exactly the skew the report should flag loudest).
+    * Both products lift to DECIMAL(38,0) before they form; the integral
+    * `div` quotients are int64-safe by construction (share_ppm ≤ 10⁶,
+    * vs_mean_x100 ≤ 100·n_keys since cnt ≤ total). */
+  private[graft] def skewDiagnoseFromCounts(s: SparkSession, perKey: DataFrame): DataFrame = {
+    import s.implicits._
     val totals = perKey.agg(
       sum($"cnt").as("total"), count(lit(1)).as("n_keys"))
     perKey.crossJoin(broadcast(totals))
       .select($"user_id", $"cnt",
-        expr("(cnt * 1000000L) div total").as("share_ppm"),
-        expr("(cnt * 100L * n_keys) div total").as("vs_mean_x100"))
+        expr("CAST(cnt AS DECIMAL(38,0)) * 1000000 div total").as("share_ppm"),
+        expr("CAST(cnt AS DECIMAL(38,0)) * 100 * n_keys div total").as("vs_mean_x100"))
       .withColumn("hot", $"vs_mean_x100" >= 200L)
       .orderBy($"cnt".desc, $"user_id")
       .limit(20)
@@ -1020,12 +1034,11 @@ object Curation {
     *
     * Exactness: χ² = Σ (O−E)²/E with E = row·col/N is rational in the
     * counts. Cross-multiplying clears every denominator: diff = O·N −
-    * row·col (int64), contrib_ppb = (diff²·10⁹) div (N·row·col). diff²
-    * ·10⁹ exceeds int64 (N=5e3 already puts it at ~6·10²³), so the
-    * numerator runs in DECIMAL(38,0) with an integral `div` back to
-    * int64 — the quotient is bounded by N·10⁹ (χ² cell ≤ N). The oracle
+    * row·col, contrib_ppb = (diff²·10⁹) div (N·row·col). The oracle
     * mirrors with HUGEINT. NO float exists anywhere; the statistic ships
-    * as exact ppb integers.
+    * as exact ppb integers. Every cross-product is DECIMAL(38,0) FROM
+    * CONSTRUCTION — see [[statsChi2FromCells]] for the admissible-domain
+    * contract and the two loud ceilings.
     *
     * Scale: ONE scan → hash agg to the (lang, source) cell frame; row/
     * col/N totals are window sums OVER THE CELL FRAME (≤ |lang|·|source|
@@ -1035,20 +1048,61 @@ object Curation {
     import s.implicits._
     val cells = documents(s, dir)
       .groupBy($"lang", $"source").agg(count(lit(1)).as("n_obs"))
+    statsChi2FromCells(s, cells)
+  }
+
+  /** [[statsChi2]] core over a (lang, source, n_obs) cell frame — exposed
+    * so DecimalBoundSpec can plant past-int64 cells (the statsKsFromHist
+    * pattern). r16, the int64-audit follow-through: the r11 form computed
+    * exp_ppm's numerator, diff, and the n·row·col divisor on int64, which
+    * wraps silently WELL inside the ppb contract's admissible domain —
+    * the divisor at N ≈ 3·10⁶ documents with near-uniform marginals
+    * (N³/4 > 2⁶³), exp_ppm's numerator at ≈ 3·10⁶, diff at N ≈ 3·10⁹.
+    * All three now lift to DECIMAL(38,0) BEFORE the product forms (the
+    * q_stats_ks discipline). Two representability ceilings remain, both
+    * RAISED loudly instead of wrapping/NULLing:
+    *   - N > 9 223 372 036: contrib_ppb is bounded by N·10⁹ (χ² cell ≤ N),
+    *     so past this N the int64 contract columns cannot hold the bound;
+    *   - |diff| > 316 227 766 016 837 (= ⌊√(10³⁸⁄10⁹)⌋): diff²·10⁹
+    *     exceeds DECIMAL(38,0) — non-ANSI Spark would silently NULL the
+    *     product, and the DuckDB oracle's HUGEINT square hits its own
+    *     ~1.7·10³⁸ wall at nearly the same point, so past it NO engine
+    *     holds the exact-ppb form and the honest move is the error. */
+  private[graft] def statsChi2FromCells(s: SparkSession, cells: DataFrame): DataFrame = {
+    import s.implicits._
     val wRow = Window.partitionBy($"lang")
     val wCol = Window.partitionBy($"source")
     val wAll = Window.partitionBy()
+    val nCeil = 9223372036L
+    val diffCeil = 316227766016837L
     cells
       .withColumn("row_tot", sum($"n_obs").over(wRow))
       .withColumn("col_tot", sum($"n_obs").over(wCol))
-      .withColumn("n", sum($"n_obs").over(wAll))
-      .withColumn("exp_ppm", expr("(row_tot * col_tot * 1000000L) div n"))
-      .withColumn("diff", $"n_obs" * $"n" - $"row_tot" * $"col_tot")
+      .withColumn("n",
+        when(sum($"n_obs").over(wAll) > nCeil,
+          raise_error(concat(lit("q_stats_chi2: N exceeds the ppb contract "
+              + s"ceiling $nCeil (contrib_ppb is bounded by N*10^9): N = "),
+            sum($"n_obs").over(wAll).cast("string"))))
+        .otherwise(sum($"n_obs").over(wAll)))
+      .withColumn("exp_ppm", expr(
+        "CAST(row_tot AS DECIMAL(38,0)) * col_tot * 1000000 div n"))
+      .withColumn("diff", expr(
+        "CAST(n_obs AS DECIMAL(38,0)) * n - CAST(row_tot AS DECIMAL(38,0)) * col_tot"))
       .withColumn("contrib_ppb",
-        expr("""CAST((CAST(diff AS DECIMAL(19,0)) * CAST(diff AS DECIMAL(19,0))
-               |      * CAST(1000000000 AS DECIMAL(19,0)))
-               |     div (n * row_tot * col_tot) AS BIGINT)""".stripMargin))
-      .withColumn("chi2_ppb", sum($"contrib_ppb").over(wAll))
+        when(abs($"diff") > lit(diffCeil).cast("decimal(38,0)"),
+          raise_error(concat(lit("q_stats_chi2: |diff| exceeds the "
+              + s"DECIMAL(38,0) square ceiling $diffCeil: "),
+            $"diff".cast("string"))))
+        .otherwise(expr("""diff * diff * CAST(1000000000 AS DECIMAL(38,0))
+                        |div (CAST(n AS DECIMAL(38,0)) * row_tot * col_tot)"""
+          .stripMargin)))
+      .withColumn("chi2_dec", sum($"contrib_ppb".cast("decimal(38,0)")).over(wAll))
+      .withColumn("chi2_ppb",
+        when($"chi2_dec" > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(
+            lit("q_stats_chi2: chi2_ppb exceeds the int64 contract column: "),
+            $"chi2_dec".cast("string"))))
+        .otherwise($"chi2_dec".cast(LongType)))
       .select($"lang", $"source", $"n_obs", $"exp_ppm", $"contrib_ppb", $"chi2_ppb")
       .orderBy($"lang", $"source")
   }

@@ -139,4 +139,102 @@ class DecimalBoundSpec extends SparkTestBase {
     val ok = Curation.statsKsInt64(spark, small).collect().head
     assert(ok.getLong(3) === (BigInt(40) * 50 - BigInt(10) * 50).abs.toLong)
   }
+
+  private def exactChi2(m: Map[(String, String), BigInt])
+      : (BigInt, Map[(String, String), (BigInt, BigInt)], BigInt) = {
+    val n = m.values.sum
+    def row(l: String) = m.collect { case ((a, _), v) if a == l => v }.sum
+    def col(c: String) = m.collect { case ((_, b), v) if b == c => v }.sum
+    val per = m.map { case ((l, c), o) =>
+      val diff = o * n - row(l) * col(c)
+      ((l, c), (row(l) * col(c) * 1000000 / n,
+        diff * diff * BigInt(1000000000L) / (n * row(l) * col(c))))
+    }
+    (n, per, per.values.map(_._2).sum)
+  }
+
+  test("stats_chi2: n*row*col and O*N > int64 — decimal path matches exact " +
+      "BigInt arithmetic") {
+    import spark.implicits._
+    // near-balanced 2×2 at N = 8·10⁹: the divisor n·row·col = 1.28·10²⁹,
+    // exp_ppm's numerator 1.6·10²⁵, and O·N ≈ 1.6·10¹⁹ all exceed int64
+    // (the r11 form wrapped every one of them silently), while the ±1000
+    // imbalance keeps |diff| = 8·10¹² inside the DECIMAL(38,0) square
+    // ceiling so the exact-ppb contract is still representable.
+    val a = 2000001000L; val b = 1999999000L
+    val cells = Seq(
+      ("en", "web", a), ("en", "book", b),
+      ("de", "web", b), ("de", "book", a)).toDF("lang", "source", "n_obs")
+    val m = Map[(String, String), BigInt](
+      ("en", "web") -> BigInt(a), ("en", "book") -> BigInt(b),
+      ("de", "web") -> BigInt(b), ("de", "book") -> BigInt(a))
+    val (n, per, chi2) = exactChi2(m)
+    assert(BigInt(a) * n > BigInt(Long.MaxValue), "O*N plant must exceed int64")
+    assert(n * (n / 2) * (n / 2) > BigInt(Long.MaxValue), "divisor plant must exceed int64")
+    assert(chi2 > 0, "plant must not be exactly independent")
+    val rows = Curation.statsChi2FromCells(spark, cells).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(3) === per(k)._1.toLong, s"exp_ppm $k")
+      assert(r.getLong(4) === per(k)._2.toLong, s"contrib_ppb $k")
+      assert(r.getLong(5) === chi2.toLong, s"chi2_ppb $k")
+    }
+  }
+
+  test("stats_chi2: past-ceiling plants RAISE instead of wrapping/NULLing") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // |diff| past ⌊√(10³⁸/10⁹)⌋: an unbalanced billions-scale table whose
+    // diff ≈ 10¹⁹ would make diff²·10⁹ exceed DECIMAL(38,0) — non-ANSI
+    // Spark would NULL the product and sum a silently-wrong chi2
+    val unbalanced = Seq(
+      ("en", "web", 3000000000L), ("en", "book", 1000000000L),
+      ("de", "web", 1000000000L), ("de", "book", 4000000000L))
+      .toDF("lang", "source", "n_obs")
+    val ex1 = intercept[Exception] {
+      Curation.statsChi2FromCells(spark, unbalanced).collect()
+    }
+    assert(messages(ex1).exists(_.contains("DECIMAL(38,0) square ceiling")),
+      s"want the diff-ceiling raise, got: $ex1")
+    // N past the ppb contract ceiling (contrib_ppb bound N·10⁹ > int64)
+    val tooBig = Seq(
+      ("en", "web", 5000000000L), ("en", "book", 5000000000L))
+      .toDF("lang", "source", "n_obs")
+    val ex2 = intercept[Exception] {
+      Curation.statsChi2FromCells(spark, tooBig).collect()
+    }
+    assert(messages(ex2).exists(_.contains("ppb contract ceiling")),
+      s"want the N-ceiling raise, got: $ex2")
+  }
+
+  test("skew_diagnose: cnt*1e6 and cnt*100*n_keys > int64 — decimal path " +
+      "matches exact BigInt arithmetic") {
+    import spark.implicits._
+    // two 10¹³-row hot keys in a 10002-key fact: cnt·10⁶ = 10¹⁹ and
+    // cnt·100·n_keys ≈ 10¹⁹ both exceed int64 (the r9 form wrapped both —
+    // on exactly the keys the profiler exists to flag loudest)
+    val hot = Seq((1L, 10000000000000L), (2L, 10000000000000L))
+    val cold = (3L until 10003L).map(k => (k, 1000000L))
+    val perKey = (hot ++ cold).toDF("user_id", "cnt")
+    val total = BigInt(2) * BigInt(10000000000000L) + BigInt(10000) * 1000000
+    val nKeys = BigInt(10002)
+    assert(BigInt(10000000000000L) * 1000000 > BigInt(Long.MaxValue))
+    assert(BigInt(10000000000000L) * 100 * nKeys > BigInt(Long.MaxValue))
+    val rows = Curation.skewDiagnoseFromCounts(spark, perKey).collect()
+    assert(rows.length === 20)
+    // the two hot keys lead (cnt DESC), then cold ties break on user_id
+    assert(rows.take(2).map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.drop(2).map(_.getLong(0)).toSeq === (3L until 21L).toSeq)
+    val hotRow = rows.head
+    assert(hotRow.getLong(2) === (BigInt(10000000000000L) * 1000000 / total).toLong,
+      "share_ppm")
+    assert(hotRow.getLong(3) === (BigInt(10000000000000L) * 100 * nKeys / total).toLong,
+      "vs_mean_x100")
+    assert(hotRow.getBoolean(4), "a ~5000x-mean key must read hot")
+    val coldRow = rows.last
+    assert(coldRow.getLong(2) === (BigInt(1000000L) * 1000000 / total).toLong)
+    assert(!coldRow.getBoolean(4))
+  }
 }
