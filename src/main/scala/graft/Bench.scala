@@ -139,14 +139,29 @@ object Bench {
     // envelope runs; recorded next to any number it produces (like the
     // shuffle-partitions knob).
     // (benchRuns parsed and validated above, before Spark startup)
-    val results = onlyQueries.map { case (name, fn) =>
-      def once(): Double = PinScope.scoped(spark) {
+    // The catch keeps one broken query from killing a 214-query sweep,
+    // but a swallowed failure must never read as a timing (r16: a 1000×
+    // ENOSPC-aborted execution was recorded as a 650 s "result" — the
+    // number was time-to-failure). Failures log loudly per execution,
+    // and a query whose EVERY execution threw is flagged in the summary
+    // line's "failed" field so no protocol can mistake its number.
+    val outcomes = onlyQueries.map { case (name, fn) =>
+      def once(): (Double, Boolean) = PinScope.scoped(spark) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] EXECUTION FAILED $name: " +
+              e.toString.linesIterator.next())
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (1 to benchRuns).map(_ => once()).min
+      val runs = (1 to benchRuns).map(_ => once())
+      val good = runs.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min, good.nonEmpty)
     }
+    val failed = outcomes.collect { case (n, (_, false)) => n }.toSeq.sorted
+    val results = outcomes.map { case (n, (t, _)) => n -> t }
     // 3-decimal seconds keep the whole line (~110 queries) inside the
     // driver's tail-capture window — full-precision doubles overflowed it
     // in round 4 and truncated the per-query map to its last ~68 entries.
@@ -187,7 +202,10 @@ object Bench {
     // hardcoded "warm,best-of-2" and misreported cold/single-run sweeps)
     val protocol = (if (warmed) "warm" else "cold") +
       (if (warmTarget) "+target" else "") + s",best-of-$benchRuns"
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol","sf":"$sfDir"}""")
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol"$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

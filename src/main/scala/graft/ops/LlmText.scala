@@ -953,6 +953,57 @@ object LlmText {
   }
 
   // ------------------------------------------------- dedup: incremental clusters
+  // Shared construction for the incremental-clustering standing state —
+  // factored out (r16) so [[graft.IncCluWarehouse]] (the sliced
+  // standing-warehouse builder for scale sweeps) and the query build
+  // BIT-IDENTICAL tables from the same expressions. Any edit here changes
+  // both callers together, which is the point.
+
+  /** The standing/delta cut: yesterday's high-water mark. A DRIVER scalar
+    * because it keys the [[graft.tables.Layout.standing]] cache NAMES (in
+    * production it IS pipeline metadata, a known constant) — memoized per
+    * dir via Layout.scalarOnce so the probe job runs once per JVM, not
+    * once per execution; empty corpus → cut 0 → everything is delta. */
+  private[graft] def incCluCut(s: SparkSession, dir: String): Long =
+    graft.tables.Layout.scalarOnce(s"incclu_cut#$dir") {
+      Option(documents(s, dir).agg(expr("max(doc_id) * 4 div 5")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+
+  /** Standing-table cache key: encodes every build input (corpus dir + cut). */
+  private[graft] def incCluKey(dir: String, cut: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$cut".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
+  private[graft] def incCluShingled(df: DataFrame): DataFrame = df
+    .select(col("doc_id"),
+      graft.functions.TextSketchFunctions.shingle_hashes(col("text"), 3).as("sh_arr"))
+    .where(size(col("sh_arr")) > 0)
+    .select(col("doc_id"), size(col("sh_arr")).cast(LongType).as("n_sh"), col("sh_arr"))
+
+  private[graft] def incCluPrefix(df: DataFrame, id: String, n: String): DataFrame =
+    df.select(col("doc_id").as(id), col("n_sh").as(n),
+      explode(slice(col("sh_arr"), lit(1), (col("n_sh") / 2 + 1).cast("int"))).as("shingle"))
+
+  private[graft] def incCluCandidates(idx: DataFrame, probe: DataFrame): DataFrame =
+    idx.join(probe, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("n_a") * 2 >= col("n_b") && col("n_b") * 2 >= col("n_a"))
+      .groupBy(col("doc_a"), col("n_a"), col("doc_b"), col("n_b"))
+      .agg(count(lit(1)).as("_c"))
+      .drop("_c")
+
+  private[graft] def incCluVerified(cands: DataFrame, attach: DataFrame): DataFrame =
+    cands
+      .join(attach.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")), Seq("doc_a"))
+      .join(attach.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")), Seq("doc_b"))
+      .withColumn("n_shared",
+        graft.functions.GraftFunctions.sorted_intersect_size(col("arr_a"), col("arr_b")))
+      .where(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+
   /** Incremental cluster MAINTENANCE — the third member of the incremental
     * trio ([[dedupIncremental]] gates delta admission, q_ann_ivf_incremental
     * admits delta vectors; this keeps the CLUSTER table current): a standing
@@ -988,41 +1039,18 @@ object LlmText {
   def dedupClusterIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
-    // The cut keys the standing-state cache names, so it must be a DRIVER
-    // scalar (in production it IS yesterday's high-water mark, a known
-    // constant) — memoized per dir via Layout.scalarOnce so the probe job
-    // runs once per JVM, not once per execution; empty corpus → cut 0 →
-    // everything is delta, nothing standing.
-    val cutV = graft.tables.Layout.scalarOnce(s"incclu_cut#$dir") {
-      Option(docs.agg(expr("max(doc_id) * 4 div 5")).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    }
-    // cache key encodes every build input: corpus dir + cut
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#$cutV".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    def shingled(df: DataFrame): DataFrame = df
-      .select($"doc_id",
-        graft.functions.TextSketchFunctions.shingle_hashes($"text", 3).as("sh_arr"))
-      .where(size($"sh_arr") > 0)
-      .select($"doc_id", size($"sh_arr").cast(LongType).as("n_sh"), $"sh_arr")
+    val cutV = incCluCut(s, dir)
+    val key = incCluKey(dir, cutV)
+    // local aliases of the shared construction (factored out r16 for
+    // [[graft.IncCluWarehouse]], the sliced standing-warehouse builder —
+    // both callers MUST build bit-identical standing tables)
+    def shingled(df: DataFrame): DataFrame = incCluShingled(df)
     def prefix(df: DataFrame, id: String, n: String): DataFrame =
-      df.select(col("doc_id").as(id), col("n_sh").as(n),
-        explode(slice(col("sh_arr"), lit(1), (col("n_sh") / 2 + 1).cast("int"))).as("shingle"))
+      incCluPrefix(df, id, n)
     def candidates(idx: DataFrame, probe: DataFrame): DataFrame =
-      idx.join(probe, Seq("shingle"))
-        .where($"doc_a" < $"doc_b" &&
-          $"n_a" * 2 >= $"n_b" && $"n_b" * 2 >= $"n_a")
-        .groupBy($"doc_a", $"n_a", $"doc_b", $"n_b").agg(count(lit(1)).as("_c"))
-        .drop("_c")
+      incCluCandidates(idx, probe)
     def verified(cands: DataFrame, attach: DataFrame): DataFrame =
-      cands
-        .join(attach.select($"doc_id".as("doc_a"), $"sh_arr".as("arr_a")), Seq("doc_a"))
-        .join(attach.select($"doc_id".as("doc_b"), $"sh_arr".as("arr_b")), Seq("doc_b"))
-        .withColumn("n_shared",
-          graft.functions.GraftFunctions.sorted_intersect_size($"arr_a", $"arr_b"))
-        .where($"n_shared".cast("double") / ($"n_a" + $"n_b" - $"n_shared") >= 0.5)
-        .select($"doc_a", $"doc_b")
+      incCluVerified(cands, attach)
     // Yesterday's persisted state — REAL standing tables now (VERDICT r10
     // #3): base shingle arrays, base pairs, and base labels build once per
     // (dir, cut) via Layout.standing and are read thereafter, so this query
