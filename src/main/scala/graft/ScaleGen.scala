@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *     realistic load shape for censuses and windows;
   *   - nation/region: dimension tables, copied as-is.
   *
-  * Usage: tools/run.sh graft.ScaleGen <srcDir> <outDir> [factor=10]
+  * Usage: tools/run.sh graft.ScaleGen <srcDir> <outDir> [factor=10] [tables=csv]
+  * The optional 4th arg restricts output to a comma-separated table subset
+  * (e.g. `documents`) — single-query scale sweeps don't need the ~16 GB of
+  * unrelated 1000× tables; construction is identical for the tables kept.
   */
 object ScaleGen {
 
@@ -40,6 +43,10 @@ object ScaleGen {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional table subset (csv); empty = every table
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +65,7 @@ object ScaleGen {
 
     def shifted(name: String, keys: Seq[String],
                 perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val base = tbl(name)
       val offs = keys.map(k => k -> maxOf(base, k)).toMap
       val copies = (0 until factor).map { i =>
@@ -104,7 +112,7 @@ object ScaleGen {
     shifted("supplier", Seq("s_suppkey"))
     shifted("part", Seq("p_partkey"))
     // dimension tables: copied unchanged
-    Seq("nation", "region").foreach { t =>
+    Seq("nation", "region").filter(t => only.isEmpty || only.contains(t)).foreach { t =>
       tbl(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scalegen] $t copied")
     }

@@ -1578,15 +1578,21 @@ object Curation {
     * q_stats_ks (which detects any distribution change) and q_corpus_drift:
     * did the average event value move between the older and newer ingest
     * halves? The same append-only split as q_stats_ks (one collected
-    * scalar, bounded driver state). The moment sums are EXACT int64 over
-    * cent-quantized values (Σc, Σc² — c ≤ 10⁴ so Σc² fits int64 to ~10¹⁰
-    * rows; past that, DECIMAL(38) partials, same shape); means/variances/t
-    * are derived from those exact integers through an IDENTICAL double
-    * operand path in both engines (the q_sample_weighted float-compare
-    * discipline), so the rounded outputs agree bitwise.
+    * scalar, bounded driver state). The moment sums are EXACT integers
+    * over cent-quantized values: Σc stays int64 (c ≤ 10⁴, safe to ~10¹⁴
+    * rows) while Σc² lifts to DECIMAL(38,0) FROM CONSTRUCTION (r16,
+    * completing this row's own "past ~10¹⁰ rows" scaladoc note under the
+    * q_stats_ks/auc/psi audit — int64 Σc² errors under ANSI / wraps
+    * non-ANSI past ~10¹⁰ rows while the oracle's HUGEINT keeps going);
+    * means/variances/t are derived from those exact integers through an
+    * IDENTICAL double operand path in both engines (the q_sample_weighted
+    * float-compare discipline), so the rounded outputs agree bitwise. The
+    * emitted s2a/s2b diagnostics stay int64 (contract schema) behind an
+    * ANSI-independent raise — the statsKsInt64 discipline.
     *
-    * Scale: ONE scan, one map-side-combined global aggregate — six int64
-    * partials, no window, no shuffle beyond the one-row final merge. */
+    * Scale: ONE scan, one map-side-combined global aggregate — six
+    * integer partials, no window, no shuffle beyond the one-row final
+    * merge. */
   def statsTtest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
@@ -1594,28 +1600,52 @@ object Curation {
     // whole query ONE job, no driver round-trip); coalesce keeps an empty
     // events table at cut=0 instead of NULL.
     val cut = e.agg(expr("coalesce(max(event_id), 0) div 2").as("cut"))
+    statsTtestFromParts(s,
+      e.crossJoin(broadcast(cut))
+        .select(floor($"value" * 100).cast(LongType).as("c"),
+          when($"event_id" <= $"cut", 1L).otherwise(0L).as("ia"))
+        .agg(
+          sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"),
+          sum($"c" * $"ia").as("s1a"), sum($"c" * (lit(1L) - $"ia")).as("s1b"),
+          // lift BEFORE the per-row square joins the sum, not after the
+          // int64 accumulator wraps
+          sum(($"c" * $"c").cast("decimal(38,0)") * $"ia").as("s2a_w"),
+          sum(($"c" * $"c").cast("decimal(38,0)") * (lit(1L) - $"ia")).as("s2b_w")))
+  }
+
+  /** [[statsTtest]]'s contract projection over the one-row wide partials
+    * (n_a, n_b, s1a, s1b, s2a_w, s2b_w): s2a/s2b narrow to the int64
+    * contract columns behind an ANSI-independent raise (non-ANSI
+    * decimal→long overflow would silently NULL them; DuckDB's
+    * HUGEINT→BIGINT cast errors the same way), while the t statistic is
+    * computed from the WIDE Σc² so it stays exact-sum-derived right up to
+    * the raise — and past it when only `t` is selected (the raise prunes
+    * away with its column). Exposed so DecimalBoundSpec can plant
+    * past-bound partials. */
+  private[graft] def statsTtestFromParts(s: SparkSession, parts: DataFrame): DataFrame = {
+    import s.implicits._
     // Degenerate-split guard (r13, the q_stats_auc NULLIF discipline): if either
     // half has 0 or 1 events, (n-1) or n hits zero — Spark double division would
     // yield Infinity/NaN where DuckDB yields NULL, so every divisor is
     // nullif(...,0) in BOTH engines and a degenerate split is NULL t in both.
     def nz(c: org.apache.spark.sql.Column) = nullif(c, lit(0L))
-    e.crossJoin(broadcast(cut))
-      .select(floor($"value" * 100).cast(LongType).as("c"),
-        when($"event_id" <= $"cut", 1L).otherwise(0L).as("ia"))
-      .agg(
-        sum($"ia").as("n_a"), sum(lit(1L) - $"ia").as("n_b"),
-        sum($"c" * $"ia").as("s1a"), sum($"c" * (lit(1L) - $"ia")).as("s1b"),
-        sum($"c" * $"c" * $"ia").as("s2a"),
-        sum($"c" * $"c" * (lit(1L) - $"ia")).as("s2b"))
-      .select($"n_a", $"n_b", $"s1a", $"s1b", $"s2a", $"s2b",
+    def i64(c: org.apache.spark.sql.Column, name: String) =
+      when(c > lit(Long.MaxValue).cast("decimal(38,0)"),
+          raise_error(concat(lit(s"q_stats_ttest: $name exceeds the int64 "
+            + "contract column (select t alone for the wide path): "),
+            c.cast("string"))))
+        .otherwise(c.cast(LongType)).as(name)
+    parts
+      .select($"n_a", $"n_b", $"s1a", $"s1b",
+        i64($"s2a_w", "s2a"), i64($"s2b_w", "s2b"),
         round($"s1a".cast("double") / nz($"n_a"), 6).as("mean_a_c"),
         round($"s1b".cast("double") / nz($"n_b"), 6).as("mean_b_c"),
         round(
           ($"s1a".cast("double") / nz($"n_a") - $"s1b".cast("double") / nz($"n_b")) /
           sqrt(
-            (($"s2a".cast("double") - $"s1a".cast("double") * $"s1a".cast("double") / nz($"n_a"))
+            (($"s2a_w".cast("double") - $"s1a".cast("double") * $"s1a".cast("double") / nz($"n_a"))
               / nz($"n_a" - 1L) / nz($"n_a")) +
-            (($"s2b".cast("double") - $"s1b".cast("double") * $"s1b".cast("double") / nz($"n_b"))
+            (($"s2b_w".cast("double") - $"s1b".cast("double") * $"s1b".cast("double") / nz($"n_b"))
               / nz($"n_b" - 1L) / nz($"n_b"))), 4).as("t"))
   }
 

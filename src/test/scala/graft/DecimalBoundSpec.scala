@@ -140,6 +140,63 @@ class DecimalBoundSpec extends SparkTestBase {
     assert(ok.getLong(3) === (BigInt(40) * 50 - BigInt(10) * 50).abs.toLong)
   }
 
+  test("stats_ttest: Σc² > int64 — wide t matches exact arithmetic; contract " +
+      "projection raises past bound and stays clean in-bound") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    // planted one-row partials: 2·10¹² rows per side at ~5000 cents →
+    // Σc² ≈ 6·10¹⁹, past int64 (the region the r16 decimal lift opens)
+    val nA = 2000000000000L; val nB = 2000000000000L
+    val s1A = 10000500000000000L; val s1B = 10000000000000000L
+    val s2A = BigInt("60000000000000000000")
+    val s2B = BigInt("55000000000000000000")
+    assert(s2A > BigInt(Long.MaxValue) && s2B > BigInt(Long.MaxValue),
+      "plant must exceed the int64 bound")
+    val parts = spark.range(1).select(
+      lit(nA).as("n_a"), lit(nB).as("n_b"),
+      lit(s1A).as("s1a"), lit(s1B).as("s1b"),
+      expr(s"CAST('$s2A' AS DECIMAL(38,0))").as("s2a_w"),
+      expr(s"CAST('$s2B' AS DECIMAL(38,0))").as("s2b_w"))
+    // the engines' shared double path, operand-for-operand
+    def round(d: Double, sc: Int): Double =
+      BigDecimal(d).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (naD, nbD) = (nA.toDouble, nB.toDouble)
+    val (s1aD, s1bD) = (s1A.toDouble, s1B.toDouble)
+    val s2aD = new java.math.BigDecimal(s2A.bigInteger).doubleValue
+    val s2bD = new java.math.BigDecimal(s2B.bigInteger).doubleValue
+    val expectedT = round(
+      (s1aD / naD - s1bD / nbD) /
+      math.sqrt((s2aD - s1aD * s1aD / naD) / (nA - 1L).toDouble / naD +
+                (s2bD - s1bD * s1bD / nbD) / (nB - 1L).toDouble / nbD), 4)
+    // selecting t alone prunes the raise-guarded diagnostics away — the
+    // wide path keeps working past the contract columns' bound
+    val wide = Curation.statsTtestFromParts(spark, parts)
+      .select("mean_a_c", "mean_b_c", "t").collect().head
+    assert(wide.getDouble(0) === round(s1aD / naD, 6), "mean_a_c")
+    assert(wide.getDouble(1) === round(s1bD / nbD, 6), "mean_b_c")
+    assert(wide.getDouble(2) === expectedT, "t")
+    // the full contract projection raises loudly instead of NULLing s2a
+    val ex = intercept[Exception] {
+      Curation.statsTtestFromParts(spark, parts).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("s2a exceeds the int64")),
+      s"want the explicit raise, got: $ex")
+    // in-bound partials still project cleanly to the int64 diagnostics
+    val small = spark.range(1).select(
+      lit(4L).as("n_a"), lit(4L).as("n_b"),
+      lit(400L).as("s1a"), lit(440L).as("s1b"),
+      expr("CAST(40400 AS DECIMAL(38,0))").as("s2a_w"),
+      expr("CAST(48500 AS DECIMAL(38,0))").as("s2b_w"))
+    val ok = Curation.statsTtestFromParts(spark, small).collect().head
+    assert(ok.getLong(4) === 40400L && ok.getLong(5) === 48500L)
+    val expectedSmallT = round(
+      (100.0 - 110.0) /
+      math.sqrt((40400.0 - 400.0 * 400.0 / 4.0) / 3.0 / 4.0 +
+                (48500.0 - 440.0 * 440.0 / 4.0) / 3.0 / 4.0), 4)
+    assert(ok.getDouble(8) === expectedSmallT, "in-bound t")
+  }
+
   private def exactChi2(m: Map[(String, String), BigInt])
       : (BigInt, Map[(String, String), (BigInt, BigInt)], BigInt) = {
     val n = m.values.sum
