@@ -576,7 +576,17 @@ object Curation {
     * (bounded by doc length), no shuffle below the output sort, no UDF. */
   def qualityC4(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tk = split(trim($"text"), " ")
+    // Three-stage projection so each expensive array is built ONCE per row
+    // (r16): with `split(trim(text))` inlined everywhere, the row paid ~6
+    // splits (one per consuming column) plus — the quadratic part — 3
+    // element_at(tk,·) re-splits PER TRIGRAM inside the interpreted
+    // transform lambda (array HOFs have no doGenCode; an interpreted
+    // lambda re-evaluates its whole body per element). Now: stage 1
+    // tokenizes once; stage 2 windows over the tk ATTRIBUTE (per-trigram
+    // work = 3 array reads) and folds each scalar once; stage 3 compares
+    // integers. CollapseProject cannot re-inline either array — tk and
+    // tris are each consumed ≥2× and non-cheap. Same columns, same values.
+    val tk = $"tk"
     val n = size(tk).cast(LongType)
     val nA = size(filter(tk, x => x === "a")).cast(LongType)
     val nu = size(array_distinct(tk)).cast(LongType)
@@ -584,18 +594,24 @@ object Curation {
       transform(sequence(lit(1), (n - 2L).cast("int")),
         i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
       .otherwise(array().cast("array<string>"))
-    val nTri = size(tris).cast(LongType)
-    val uTri = size(array_distinct(tris)).cast(LongType)
-    val okSpan = n >= 36L
-    val okTri = uTri === nTri
-    val okFiller = nA * 20L <= n
-    val okVocab = nu >= 20L
-    documents(s, dir).select(
-      $"doc_id", n.as("n_words"), (nTri - uTri).as("dup_trigrams"),
-      nA.as("n_filler"), nu.as("n_vocab"),
-      okSpan.as("ok_span"), okTri.as("ok_trigram"),
-      okFiller.as("ok_filler"), okVocab.as("ok_vocab"),
-      (okSpan && okTri && okFiller && okVocab).as("keep"))
+    val nTri = size($"tris").cast(LongType)
+    val uTri = size(array_distinct($"tris")).cast(LongType)
+    val okSpan = $"n_words" >= 36L
+    val okTri = $"dup_trigrams" === 0L
+    val okFiller = $"n_filler" * 20L <= $"n_words"
+    val okVocab = $"n_vocab" >= 20L
+    documents(s, dir)
+      .select($"doc_id", split(trim($"text"), " ").as("tk"))
+      .select($"doc_id", n.as("n_words"), tris.as("tris"),
+        nA.as("n_filler"), nu.as("n_vocab"))
+      .select($"doc_id", $"n_words", (nTri - uTri).as("dup_trigrams"),
+        $"n_filler", $"n_vocab")
+      .select(
+        $"doc_id", $"n_words", $"dup_trigrams",
+        $"n_filler", $"n_vocab",
+        okSpan.as("ok_span"), okTri.as("ok_trigram"),
+        okFiller.as("ok_filler"), okVocab.as("ok_vocab"),
+        (okSpan && okTri && okFiller && okVocab).as("keep"))
       .orderBy($"doc_id")
   }
 

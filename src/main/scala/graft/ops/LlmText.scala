@@ -222,10 +222,17 @@ object LlmText {
     * float division on identical integer operands (R2-adjacent). */
   def textSubwords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pre = regexp_extract_all(trim($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    // project the regex pre-tokenization ONCE (r16): `pre` is consumed by
+    // both n_pretokens and the subword fold — inlined, the regex scanned
+    // every doc twice per row. As an attribute it runs once; the fold then
+    // walks the in-memory array. CollapseProject keeps it materialized
+    // (2 consumers, non-cheap).
+    val pre = $"pre"
     val nSub = aggregate(transform(pre, t => floor((length(t) + lit(3)) / lit(4)).cast(LongType)),
       lit(0L), (acc, v) => acc + v)
     documents(s, dir)
+      .select($"doc_id", $"text",
+        regexp_extract_all(trim($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("pre"))
       .select(
         $"doc_id",
         size(pre).cast(LongType).as("n_pretokens"),
@@ -1188,13 +1195,24 @@ object LlmText {
   /** Token-5-gram explosion shared by the decontamination family: one row
     * per (doc, gram), empty for docs under 5 tokens. */
   private def fiveGrams(df: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+    // Tokenize ONCE per row in a child Project, then window over the
+    // ATTRIBUTE (r16): Spark's array HOFs evaluate interpreted (no
+    // doGenCode on ArrayTransform), and an interpreted lambda re-evaluates
+    // its whole body per element — with `split(trim(text))` inlined in the
+    // lambda, a T-token doc re-split T-4 times, O(T²) chars per doc. With
+    // `tk` a materialized attribute the per-gram work is slice+array_join
+    // on an in-memory array, and the split runs once in codegen.
+    // CollapseProject keeps the split un-inlined because `tk` is consumed
+    // 3× (two size()s + the lambda body) and split is non-cheap —
+    // plan-asserted in PlanSpec so an optimizer change goes red.
+    val t = col("tk")
     val n = size(t)
-    df.select(col("doc_id"), col("source"),
-      explode(when(n >= 5,
-        transform(sequence(lit(1), n - 4),
-          i => array_join(slice(t, i, lit(5)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+    df.select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        explode(when(n >= 5,
+          transform(sequence(lit(1), n - 4),
+            i => array_join(slice(t, i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
   }
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {

@@ -443,11 +443,18 @@ object TimeWindows {
     val base = events(s, dir)
       .select($"user_id", $"event_id", epochS($"ts").as("t"),
         round($"value" * 100.0).cast(LongType).as("cents"))
-    val tplUser = base.agg(min($"user_id")).collect()(0).getLong(0)
-    val tpl = base.where($"user_id" === tplUser)
-      .orderBy($"t", $"event_id").limit(8)
-      .select($"cents").collect().map(_.getLong(0))
-    require(tpl.length == 8, "template user has < 8 events")
+    // ONE driver action for template discovery (r16): the global
+    // TakeOrdered by (user_id, t, event_id) yields exactly the min user's
+    // first 8 events whenever that user has ≥ 8 (the require below guards
+    // the degenerate case, as before) — fusing the old two jobs (min()
+    // scan + filtered TakeOrdered scan) into one, so the query reads
+    // events twice total (template + windows), not three times.
+    val tplRows = base.orderBy($"user_id", $"t", $"event_id").limit(8)
+      .select($"user_id", $"cents").collect()
+    require(tplRows.length == 8 && tplRows.forall(_.getLong(0) == tplRows(0).getLong(0)),
+      "template user has < 8 events")
+    val tplUser = tplRows(0).getLong(0)
+    val tpl = tplRows.map(_.getLong(1))
     // window row = the 8 values ending here, chronological w1..w8
     val dist2 = (0 until 8).map { k =>
       val d = coalesce(lag($"cents", 7 - k).over(w), lit(0L)) - lit(tpl(k))

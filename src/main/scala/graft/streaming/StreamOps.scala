@@ -489,13 +489,17 @@ object StreamOps {
   def decontaminateServe(train: DataFrame, evalDocs: DataFrame,
                          expectedGrams: Long = 1 << 16): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
-      val t = split(trim(col("text")), " ")
+      // tokenize once per row, window over the attribute — the same
+      // interpreted-HOF fix as the batch fiveGrams (r16): with the split
+      // inlined in the transform lambda, every gram re-split the doc.
+      val t = col("tk")
       val n = size(t)
-      df.select(col("doc_id"),
-        explode(when(n >= 5,
-          transform(sequence(lit(1), n - 4),
-            i => array_join(slice(t, i, lit(5)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      df.select(col("doc_id"), split(trim(col("text")), " ").as("tk"))
+        .select(col("doc_id"),
+          explode(when(n >= 5,
+            transform(sequence(lit(1), n - 4),
+              i => array_join(slice(t, i, lit(5)), " ")))
+            .otherwise(array().cast("array<string>"))).as("gram"))
     }
     val evalHashes = grams(evalDocs)
       .select(xxhash64(col("gram")).as("ghash")).distinct()
