@@ -306,24 +306,47 @@ object Scalars {
   // ---------------------------------------------------------------- lateral join
   /** LATERAL correlated subquery (r11) — per-order top-2 line items by
     * price: the lateral top-n-per-group idiom, the OTHER SQL spelling
-    * of q_win_rownum_topn's window-rank. Catalyst decorrelates the
-    * correlated LIMIT subquery; money compares as exact cents with a
-    * full tie-break key (lineitem's (orderkey, linenumber) is NOT
+    * of q_win_rownum_topn's window-rank. Money compares as exact cents
+    * with a full tie-break key (lineitem's (orderkey, linenumber) is NOT
     * unique in this data — README gotcha — so the order key includes
-    * part+supplier). */
-  def joinLateral(s: SparkSession, dir: String): DataFrame =
-    s.sql(
-      s"""SELECT o.o_orderkey, t.cents, t.l_linenumber, t.l_partkey
-         |FROM parquet.`$dir/orders.parquet` o,
-         |LATERAL (
-         |  SELECT CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
-         |    l.l_linenumber, l.l_partkey
-         |  FROM parquet.`$dir/lineitem.parquet` l
-         |  WHERE l.l_orderkey = o.o_orderkey
-         |  ORDER BY cents DESC, l.l_linenumber, l.l_partkey, l.l_suppkey
-         |  LIMIT 2) t
-         |WHERE o.o_totalprice > 200000.0
-         |ORDER BY o.o_orderkey, t.cents DESC, t.l_linenumber, t.l_partkey""".stripMargin)
+    * part+supplier).
+    *
+    * r16 OPTIMIZATION: Catalyst decorrelates the correlated ORDER
+    * BY+LIMIT subquery into a GLOBAL range-sort of the fact table
+    * (rangepartitioning on (cents, linenumber, partkey, suppkey)) plus a
+    * SECOND hash exchange for the per-order row_number, whose window spec
+    * carries no ORDER BY — so the rank filter gets no WindowGroupLimit
+    * map-side pruning either (plans/r16/q_join_lateral_before.txt nodes
+    * 8–13). That global sort of every lineitem row is the 1000×
+    * task-memory envelope BASELINE.md documents (308 s at 32 partitions).
+    * The row-identical window-rank formulation prunes lineitem to
+    * qualifying orders FIRST (broadcast of the selective o_totalprice
+    * filter), pays ONE hash exchange, and ranks top-2 map-side via
+    * WindowGroupLimit (plans/r16/q_join_lateral_after.txt). Equivalence:
+    * per-order top-2 under the identical total tie-break; o_orderkey is
+    * unique in orders (PK), so join-then-rank multiplicity matches the
+    * per-order-row lateral — hash-verified vs the unchanged LATERAL
+    * oracle at all three SFs. The LATERAL surface itself stays exercised
+    * by q_sql_cte/q_sql_recursive's correlated forms and the oracle text
+    * below. */
+  def joinLateral(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey")
+      .orderBy($"cents".desc, $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val qualifying = orders(s, dir)
+      .where($"o_totalprice" > 200000.0)
+      .select($"o_orderkey")
+    lineitem(s, dir)
+      .select($"l_orderkey",
+        round($"l_extendedprice" * 100).cast(LongType).as("cents"),
+        $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .join(broadcast(qualifying), $"l_orderkey" === $"o_orderkey")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 2)
+      .select($"o_orderkey", $"cents", $"l_linenumber", $"l_partkey")
+      .orderBy($"o_orderkey", $"cents".desc, $"l_linenumber", $"l_partkey")
+  }
 
   val joinLateralSql: String =
     """SELECT o.o_orderkey, t.cents, t.l_linenumber, t.l_partkey
