@@ -439,7 +439,51 @@ object Graph {
     *         only vertices with ≥1 edge appear
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val s = pairs.sparkSession
     val Seq(ca, cb) = pairs.columns.toSeq.take(2).map(col)
+    // r16 hybrid (the graphCc / dedupClusterIncremental design applied to
+    // the SHARED primitive): below a documented edge cap, labels come from
+    // a driver union-find over ONE bounded collect — union by MIN id, the
+    // distributed loop's exact label convention, so both paths are
+    // bit-identical (equality-tested in VectorDedupSpec across both).
+    // Rationale: the near-dup cluster graphs this primitive serves at
+    // bench SF are hundreds of edges, where the loop's cost is pure job
+    // COUNT (3 actions/round × 2-4 rounds + the adjacency pin), not data;
+    // at the scale where the loop's shape pays for itself the cap routes
+    // to it anyway (an over-cap graph costs one extra limit-bounded
+    // probe, noise next to the loop). limit(cap+1) keeps the probe
+    // collect bounded even when the edge relation isn't (the
+    // curriculumOrder histogram pattern); 100k edges ≈ 1.6 MB driver
+    // state, the same bounded-driver-state contract as a broadcast build
+    // side. Test-overridable (negative disables the fast path so CI can
+    // force the distributed branch on small data — VERDICT r10 #4).
+    val ufBound = sys.props.get("graft.cc.uf.maxEdges")
+      .map(_.toLong).getOrElse(100000L)
+    if (ufBound >= 0L) {
+      val probe = pairs
+        .select(ca.cast("long").as("_ua"), cb.cast("long").as("_ub"))
+        .limit((ufBound + 1L).min(Int.MaxValue.toLong).toInt).collect()
+      if (probe.length <= ufBound) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = a
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val vertices = scala.collection.mutable.TreeSet.empty[Long]
+        probe.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          vertices += a; vertices += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        import s.implicits._
+        return s.createDataset(vertices.toSeq.map(v => (v, find(v))))
+          .toDF("vertex", "component")
+      }
+    }
     // adjacency pinned WITH ITS LAYOUT DECLARED on dst — the key every
     // round's hash-min join probes (r15, the pagerank pin treatment):
     // without the declared layout each round re-exchanged the edge

@@ -286,11 +286,18 @@ class MiniOpsSpec extends SparkTestBase {
     // through Graph.connectedComponents; labels must be identical.
     val driverPath = LlmText.dedupClusterIncremental(spark, dir).collect().map(_.toString).toSeq
     System.setProperty("graft.incremental.uf.maxEdges", "-1")
+    // and force the SHARED primitive's distributed loop too (r16): without
+    // this the merge branch's Graph.connectedComponents call would take
+    // its own driver union-find fast path and the loop would go uncovered
+    System.setProperty("graft.cc.uf.maxEdges", "-1")
     try {
       val distributed = LlmText.dedupClusterIncremental(spark, dir).collect().map(_.toString).toSeq
       assert(distributed === driverPath,
         "distributed reduced-graph merge drifted from the driver union-find")
-    } finally System.clearProperty("graft.incremental.uf.maxEdges")
+    } finally {
+      System.clearProperty("graft.incremental.uf.maxEdges")
+      System.clearProperty("graft.cc.uf.maxEdges")
+    }
   }
 
   test("simhash: identical docs get hamming distance 0 (planted)") {
@@ -325,11 +332,17 @@ class MiniOpsSpec extends SparkTestBase {
     // forced to -1 routes past the driver union-find) — the equality that
     // lets the DuckDB oracle transitively check the iterative path
     System.setProperty("graft.graphcc.uf.maxEdges", "-1")
+    // also disable the shared-primitive fast path (r16) so the inner
+    // Graph.connectedComponents call truly runs the distributed loop
+    System.setProperty("graft.cc.uf.maxEdges", "-1")
     try {
       val loop = graft.ops.Graph.graphCc(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(loop === expected, "distributed CC loop census drifted from union-find")
-    } finally System.clearProperty("graft.graphcc.uf.maxEdges")
+    } finally {
+      System.clearProperty("graft.graphcc.uf.maxEdges")
+      System.clearProperty("graft.cc.uf.maxEdges")
+    }
   }
 
   test("q_text_bpe_merge: pair census recomputes brute-force; round-1 merge winner is the top pair") {

@@ -148,8 +148,18 @@ class VectorDedupSpec extends SparkTestBase {
         .filter(e => e._1 != e._2)
     }.filter(_.nonEmpty)
     cases.foreach { edges =>
+      // default path (r16: the driver union-find fast path below the cap)
       val got = graft.ops.Graph.connectedComponents(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
+      // forced DISTRIBUTED loop — the cap at -1 disables the fast path, so
+      // the O(log d) propagate+jump iteration keeps real coverage and must
+      // be bit-identical to the fast path (both appear here vs the
+      // reference union-find)
+      System.setProperty("graft.cc.uf.maxEdges", "-1")
+      val gotLoop = try {
+        graft.ops.Graph.connectedComponents(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+      } finally System.clearProperty("graft.cc.uf.maxEdges")
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -159,7 +169,9 @@ class VectorDedupSpec extends SparkTestBase {
         val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
       val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
-      assert(got === verts.map(v => v -> minOf(find(v))).toMap, s"edges=$edges")
+      val want = verts.map(v => v -> minOf(find(v))).toMap
+      assert(got === want, s"fast path drifted: edges=$edges")
+      assert(gotLoop === want, s"distributed loop drifted: edges=$edges")
     }
   }
 }
