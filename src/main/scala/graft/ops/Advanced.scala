@@ -865,20 +865,29 @@ object Advanced {
         .agg(max($"day").as("r_day"), count(lit(1)).as("f_orders"),
           sum($"cents").as("m_cents"))
         .withColumn("m_bucket", expr("m_cents div 1000L")))
-    def thresholds(col0: String): Seq[Long] = {
-      val wCum = Window.orderBy(col(col0))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val hist = m.groupBy(col(col0)).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum($"cnt").over(wCum))
-        .withColumn("n", sum($"cnt").over(Window.partitionBy()))
-      // all four thresholds in ONE aggregation job: 5·cum ≥ n·k is
-      // monotone in the value, so min over the qualifying rows is t_k
-      val aggs = (1 to 4).map(k =>
-        min(when($"cum" * 5 >= $"n" * lit(k.toLong), col(col0))).as(s"t$k"))
-      val r = hist.agg(aggs.head, aggs.tail: _*).collect()(0)
-      (0 until 4).map(r.getLong)
-    }
-    val (rt, ft, mt) = (thresholds("r_day"), thresholds("f_orders"), thresholds("m_bucket"))
+    // All THREE metrics' quintile thresholds in ONE job (r16): the three
+    // per-metric histogram jobs each re-scanned the pinned frame and paid
+    // a full job round-trip (3 actions ≈ the visible share of this query
+    // at bench SF). Exploding (metric, value) rows first makes it one
+    // histogram agg + one PARTITIONED cumulative window (also removing
+    // the three single-partition global windows) + one collect. Per
+    // metric the arithmetic is unchanged: 5·cum ≥ n·k is monotone in the
+    // value, so min over qualifying rows is t_k.
+    val wCum = Window.partitionBy($"met").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist3 = m.select(explode(array(
+        struct(lit("r").as("met"), $"r_day".as("v")),
+        struct(lit("f").as("met"), $"f_orders".as("v")),
+        struct(lit("m").as("met"), $"m_bucket".as("v")))).as("x"))
+      .select($"x.met".as("met"), $"x.v".as("v"))
+      .groupBy($"met", $"v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"met")))
+    val thAggs = (1 to 4).map(k =>
+      min(when($"cum" * 5 >= $"n" * lit(k.toLong), $"v")).as(s"t$k"))
+    val thByMet = hist3.groupBy($"met").agg(thAggs.head, thAggs.tail: _*)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(i => r.getLong(i))).toMap
+    val (rt, ft, mt) = (thByMet("r"), thByMet("f"), thByMet("m"))
     def score(c: org.apache.spark.sql.Column,
         ts: Seq[Long]): org.apache.spark.sql.Column =
       ts.map(t => when(c > t, 1).otherwise(0)).reduce(_ + _) + lit(1)

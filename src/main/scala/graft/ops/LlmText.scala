@@ -1114,8 +1114,17 @@ object LlmText {
     // execute, and produce identical labels, at test SF)
     val ufBound = sys.props.get("graft.incremental.uf.maxEdges")
       .map(_.toLong).getOrElse(100000L)
+    // branch probe and edge fetch in ONE bounded job (r16): the old
+    // count()-then-collect() pair cost two driver round-trips over the
+    // same pinned relation; limit(cap+1) answers "over the cap?" AND
+    // delivers the edges when under it (the curriculumOrder histogram
+    // pattern). Negative cap (the CI forced-distributed knob) skips the
+    // probe entirely.
+    val ufProbe: Array[org.apache.spark.sql.Row] =
+      if (ufBound < 0L) Array.empty
+      else reduced.limit((ufBound + 1L).min(Int.MaxValue.toLong).toInt).collect()
     val merged: DataFrame =
-      if (reduced.count() <= ufBound) {
+      if (ufBound >= 0L && ufProbe.length <= ufBound) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(a: Long): Long = {
           var r = a
@@ -1124,7 +1133,7 @@ object LlmText {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        reduced.collect().foreach { row =>
+        ufProbe.foreach { row =>
           val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
           // union by MIN id so every root is its component's minimum —
           // the distributed hash-min loop's exact convention
