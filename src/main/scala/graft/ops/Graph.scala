@@ -119,7 +119,12 @@ object Graph {
     // rank frame as a constant column (8 bytes/row of shuffle) so the
     // iterations never re-touch the consts subplan and no driver action
     // precedes the final job
-    val nodes = edges.select($"src".as("node")).distinct()
+    // pinned (r16): the node set has TWO consumers (the consts aggregate's
+    // broadcast subplan and the rank-init frame) and differently-pruned
+    // subtrees get no ReusedExchange — unpinned, the distinct over the
+    // edge list ran twice per execution. The pin is node-sized (≪ edges).
+    val nodes = graft.tables.Layout.materialize(
+      edges.select($"src".as("node")).distinct())
     val consts = nodes.agg(count(lit(1)).as("nn"))
       .select(expr("1000000000000L div nn").as("r0"),
         expr("150000000000L div nn").as("base"))
