@@ -205,7 +205,26 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol"$failedField,"sf":"$sfDir"}""")
+    // The driver's round-over-round comparator reads the per-query map
+    // from THIS final line (PERF_r16: per_query {} both rounds — it parses
+    // only the last JSON line, and the capture window is 2000 chars, so
+    // the full 214-entry map physically cannot ride here). Emit the
+    // slowest-K entries, K chosen so the whole line stays ≤ ~1600 bytes:
+    // the final line then always survives the tail window intact AND
+    // carries the queries that matter for regression grading. The full
+    // map still prints above (fastest-first) and persists to
+    // target/bench.json.
+    val budget = 1600 -
+      (s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol"$failedField,"queries":{},"sf":"$sfDir"}""").length
+    val slowFirst = byTime.reverse
+    val keep = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    slowFirst.foreach { case (k, v) =>
+      val ent = s"\"" + k + "\":" + s3(v)
+      if (used + ent.length + 1 <= budget) { keep += ent; used += ent.length + 1 }
+    }
+    val tailQs = keep.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","nqueries":${results.size},"protocol":"$protocol"$failedField,"queries":$tailQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -234,16 +234,31 @@ object Aggregations {
     * maintenance must be indistinguishable from recomputation. */
   def aggIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cut = events(s, dir).agg(expr("max(event_id) * 4 div 5").as("cut"))
-    val evs = events(s, dir).crossJoin(broadcast(cut))
-      .select($"user_id", $"event_id", $"cut",
+    // r17: the standing per-user spend ledger is now a REAL standing table
+    // (Layout.standing — the dedupClusterIncremental precedent), built once
+    // per (dir, cut) and READ thereafter, so the query prices what its
+    // scaladoc claims: "history is touched zero times per refresh". The
+    // old shape re-aggregated the base side into a localCheckpoint on
+    // every execution — the exact daily re-derivation this operator
+    // exists to avoid. The cut is a driver scalar (it keys the standing
+    // name — pipeline metadata in production), memoized per dir via
+    // scalarOnce like the other incremental cuts. Results are
+    // row-identical either way (deterministic build; same oracle).
+    val cutV = graft.tables.Layout.scalarOnce(s"agginc_cut#$dir") {
+      Option(events(s, dir).agg(expr("max(event_id) * 4 div 5")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$cutV".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    def evs = events(s, dir)
+      .select($"user_id", $"event_id",
         round($"value" * 100.0).cast(LongType).as("cents"),
         unix_timestamp($"ts").as("t"))
-    val standing = graft.tables.Layout.materialize(
-      evs.where($"event_id" < $"cut")
+    val standing = graft.tables.Layout.standing(s, s"agginc_$key",
+      evs.where($"event_id" < cutV)
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_b"), sum($"cents").as("s_b"), max($"t").as("t_b")))
-    evs.where($"event_id" >= $"cut")
+    evs.where($"event_id" >= cutV)
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_d"), sum($"cents").as("s_d"), max($"t").as("t_d"))
       .join(standing, Seq("user_id"), "left")

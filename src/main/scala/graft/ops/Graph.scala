@@ -113,7 +113,7 @@ object Graph {
     // down to one 8.5 GB repartition at pin build; on a real cluster it
     // is the bucketed-edge-table layout every distributed PageRank uses.
     val edges = graft.tables.Layout.materializeHashPartitioned(
-      tradingEdges(s, dir), Seq("src"))
+      tradingEdges(s, dir), Seq("src"), dataSized = true)
     // r0 = 10¹² div N and the damping base 0.15·10¹² div N as a one-row
     // broadcast frame referenced ONCE (rank init); `base` then rides the
     // rank frame as a constant column (8 bytes/row of shuffle) so the
@@ -495,7 +495,8 @@ object Graph {
     // relation, the loop's largest shuffle, once per round.
     val adj = graft.tables.Layout.materializeHashPartitioned(
       pairs.select(ca.as("src"), cb.as("dst"))
-        .unionByName(pairs.select(cb.as("src"), ca.as("dst"))), Seq("dst"))
+        .unionByName(pairs.select(cb.as("src"), ca.as("dst"))), Seq("dst"),
+      dataSized = true)
     var labels = graft.tables.Layout.materialize(
       adj.groupBy(col("src")).agg(min(col("dst")).as("_m"))
         .select(col("src").as("vertex"), least(col("src"), col("_m")).as("component")))

@@ -515,20 +515,32 @@ object TimeWindows {
     * observed max are truncated. */
   def activeUsers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val au = graft.tables.Layout.materialize(
-      events(s, dir)
-        .select($"user_id", epochS($"ts").as("t"))
-        .select($"user_id", expr("t div 86400L").as("day"))
-        .distinct())
-    val maxDay = au.agg(max($"day").as("mx"))
-    val dau = au.groupBy($"day").agg(count(lit(1)).as("dau"))
-    val wau = au
-      .select($"user_id", explode(sequence($"day", $"day" + 6L)).as("wday"))
+    // ONE pass (r17): each distinct (user, day) fact contributes to the 7
+    // window-days with its offset; per window-day, WAU = countDistinct
+    // over all contributions and DAU = the count of offset-0 facts (au is
+    // already distinct, so that count IS the day's distinct users). Days
+    // with no own activity (offset-0 count = 0) only existed as trailing
+    // window rows and were dropped by the old dau⋈wau inner join — the
+    // HAVING reproduces that. Replaces: the au pin (sole consumer now),
+    // one aggregation exchange and the join. The max-day truncation bound
+    // folds to a raw-events max — same value as over `au`, without
+    // re-deriving the distinct (the old pin's second job).
+    val au = events(s, dir)
+      .select($"user_id", epochS($"ts").as("t"))
+      .select($"user_id", expr("t div 86400L").as("day"))
+      .distinct()
+    val maxDay = events(s, dir)
+      .select(epochS($"ts").as("t"))
+      .select(expr("t div 86400L").as("d0"))
+      .agg(max($"d0").as("mx"))
+    au.select($"user_id", $"day",
+        explode(sequence($"day", $"day" + 6L)).as("wday"))
       .crossJoin(broadcast(maxDay))
       .where($"wday" <= $"mx")
-      .groupBy($"wday").agg(countDistinct($"user_id").as("wau"))
-    dau.join(wau, $"day" === $"wday")
-      .select($"day", $"dau", $"wau")
+      .groupBy($"wday".as("day"))
+      .agg(sum(when($"day" === $"wday", 1L).otherwise(0L)).as("dau"),
+        countDistinct($"user_id").as("wau"))
+      .where($"dau" > 0L)
       .orderBy($"day")
   }
 

@@ -14,9 +14,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Single entry point for scans: parquet with Catalyst pushdown/pruning. */
+  /** Single entry point for scans: parquet with Catalyst pushdown/pruning.
+    *
+    * The READ PLAN is memoized per (session, path) — r17: a bare
+    * `spark.read.parquet` pays a schema-inference job (parquet footer
+    * read) on every call, measured as one "parquet at Tables.scala" job
+    * per base-table reference per query execution, ~300 wasted jobs per
+    * 214-query sweep. The memo holds metadata only (schema + file listing
+    * of an immutable input — exactly what Spark's catalog caches for
+    * named tables); every execution still scans the parquet from disk,
+    * with pushdown/pruning per consumer unchanged (pruning binds at the
+    * consuming plan, not the cached relation). */
+  private val reads = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    reads.computeIfAbsent(s"${System.identityHashCode(spark)}#$sfDir/$name", _ =>
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
